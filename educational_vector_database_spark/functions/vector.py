@@ -1,0 +1,107 @@
+"""Vector math as Catalyst Column expressions — the core of the engine.
+
+Re-expresses the reference's NumPy kernels (reference src/vectordb/index.py:4-46)
+as Spark higher-order functions (``zip_with`` / ``aggregate`` / ``transform``).
+No UDFs: every expression stays JVM-side inside whole-stage codegen, so a scan +
+score + top-k plan is a single codegen'd stage over the columnar parquet read.
+
+Numerical contract: the reference stores float64 (storage.py:18) and computes in
+float64 BLAS. Testdata stores ``array<float>``; callers must cast to
+``array<double>`` (``as_double``) before arithmetic so results are bit-identical
+to a float64 oracle. ``aggregate`` folds the array left-to-right, which matches
+DuckDB's ``list_dot_product`` / ``list_distance`` bit-for-bit (verified
+empirically at sf0.01 — 0 mismatches in 500 rows for dot, distance, and the
+explicit-formula cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Division-by-zero guard used by the reference's normalizer (index.py:7).
+EPSILON = 1e-12
+
+#: Metrics accepted by the reference's dispatcher (index.py:37-46, api.py:31).
+SUPPORTED_METRICS = ("cosine", "euclidean", "dot")
+
+
+def _col(v: Column | str) -> Column:
+    return F.col(v) if isinstance(v, str) else v
+
+
+def as_double(v: Column | str) -> Column:
+    """Cast a vector column to float64 (reference storage.py:18 casts on insert)."""
+    return _col(v).cast("array<double>")
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ via a left-to-right fold (reference index.py:19-22, ``matrix @ q``)."""
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v: Column | str) -> Column:
+    """‖v‖₂ = sqrt(Σ vᵢ²) (reference index.py:7 ``np.linalg.norm``)."""
+    v = _col(v)
+    return F.sqrt(dot_product(v, v))
+
+
+def l2_normalize(v: Column | str, eps: float = EPSILON) -> Column:
+    """v / (‖v‖ + eps), element-wise (reference index.py:4-8 ``_normalize``)."""
+    v = _col(v)
+    n = l2_norm(v) + F.lit(eps)
+    return F.transform(v, lambda x: x / n)
+
+
+def cosine_similarity(a: Column | str, b: Column | str, eps: float = 0.0) -> Column:
+    """dot(a,b) / (‖a‖·‖b‖) (reference index.py:11-16).
+
+    The reference normalizes each side with a ``+1e-12`` denominator guard;
+    pass ``eps=EPSILON`` to reproduce that exactly (needed only when zero
+    vectors are possible). The default ``eps=0.0`` is the textbook formula and
+    is bit-identical to the float64 SQL oracle
+    ``dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))``.
+    """
+    a, b = _col(a), _col(b)
+    denom = (l2_norm(a) + F.lit(eps)) * (l2_norm(b) + F.lit(eps))
+    return dot_product(a, b) / denom
+
+
+def euclidean_distance(a: Column | str, b: Column | str) -> Column:
+    """sqrt(Σ (aᵢ-bᵢ)²) (reference index.py:25-29)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(_col(a), _col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def euclidean_similarity(a: Column | str, b: Column | str) -> Column:
+    """1 / (1 + euclidean_distance) — distance→similarity so that higher is
+    better under every metric (reference index.py:43-44)."""
+    return F.lit(1.0) / (F.lit(1.0) + euclidean_distance(a, b))
+
+
+def similarity(metric: str, a: Column | str, b: Column | str) -> Column:
+    """Metric dispatch, case-insensitive; unknown metric raises ``ValueError``
+    (reference index.py:32-46 ``similarity_scores``)."""
+    m = metric.lower()
+    if m == "cosine":
+        return cosine_similarity(a, b)
+    if m == "dot":
+        return dot_product(a, b)
+    if m == "euclidean":
+        return euclidean_similarity(a, b)
+    raise ValueError(f"Unknown metric: {metric!r}. Supported: {SUPPORTED_METRICS}")
+
+
+def vector_literal(values) -> Column:
+    """A constant ``array<double>`` Column from a Python sequence (the query
+    vector of a single kNN lookup, reference api.py:105)."""
+    return F.array(*[F.lit(float(x)) for x in values])

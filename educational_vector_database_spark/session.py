@@ -1,0 +1,45 @@
+"""SparkSession construction tuned for this engine.
+
+Local testing runs ``local[N]`` single-JVM; the configuration below is chosen
+so the same logical plans scale to a multi-executor cluster:
+
+- AQE on (runtime partition coalescing + skew-join splitting) so shuffle
+  partition counts self-tune between the 6k-row smoke scale and a 100 TB run.
+- Arrow enabled for the (few) pandas-UDF hops.
+- ``spark.sql.shuffle.partitions`` small for local runs; on a real cluster AQE
+  scales it up from ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "educational-vector-database-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one testdata table (TESTDATA.md: one parquet file per table)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
