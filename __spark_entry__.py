@@ -15,11 +15,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from educational_vector_database_spark import rag
+from educational_vector_database_spark.embeddings import DummyEmbeddings, _dummy_vector
 from educational_vector_database_spark.operators import knn as K
 from educational_vector_database_spark.session import load_table
 
 DIM = 64
 TOP_K = 10
+DUMMY_DIM = 16  # reference server.py:32 fallback dim
+CHUNK_SIZE = 300  # reference rag.py:31
+RAG_QUERY = "spark filter join window"  # deterministic fixture query string
 
 # SQL fragments for the float64 vector math, written to be bit-identical to the
 # Spark expressions in functions/vector.py (same op order; verified at sf0.01).
@@ -108,6 +113,106 @@ def _knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.knn_join(corpus, queries, k=5, metric="cosine")
 
 
+def _dummy_sum_values(max_len: int = 800) -> str:
+    """VALUES table ``(text_len, emb_sum)`` for the dummy embedding: the UDF is
+    deterministic in text length only (reference embeddings.py:25-27), so its
+    left-fold element sum per length is a precomputable literal — this makes
+    even the pandas-UDF path bit-exact oracle-checkable."""
+    rows = []
+    for n in range(max_len + 1):
+        s = 0.0
+        for x in _dummy_vector(n, DUMMY_DIM):
+            s += float(x)
+        # string literal -> direct decimal-string->binary64 parse; a bare
+        # numeric literal would go through DECIMAL and lose low bits
+        rows.append(f"({n}, CAST('{s!r}' AS DOUBLE))")
+    return f"(VALUES {', '.join(rows)}) AS emb_map(text_len, emb_sum)"
+
+
+def _dummy_vec_values(max_len: int = 310) -> str:
+    """VALUES table ``(text_len, v DOUBLE[])`` of full dummy vectors, for
+    oracles that need the actual embedding (RAG scoring over chunks, whose
+    lengths are <= chunk_size)."""
+    rows = []
+    for n in range(max_len + 1):
+        vec = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in _dummy_vector(n, DUMMY_DIM))
+        rows.append(f"({n}, [{vec}])")
+    return f"(VALUES {', '.join(rows)}) AS emb_map(text_len, v)"
+
+
+def _rag_context_oracle() -> str:
+    """The whole RAG read path in SQL: chunk -> embed (literal map) -> cosine
+    top-3 -> best-first string_agg context + placeholder answer."""
+    qv = ", ".join(repr(float(x)) for x in _dummy_vector(len(RAG_QUERY), DUMMY_DIM))
+    cos = _COS.format(a="emb_map.v", b=f"[{qv}]::DOUBLE[]")
+    return f"""
+        WITH chunks AS (
+            SELECT d.doc_id * 100000 + t.i AS chunk_id,
+                   substr(d.text, CAST(t.i * {CHUNK_SIZE} + 1 AS INT), {CHUNK_SIZE}) AS chunk
+            FROM documents d,
+                 unnest(range(0, greatest(1,
+                        CAST(ceil(length(d.text) / {CHUNK_SIZE}.0) AS BIGINT)))) AS t(i)
+        ),
+        scored AS (
+            SELECT c.chunk_id, c.chunk, {cos} AS score
+            FROM chunks c JOIN {_dummy_vec_values()}
+              ON length(c.chunk) = emb_map.text_len
+        ),
+        topk AS (
+            SELECT * FROM scored ORDER BY score DESC, chunk_id ASC LIMIT 3
+        )
+        SELECT string_agg(chunk, e'\\n---\\n' ORDER BY score DESC, chunk_id ASC)
+                   AS combined_context,
+               'This is a placeholder answer. Relevant context:' || chr(10) ||
+               string_agg(chunk, e'\\n---\\n' ORDER BY score DESC, chunk_id ASC)
+                   AS answer
+        FROM topk
+    """
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rag.chunk_documents(_docs(spark, sf_dir), CHUNK_SIZE)
+
+
+def _embed_dummy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = DummyEmbeddings(DUMMY_DIM)
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        emb.embed_col("text").alias("embedding"),
+    )
+    return df.select(
+        "doc_id",
+        "text_len",
+        F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x).alias("emb_sum"),
+    )
+
+
+def _rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = DummyEmbeddings(DUMMY_DIM)
+    chunks = rag.build_rag_index(_docs(spark, sf_dir), emb, CHUNK_SIZE)
+    qv = [float(x) for x in emb.embed(RAG_QUERY)]
+    return rag.assemble_context(rag.retrieve(chunks, qv, k=3))
+
+
+def _docs_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.avg("n_chars").alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-10 over the sf0.001 vector store."""
     return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
@@ -123,6 +228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_euclidean": _knn_query("euclidean"),
         "filter_then_knn": _filter_then_knn,
         "knn_join_topk": _knn_join_topk,
+        "chunk_documents": _chunk_documents,
+        "embed_dummy": _embed_dummy,
+        "rag_context": _rag_context,
+        "docs_stats_by_lang": _docs_stats_by_lang,
     }
 
 
@@ -167,5 +276,29 @@ def oracle_sql() -> dict[str, str]:
                    ) AS INT) AS rank
             FROM scored
             QUALIFY rank <= 5
+        """,
+        "chunk_documents": f"""
+            SELECT d.doc_id,
+                   CAST(t.i AS INT) AS chunk_index,
+                   substr(d.text, CAST(t.i * {CHUNK_SIZE} + 1 AS INT), {CHUNK_SIZE}) AS chunk
+            FROM documents d,
+                 unnest(range(0, greatest(1,
+                        CAST(ceil(length(d.text) / {CHUNK_SIZE}.0) AS BIGINT)))) AS t(i)
+        """,
+        "embed_dummy": f"""
+            SELECT d.doc_id, CAST(length(d.text) AS INT) AS text_len, emb_map.emb_sum
+            FROM documents d JOIN {_dummy_sum_values()}
+              ON length(d.text) = emb_map.text_len
+        """,
+        "rag_context": _rag_context_oracle(),
+        "docs_stats_by_lang": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   avg(n_chars) AS avg_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents
+            GROUP BY lang
         """,
     }

@@ -1,0 +1,132 @@
+"""RAG pipeline: chunk -> embed -> index -> retrieve -> assemble context.
+
+Re-expresses the reference's per-text Python loop (reference src/vectordb/
+rag.py:27-52 ``build_rag_index``) as one DataFrame plan: the chunker is a
+generated-array ``posexplode`` (no Python), the embedder is one Arrow-batched
+pandas UDF hop, and retrieval is the kNN top-k operator. At 100 TB the whole
+index build is a single scan->explode->UDF->write pipeline with no shuffle.
+
+Answer semantics (reference rag.py:67-97 ``answer_query``): top-k chunks
+best-first, context = texts joined with ``"\\n---\\n"``, answer = placeholder
+prefix + context.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .embeddings import Embeddings
+from .functions import text as T
+from .operators import knn as K
+
+ANSWER_PREFIX = "This is a placeholder answer. Relevant context:\n"  # rag.py:87-90
+CONTEXT_SEP = "\n---\n"  # rag.py:86
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = T.DEFAULT_CHUNK_SIZE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode each document into fixed-size character chunks
+    (reference rag.py:17-24, 41-52). Returns ``(doc_id, chunk_index, chunk)``
+    — ``doc_id``/``chunk_index`` ≙ the reference's ``doc_index``/``chunk_index``
+    chunk metadata (rag.py:45-51)."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(T.chunk_array(text_col, chunk_size)).alias("chunk_index", "chunk"),
+    )
+
+
+def build_rag_index(
+    docs: DataFrame,
+    embeddings: Embeddings,
+    chunk_size: int = T.DEFAULT_CHUNK_SIZE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk + embed: the chunks table (reference rag.py:27-52 composed with
+    api.py:156-162 ``add_text``). Returns
+    ``(doc_id, chunk_index, chunk_id, chunk, embedding)`` where ``chunk_id`` is
+    a dense sortable key (doc_id * 100000 + chunk_index)."""
+    chunks = chunk_documents(docs, chunk_size, text_col, id_col)
+    return chunks.select(
+        id_col,
+        "chunk_index",
+        (F.col(id_col) * 100_000 + F.col("chunk_index")).alias("chunk_id"),
+        F.col("chunk"),
+        embeddings.embed_col("chunk").alias("embedding"),
+    )
+
+
+def retrieve(
+    chunks: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 3,  # reference rag.py:67 default top_k
+    metric: str = "cosine",
+) -> DataFrame:
+    """Top-k chunks for an (already embedded) query — reference rag.py:72-84.
+    Returns ``(chunk_id, chunk, score)`` best-first."""
+    return K.knn(
+        chunks,
+        query_vector,
+        k=k,
+        metric=metric,
+        vector_col="embedding",
+        id_col="chunk_id",
+        extra_cols=("chunk",),
+    )
+
+
+def assemble_context(topk: DataFrame) -> DataFrame:
+    """Collapse top-k chunk rows (best-first) into one row
+    ``(combined_context, answer)`` — reference rag.py:86-90.
+
+    ``collect_list`` order is nondeterministic after a shuffle, so ordering is
+    carried *inside* the collected structs and restored with ``array_sort``
+    (SURVEY.md §7.3.4): sort key = (-score, chunk_id)."""
+    return topk.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("score")).alias("neg"),
+                                 F.col("chunk_id").alias("cid"),
+                                 F.col("chunk").alias("txt"))
+                    )
+                ),
+                lambda s: s["txt"],
+            ),
+            CONTEXT_SEP,
+        ).alias("combined_context")
+    ).select(
+        "combined_context",
+        F.concat(F.lit(ANSWER_PREFIX), F.col("combined_context")).alias("answer"),
+    )
+
+
+def answer_query(
+    chunks: DataFrame,
+    embeddings: Embeddings,
+    query: str,
+    k: int = 3,
+    metric: str = "cosine",
+) -> dict:
+    """Full RAG answer — reference rag.py:67-97. The query string is embedded
+    driver-side (one string — no single-row Spark job), retrieval and context
+    assembly run as one Spark plan, and the result dict mirrors the reference:
+    ``{query, chunks: [{id, score, text}], combined_context, answer}``."""
+    qv = [float(x) for x in embeddings.embed(query)]
+    topk = retrieve(chunks, qv, k=k, metric=metric)
+    rows = topk.collect()
+    context = CONTEXT_SEP.join(r.chunk for r in rows)
+    return {
+        "query": query,
+        "chunks": [{"id": r.chunk_id, "score": r.score, "text": r.chunk} for r in rows],
+        "combined_context": context,
+        "answer": ANSWER_PREFIX + context,
+    }

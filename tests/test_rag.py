@@ -1,0 +1,76 @@
+"""Chunker / embeddings / RAG pipeline tests (reference tests/test_basic.py,
+tests/test_v3_features.py:49-65)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from educational_vector_database_spark import rag
+from educational_vector_database_spark.embeddings import DummyEmbeddings
+from educational_vector_database_spark.functions import text as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_chunker_matches_reference_semantics(spark):
+    # reference rag.py:17-24: [text[i:i+cs] for i in range(0, len(text), cs)]
+    cases = ["", "ab", "abcdef", "abcdefg", "x" * 300, "x" * 301]
+    df = _docs(spark, [(i, t) for i, t in enumerate(cases)])
+    got = {
+        r.doc_id: r.chunks
+        for r in df.select("doc_id", T.chunk_array("text", 3).alias("chunks")).collect()
+    }
+    for i, t in enumerate(cases):
+        expected = [t[j : j + 3] for j in range(0, len(t), 3)] or [""]
+        assert got[i] == expected, (i, t[:10])
+
+
+def test_chunk_documents_explodes_with_index(spark):
+    df = _docs(spark, [(7, "abcdefg")])
+    rows = rag.chunk_documents(df, chunk_size=3).collect()
+    assert [(r.doc_id, r.chunk_index, r.chunk) for r in rows] == [
+        (7, 0, "abc"), (7, 1, "def"), (7, 2, "g")
+    ]
+
+
+def test_dummy_embeddings_match_reference_rng(spark):
+    # reference embeddings.py:25-27: np.random.seed(len(text)); np.random.rand(dim)
+    emb = DummyEmbeddings(8)
+    np.random.seed(5)
+    expected = np.random.rand(8)
+    assert np.array_equal(emb.embed("hello"), expected)
+    # same through the pandas UDF
+    df = _docs(spark, [(0, "hello"), (1, "world"), (2, "")])
+    out = {r.doc_id: r.e for r in df.select("doc_id", emb.embed_col("text").alias("e")).collect()}
+    assert out[0] == expected.tolist()
+    assert out[0] == out[1]  # equal-length texts share vectors (reference quirk)
+    np.random.seed(0)
+    assert out[2] == np.random.rand(8).tolist()
+
+
+def test_build_rag_index_and_answer(spark):
+    # reference test_v3_features.py:49-65 shape checks
+    emb = DummyEmbeddings(8)
+    docs = _docs(spark, [(0, "alpha beta gamma delta " * 5), (1, "spark sql engine " * 8)])
+    chunks = rag.build_rag_index(docs, emb, chunk_size=50)
+    assert chunks.columns == ["doc_id", "chunk_index", "chunk_id", "chunk", "embedding"]
+    n = chunks.count()
+    assert n >= 2
+    ans = rag.answer_query(chunks, emb, "alpha beta", k=3)
+    assert set(ans) == {"query", "chunks", "combined_context", "answer"}
+    assert len(ans["chunks"]) == 3
+    assert ans["answer"].startswith(rag.ANSWER_PREFIX)
+    assert ans["combined_context"].count(rag.CONTEXT_SEP) == 2
+    scores = [c["score"] for c in ans["chunks"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_assemble_context_order_is_best_first(spark):
+    topk = spark.createDataFrame(
+        [(3, "worst", 0.1), (1, "best", 0.9), (2, "mid", 0.5)],
+        "chunk_id: long, chunk: string, score: double",
+    )
+    row = rag.assemble_context(topk).head()
+    assert row.combined_context == "best\n---\nmid\n---\nworst"
+    assert row.answer == rag.ANSWER_PREFIX + row.combined_context
