@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from educational_vector_database_spark import rag
 from educational_vector_database_spark.embeddings import DummyEmbeddings, _dummy_vector
+from educational_vector_database_spark.operators import dedup as D
 from educational_vector_database_spark.operators import knn as K
 from educational_vector_database_spark.session import load_table
 
@@ -213,6 +214,168 @@ def _docs_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedup queries (training-data-pipeline extensions) ----------------------
+
+# SQL building blocks mirroring functions/text.py normalization + n-gramming
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(_docs(spark, sf_dir))
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_near_dup(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_dup(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dup(_emb(spark, sf_dir), threshold=0.45)
+
+
+_DEDUP_EXACT_ORACLE = """
+    WITH fp AS (
+        SELECT doc_id, substr(md5(text), 1, 15) AS h FROM documents
+    ),
+    fpv AS (
+        SELECT doc_id,
+               CAST(sum(CAST(strpos('0123456789abcdef',
+                             substr(h, CAST(i AS INT), 1)) - 1 AS HUGEINT)
+                        << (4 * (15 - CAST(i AS INT)))) AS BIGINT) AS fp
+        FROM fp, unnest(range(1, 16)) AS t(i)
+        GROUP BY doc_id
+    )
+    SELECT fp, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM fpv GROUP BY fp
+"""
+
+_MINHASH_ORACLE = f"""
+    WITH norm AS (
+        SELECT doc_id AS id, {_NORM.format(t='text')} AS t FROM documents
+    ),
+    sh AS (
+        SELECT id, list_distinct([substr(t, CAST(i AS INT), 5)
+                   for i in range(1, greatest(2, length(t) - 3))]) AS sh
+        FROM norm
+    ),
+    sig AS (
+        SELECT id, sh,
+               [list_min(list_transform(sh, s -> md5(seed || '|' || s)))
+                for seed in range(0, 8)] AS sig
+        FROM sh
+    ),
+    bands AS (
+        SELECT id, CAST(b AS INT) AS band_idx,
+               sig[CAST(2*b+1 AS INT)] || '|' || sig[CAST(2*b+2 AS INT)] AS band_key
+        FROM sig, unnest(range(0, 4)) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+           CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               AS jaccard
+    FROM cand c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+          CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE) >= 0.5
+"""
+
+_NGRAM_ORACLE = f"""
+    WITH norm AS (
+        SELECT doc_id AS id, string_split({_NORM.format(t='text')}, ' ') AS w
+        FROM documents
+    ),
+    ngl AS (
+        SELECT id, list_distinct([concat_ws(' ', w[CAST(i+1 AS INT)],
+                                  w[CAST(i+2 AS INT)], w[CAST(i+3 AS INT)])
+                   for i in range(0, greatest(1, len(w) - 2))]) AS gs
+        FROM norm
+    ),
+    grams AS (SELECT id, unnest(gs) AS g FROM ngl),
+    sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+        FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5
+"""
+
+_SIMHASH_ORACLE = f"""
+    WITH norm AS (
+        SELECT doc_id AS id, {_NORM.format(t='text')} AS t FROM documents
+    ),
+    toks AS (
+        SELECT id, unnest(list_distinct(string_split(t, ' '))) AS w FROM norm
+    ),
+    tokh AS (SELECT id, md5(w) AS h FROM toks),
+    ntok AS (SELECT id, count(*) AS n FROM tokh GROUP BY id),
+    bits AS (
+        SELECT id, CAST(p AS INT) AS p, CAST(k AS INT) AS k,
+               sum(CASE WHEN ((strpos('0123456789abcdef',
+                               substr(h, CAST(p+1 AS INT), 1)) - 1) >> CAST(k AS INT)) & 1 = 1
+                        THEN 1 ELSE 0 END) AS cnt
+        FROM tokh, unnest(range(0, 16)) AS pp(p), unnest(range(0, 4)) AS kk(k)
+        GROUP BY id, p, k
+    ),
+    nib AS (
+        SELECT b.id, b.p,
+               CAST(sum(CASE WHEN 2 * b.cnt > n.n THEN 1 << b.k ELSE 0 END) AS INT) AS v
+        FROM bits b JOIN ntok n USING (id) GROUP BY b.id, b.p
+    ),
+    sh AS (
+        SELECT id, string_agg(substr('0123456789abcdef', v + 1, 1), '' ORDER BY p) AS sh
+        FROM nib GROUP BY id
+    ),
+    bands AS (
+        SELECT id, sh, CAST(b AS INT) AS band_idx,
+               substr(sh, CAST(4*b+1 AS INT), 4) AS band_key
+        FROM sh, unnest(range(0, 4)) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    ham AS (
+        SELECT id_a, id_b,
+               CAST(sum(bit_count(xor(
+                    strpos('0123456789abcdef', substr(sh_a, CAST(p AS INT), 1)) - 1,
+                    strpos('0123456789abcdef', substr(sh_b, CAST(p AS INT), 1)) - 1
+               ))) AS INT) AS hamming
+        FROM cand, unnest(range(1, 17)) AS t(p)
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+"""
+
+_NEARDUP_EMB_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.format(a="a.v", b="b.v")} AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS.format(a="a.v", b="b.v")} >= 0.45
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-10 over the sf0.001 vector store."""
     return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
@@ -232,6 +395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dummy": _embed_dummy,
         "rag_context": _rag_context,
         "docs_stats_by_lang": _docs_stats_by_lang,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_ngram": _dedup_ngram,
+        "dedup_simhash": _dedup_simhash,
+        "neardup_embedding": _neardup_embedding,
     }
 
 
@@ -301,4 +469,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY lang
         """,
+        "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "dedup_minhash": _MINHASH_ORACLE,
+        "dedup_ngram": _NGRAM_ORACLE,
+        "dedup_simhash": _SIMHASH_ORACLE,
+        "neardup_embedding": _NEARDUP_EMB_ORACLE,
     }

@@ -1,0 +1,169 @@
+"""VectorDB facade — the reference's public API surface, DataFrame-native.
+
+Mirrors ``src/vectordb/api.py`` (class VectorDB) method-for-method, but every
+operation is a Spark plan over a DataFrame instead of a Python loop over
+parallel lists. Batch-first: ``add_texts``/``add_vectors`` take DataFrames
+(the reference's one-at-a-time ``add_text`` is the degenerate single-row case —
+its HTTP server loop, server.py:88-92, becomes one append job).
+
+Server-endpoint parity (SURVEY.md §2.13): POST /add_text -> add_texts;
+POST /search -> search_text; GET /items -> items; POST /rag/index ->
+index_documents; POST /rag/answer -> answer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import rag as ragmod
+from .embeddings import Embeddings
+from .functions import vector as V
+from .operators import knn as K
+from .sources import store as storemod
+from .sources.store import StoreConfig
+
+
+class VectorDB:
+    """≙ reference ``VectorDB`` (api.py:21-205).
+
+    The store is a DataFrame ``(vec_id, embedding, ...metadata columns)``;
+    ``dim`` and ``metric`` are fixed at construction (api.py:21-31), and an
+    unknown metric raises ``ValueError`` immediately, same contract.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        dim: int,
+        metric: str = "cosine",
+        embeddings: Embeddings | None = None,
+        df: DataFrame | None = None,
+        id_col: str = "vec_id",
+        vector_col: str = "embedding",
+    ):
+        if metric.lower() not in V.SUPPORTED_METRICS:
+            raise ValueError(f"Unknown metric: {metric!r}")
+        self.spark = spark
+        self.dim = dim
+        self.metric = metric.lower()
+        self.embeddings = embeddings
+        self.id_col = id_col
+        self.vector_col = vector_col
+        self._df = df if df is not None else spark.createDataFrame(
+            [], f"{id_col} bigint, {vector_col} array<double>, text string"
+        )
+
+    # -- ingest (reference api.py:95-103, 156-162) ---------------------------
+
+    def _validate_dim(self, df: DataFrame) -> DataFrame:
+        """Reference raises on wrong-dim insert (storage.py:15-16). Set-at-a-
+        time, that is: fail the batch if ANY row violates; the check is one
+        aggregate over the incoming (small) batch."""
+        bad = df.filter(F.size(self.vector_col) != self.dim).limit(1).count()
+        if bad:
+            raise ValueError(f"Vector dimension mismatch, expected {self.dim}")
+        return df
+
+    def add_vectors(self, df: DataFrame) -> "VectorDB":
+        """Append a batch of ``(vec_id, embedding, ...)`` rows (≙ S1 insert)."""
+        incoming = self._validate_dim(df)
+        self._df = self._df.unionByName(incoming, allowMissingColumns=True)
+        return self
+
+    def add_texts(self, texts_df: DataFrame, text_col: str = "text") -> "VectorDB":
+        """Embed + insert (reference ``add_text``, api.py:156-162): the text
+        rides along as a first-class column (≙ metadata["text"] injection)."""
+        if self.embeddings is None:
+            raise RuntimeError("No embeddings configured")  # api.py:158
+        embedded = texts_df.withColumn(
+            self.vector_col, self.embeddings.embed_col(text_col)
+        )
+        return self.add_vectors(embedded)
+
+    # -- search (reference api.py:105-150, 164-168) --------------------------
+
+    def search_vector(self, query_vector: Sequence[float], k: int = 5) -> DataFrame:
+        extra = [c for c in self._df.columns if c not in (self.id_col, self.vector_col)]
+        return K.knn(
+            self._df, query_vector, k=k, metric=self.metric,
+            vector_col=self.vector_col, id_col=self.id_col, extra_cols=extra,
+        )
+
+    def search_text(self, query: str, k: int = 5) -> DataFrame:
+        if self.embeddings is None:
+            raise RuntimeError("No embeddings configured")  # api.py:166
+        qv = [float(x) for x in self.embeddings.embed(query)]  # driver-side, one string
+        return self.search_vector(qv, k=k)
+
+    # -- listing (reference GET /items, server.py:108-122) -------------------
+
+    def items(self) -> DataFrame:
+        """All rows minus the vector column."""
+        keep = [c for c in self._df.columns if c != self.vector_col]
+        return self._df.select(*keep)
+
+    def count(self) -> int:
+        return self._df.count()
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    # -- RAG (reference rag.py via server.py:125-139) ------------------------
+
+    def index_documents(
+        self, docs: DataFrame, chunk_size: int = 300,
+        text_col: str = "text", id_col: str = "doc_id",
+    ) -> "VectorDB":
+        """Chunk + embed + insert (reference ``build_rag_index``/
+        ``index_documents``, rag.py:27-64)."""
+        if self.embeddings is None:
+            raise RuntimeError("No embeddings configured")
+        chunks = ragmod.build_rag_index(docs, self.embeddings, chunk_size, text_col, id_col)
+        incoming = chunks.select(
+            F.col("chunk_id").alias(self.id_col),
+            F.col("embedding").alias(self.vector_col),
+            F.col("chunk").alias("text"),
+            F.col(id_col).alias("doc_index"),
+            F.col("chunk_index"),
+        )
+        return self.add_vectors(incoming)
+
+    def answer(self, query: str, k: int = 3) -> dict:
+        """Reference ``answer_query`` (rag.py:67-97)."""
+        if self.embeddings is None:
+            raise RuntimeError("No embeddings configured")
+        chunks = self._df.select(
+            F.col(self.id_col).alias("chunk_id"),
+            F.col(self.vector_col).alias("embedding"),
+            F.col("text").alias("chunk"),
+        )
+        return ragmod.answer_query(chunks, self.embeddings, query, k=k, metric=self.metric)
+
+    # -- persistence (reference api.py:174-205) ------------------------------
+
+    def save(self, path: str, mode: str = "overwrite") -> None:
+        storemod.save(
+            self._df, path,
+            StoreConfig(
+                dim=self.dim, metric=self.metric,
+                embeddings_class=type(self.embeddings).__name__ if self.embeddings else None,
+                id_col=self.id_col, vector_col=self.vector_col,
+            ),
+            mode=mode,
+        )
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, path: str, embeddings: Embeddings | None = None
+    ) -> "VectorDB":
+        """Caller re-supplies the embeddings object, exactly the reference
+        contract (api.py:191-205; README.md:160-163)."""
+        df, cfg = storemod.load(spark, path)
+        return cls(
+            spark, dim=cfg.dim, metric=cfg.metric, embeddings=embeddings,
+            df=df, id_col=cfg.id_col, vector_col=cfg.vector_col,
+        )

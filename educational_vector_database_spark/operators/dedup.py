@@ -1,0 +1,331 @@
+"""Deduplication operators — the training-data-pipeline core.
+
+The reference has no dedup (its store happily holds duplicates); these are the
+scale extensions mandated by BASELINE.json. Five families, all engine-agnostic
+deterministic (md5-based hashing, no RNG), so every one is oracle-checkable:
+
+- exact:    fingerprint group-by (one shuffle on a 64-bit key)
+- MinHash:  shingle -> per-seed min-md5 signature -> banded LSH buckets ->
+            candidate pairs -> exact-Jaccard verify
+- SimHash:  64-bit sign-aggregated token hash -> 4x16-bit band blocking
+            (pigeonhole: hamming<=3 => >=1 band equal, so recall is EXACT for
+            the declared radius) -> hamming verify
+- n-gram:   exact Jaccard similarity join via inverted index (explode n-grams,
+            equi-join postings, count co-occurrences) — no cross join anywhere
+- embedding: cosine threshold self-join (exact all-pairs here; the LSH-bucketed
+            scale path lives in operators/ann.py)
+
+Scale notes (100 TB): every family is (map-side transform) + (equi-join or
+group-by on a hash key). The only quadratic danger is a hot LSH bucket /
+stop-n-gram posting list; cap those with a frequency filter (``max_posting``)
+— standard practice (a shingle appearing in half the corpus carries no dedup
+signal anyway). AQE skew-join handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import vector as V
+
+HEX = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row summary: total rows, distinct contents, duplicate rows.
+    Contents compared by value; at scale group on ``fingerprint64`` instead of
+    the raw text so the shuffle moves 8 bytes/row, not documents."""
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(text_col).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(text_col)).alias("n_duplicates"),
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-first exact dedup: group by content fingerprint, keep the lowest
+    id (deterministic survivor). ``min_by`` is a single hash aggregate —
+    map-side partial min per fingerprint, then one shuffle of (fp, id)."""
+    fp = T.fingerprint64(text_col)
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+    """Array of ``num_hashes`` min-hashes: per seed i, min over shingles of
+    ``md5(i || '|' || shingle)``. md5 is a shared primitive across engines and
+    the lexicographic min over its hex digest is a valid random-permutation
+    surrogate — no engine-specific hash function in sight."""
+
+    def _hashed(seed: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, _hashed(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """MinHash/LSH near-duplicate pairs, exact-verified.
+
+    Pipeline: shingle (map) -> signature (map) -> explode bands (map) ->
+    self-equi-join on (band_idx, band_key) -> distinct candidate pairs ->
+    join shingle arrays back -> exact Jaccard filter. Returns
+    ``(id_a, id_b, jaccard)`` with id_a < id_b.
+
+    The band join is an equi-join on a hash key — shuffles only
+    (id, band_key); ``max_posting`` drops degenerate buckets bigger than the
+    cap (they would be quadratic and carry no signal)."""
+    n_bands = num_hashes // rows_per_band
+    base = df.select(
+        F.col(id_col).alias("id"),
+        T.char_shingles(text_col, shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+    bands = base.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    # cap degenerate buckets (no dedup signal, quadratic cost)
+    bucket_w = bands.groupBy("band_idx", "band_key").agg(F.count("*").alias("n"))
+    bands = (
+        bands.join(
+            F.broadcast(bucket_w.filter(F.col("n") > max_posting)),
+            ["band_idx", "band_key"],
+            "left_anti",
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = base.select("id", "sh")
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact similarity join, inverted index)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """EXACT Jaccard >= threshold pairs over word n-gram sets, computed as an
+    inverted-index join (explode n-grams -> equi-join postings -> count common
+    n-grams per pair -> |A∩B| / (|A|+|B|-|A∩B|)). Never materializes a cross
+    join: cost is Σ posting_list² per n-gram, capped by ``max_posting``.
+
+    Exactness caveat at the cap: a pair sharing ONLY capped n-grams is missed —
+    with threshold >= 0.5 such a pair needs half its grams capped, i.e. it is
+    stop-gram sludge, not a near-duplicate."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(T.word_ngrams(text_col, n)).alias("g"),
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    posting_ok = grams.groupBy("g").agg(F.count("*").alias("pn"))
+    grams = grams.join(
+        F.broadcast(posting_ok.filter(F.col("pn") > max_posting)), "g", "left_anti"
+    )
+    common = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        common.join(F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))), "id_a")
+        .join(F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("c").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("c")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _nibble_value(ch: Column) -> Column:
+    """hex char -> 0..15, via position in the hex alphabet (cross-engine:
+    DuckDB ``strpos`` computes the identical thing)."""
+    return F.instr(F.lit(HEX), ch) - 1
+
+
+def simhash_hex(text: Column | str, as_nibbles: bool = False) -> Column:
+    """64-bit SimHash over the distinct word tokens of the normalized text,
+    returned as a 16-char hex string (or the 16 nibble ints).
+
+    Definition (deterministic, engine-agnostic): token hash = first 16 hex
+    chars of md5(token); for each of the 64 bit positions, bit = 1 iff strictly
+    more tokens have the bit set than clear. Built nibble-wise: for hex
+    position p and bit k, count tokens whose nibble p has bit k — all pure
+    integer Column arithmetic, codegen'd, no UDF."""
+    toks = F.array_distinct(F.split(T.normalized_text(text), " "))
+    n = F.size(toks)
+
+    def _bit_count(p: int, k: int) -> Column:
+        # tokens whose md5 nibble at position p has bit k set
+        def _has_bit(t: Column) -> Column:
+            v = _nibble_value(F.substring(F.md5(t), p + 1, 1))
+            return F.floor(v / (2 ** k)) % 2 == 1
+
+        return F.size(F.filter(toks, _has_bit))
+
+    nibbles = [
+        sum(
+            F.when(_bit_count(p, k) * 2 > n, F.lit(1 << k)).otherwise(F.lit(0))
+            for k in range(4)
+        )
+        for p in range(16)
+    ]
+    if as_nibbles:
+        return F.array(*[c.cast("int") for c in nibbles])
+    return F.concat(*[F.substring(F.lit(HEX), c.cast("int") + 1, 1) for c in nibbles])
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs with hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit hash into 4 x 16-bit bands; by pigeonhole any
+    pair within hamming 3 agrees on at least one full band, so the 4-way
+    band equi-join has EXACT recall for the declared radius — this is the
+    standard web-scale simhash join (Manku et al., WWW'07), expressed as
+    posexplode + equi-join. Verify computes true hamming via nibble XOR
+    popcounts. Returns ``(id_a, id_b, hamming)``."""
+    base = df.select(
+        F.col(id_col).alias("id"), simhash_hex(text_col).alias("sh")
+    )
+    bands = base.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(*[F.substring("sh", 4 * b + 1, 4) for b in range(4)])
+        ).alias("band_idx", "band_key"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(
+            _nibble_value(F.substring("sh_a", p + 1, 1)).bitwiseXOR(
+                _nibble_value(F.substring("sh_b", p + 1, 1))
+            )
+        )
+        for p in range(16)
+    )
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (exact; LSH scale path in operators/ann.py)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    threshold: float = 0.45,
+    metric: str = "cosine",
+) -> DataFrame:
+    """All-pairs similarity >= threshold (id_a < id_b). Exact block-nested
+    join — quadratic by definition; at corpus scale run it per-LSH-bucket
+    (operators/ann.py bucketizes first) so each block is small. Broadcasting
+    one side keeps it shuffle-free when one side fits in memory."""
+    a = df.select(F.col(id_col).alias("id_a"), V.as_double(vector_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), V.as_double(vector_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", V.similarity(metric, F.col("va"), F.col("vb")).alias("score")
+        )
+        .filter(F.col("score") >= threshold)
+    )

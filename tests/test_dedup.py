@@ -1,0 +1,86 @@
+"""Dedup operator tests: hand-built near-dup fixtures + invariants."""
+
+from pyspark.sql import functions as F
+
+from educational_vector_database_spark.operators import dedup as D
+
+DOC_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOC_A2 = DOC_A + " now"  # near-duplicate of DOC_A
+DOC_B = "completely different content about spark query engines and shuffles here"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A2), (3, DOC_B), (4, DOC_B)],
+        "doc_id: long, text: string",
+    )
+
+
+def test_exact_dedup_stats_and_keep_first(spark):
+    stats = D.exact_dedup_stats(_docs(spark)).head()
+    assert (stats.n_rows, stats.n_distinct, stats.n_duplicates) == (4, 3, 1)
+    survivors = D.dedup_exact(_docs(spark))
+    rows = {r.doc_id: r.n_copies for r in survivors.collect()}
+    assert rows == {1: 1, 2: 1, 3: 2}  # doc 4 deduped into 3 (keep lowest id)
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             D.minhash_near_dup(_docs(spark), threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert pairs[(3, 4)] == 1.0  # exact dup is also a near dup
+    assert (1, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             D.ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.1).collect()}
+    assert pairs[(3, 4)] == 1.0
+    # DOC_A has 12 trigrams, DOC_A2 has 13, sharing 12 -> 12/13
+    assert abs(pairs[(1, 2)] - 12 / 13) < 1e-12
+    assert (1, 3) not in pairs
+
+
+def test_simhash_near_dup_and_hamming_zero_for_equal(spark):
+    # identical text -> hamming 0; the near-dup pair must be closer than the
+    # unrelated pair (small token sets swing many bits, so a fixed small
+    # radius is not a fair assertion here — compute brute-force distances)
+    sh = _docs(spark).select("doc_id", D.simhash_hex("text").alias("sh"))
+    brute = (
+        sh.alias("a").join(sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+                sum(F.bit_count(
+                    D._nibble_value(F.substring("a.sh", p + 1, 1)).bitwiseXOR(
+                        D._nibble_value(F.substring("b.sh", p + 1, 1)))
+                ) for p in range(16)).alias("h"))
+    )
+    out = {(r.id_a, r.id_b): r.h for r in brute.collect()}
+    assert out[(3, 4)] == 0  # identical text -> identical simhash
+    assert out[(1, 2)] < out[(1, 3)]
+
+
+def test_simhash_banding_recall_matches_bruteforce(spark):
+    # pigeonhole blocking must equal a brute-force hamming filter
+    df = _docs(spark)
+    blocked = {(r.id_a, r.id_b) for r in D.simhash_near_dup(df, max_hamming=3).collect()}
+    sh = df.select("doc_id", D.simhash_hex("text").alias("sh"))
+    brute = (
+        sh.alias("a").join(sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+                sum(F.bit_count(
+                    D._nibble_value(F.substring("a.sh", p + 1, 1)).bitwiseXOR(
+                        D._nibble_value(F.substring("b.sh", p + 1, 1)))
+                ) for p in range(16)).alias("h"))
+        .filter("h <= 3")
+    )
+    assert blocked == {(r.id_a, r.id_b) for r in brute.collect()}
+
+
+def test_embedding_near_dup_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    pairs = {(r.id_a, r.id_b): r.score for r in
+             D.embedding_near_dup(df, threshold=0.9).collect()}
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] > 0.99

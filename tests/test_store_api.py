@@ -1,0 +1,92 @@
+"""Persistence + VectorDB facade tests (reference tests/test_v2_features.py:11-48,
+tests/test_v3_features.py:7-26, tests/test_basic.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from educational_vector_database_spark.api import VectorDB
+from educational_vector_database_spark.embeddings import DummyEmbeddings
+from educational_vector_database_spark.sources import store
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    # reference test_v2_features.py:11-48: unit vectors, dim/metric preserved
+    path = str(tmp_path / "store")
+    db = VectorDB(spark, dim=2, metric="euclidean")
+    db.add_vectors(spark.createDataFrame(
+        [(1, [1.0, 0.0], "x"), (2, [0.0, 1.0], "y")],
+        "vec_id: long, embedding: array<double>, text: string",
+    ))
+    db.save(path)
+    db2 = VectorDB.load(spark, path)
+    assert db2.dim == 2 and db2.metric == "euclidean"
+    assert db2.count() == 2
+    top = db2.search_vector([1.0, 0.0], k=1).head()
+    assert top.vec_id == 1 and top.text == "x"
+
+
+def test_append_mode_accumulates(spark, tmp_path):
+    path = str(tmp_path / "store")
+    cfg = store.StoreConfig(dim=2)
+    df1 = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id: long, embedding: array<double>")
+    df2 = spark.createDataFrame([(2, [0.0, 1.0])], "vec_id: long, embedding: array<double>")
+    store.save(df1, path, cfg)
+    store.save(df2, path, cfg, mode="append")  # ≙ per-request append, S7->I1
+    got, cfg2 = store.load(spark, path)
+    assert got.count() == 2 and cfg2.dim == 2
+
+
+def test_load_or_init_empty(spark, tmp_path):
+    df, cfg = store.load_or_init(spark, str(tmp_path / "nope"), store.StoreConfig(dim=4))
+    assert df.count() == 0 and cfg.dim == 4
+
+
+def test_dim_validation_raises(spark):
+    # reference storage.py:15-16
+    db = VectorDB(spark, dim=3)
+    bad = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id: long, embedding: array<double>")
+    with pytest.raises(ValueError, match="dimension"):
+        db.add_vectors(bad)
+
+
+def test_unknown_metric_raises(spark):
+    with pytest.raises(ValueError):
+        VectorDB(spark, dim=2, metric="manhattan")
+
+
+def test_add_and_search_text(spark):
+    # reference tests/test_basic.py:6-35
+    db = VectorDB(spark, dim=8, embeddings=DummyEmbeddings(8))
+    texts = spark.createDataFrame(
+        [(1, "hello world", "greeting"), (2, "goodbye moon", "farewell")],
+        "vec_id: long, text: string, kind: string",
+    )
+    db.add_texts(texts)
+    res = db.search_text("hello world!", k=1).collect()
+    assert len(res) == 1
+    assert set(res[0].asDict()) == {"vec_id", "text", "kind", "score"}
+
+
+def test_search_without_embeddings_raises(spark):
+    db = VectorDB(spark, dim=4)
+    with pytest.raises(RuntimeError):
+        db.search_text("q")
+    with pytest.raises(RuntimeError):
+        db.add_texts(spark.createDataFrame([("t",)], "text: string"))
+
+
+def test_rag_index_and_answer_through_facade(spark):
+    # reference test_v3_features.py:49-65 via the facade
+    db = VectorDB(spark, dim=8, embeddings=DummyEmbeddings(8))
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta " * 3),
+         (1, "one two three four five six seven eight nine ten " * 2)],
+        "doc_id: long, text: string",
+    )
+    db.index_documents(docs, chunk_size=50)
+    assert db.count() >= 2
+    ans = db.answer("alpha beta", k=2)
+    assert set(ans) == {"query", "chunks", "combined_context", "answer"}
+    assert len(ans["chunks"]) == 2
+    it = db.items()
+    assert "embedding" not in it.columns and it.count() == db.count()
