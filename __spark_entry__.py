@@ -15,8 +15,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from educational_vector_database_spark import rag
 from educational_vector_database_spark.embeddings import DummyEmbeddings, _dummy_vector
+from educational_vector_database_spark.functions import text as T
+from educational_vector_database_spark.operators import ann as A
 from educational_vector_database_spark.operators import dedup as D
 from educational_vector_database_spark.operators import knn as K
 from educational_vector_database_spark.session import load_table
@@ -376,6 +380,240 @@ _NEARDUP_EMB_ORACLE = f"""
 """
 
 
+# --- ANN bucketed search -----------------------------------------------------
+
+_PLANES = A.hyperplanes(DIM, n_planes=4)
+
+
+def _knn_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vector(spark, sf_dir)
+    return A.knn_in_bucket(_emb(spark, sf_dir), qv, _PLANES, k=TOP_K, metric="cosine")
+
+
+def _lsh_oracle() -> str:
+    def lit_vec(h):
+        return "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in h) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e.embedding::DOUBLE[], {lit_vec(h)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, h in enumerate(_PLANES)
+    )
+    cos = _COS.format(a="e.embedding::DOUBLE[]", b="q.qv")
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        qb AS (
+            SELECT ({bucket.replace('e.embedding::DOUBLE[]', 'q0.qv')}) AS b
+            FROM (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q0
+        )
+        SELECT e.vec_id AS vec_id, {cos} AS score
+        FROM embeddings e CROSS JOIN q CROSS JOIN qb
+        WHERE ({bucket}) = qb.b
+        ORDER BY score DESC, e.vec_id ASC
+        LIMIT {TOP_K}
+    """
+
+
+# --- relational / events breadth --------------------------------------------
+
+
+def _cents(col) -> F.Column:
+    """Exact integer cents from a 2-decimal double (both engines round the
+    ~1e-9 representation residue identically)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_e4 = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    charge_e6 = disc_e4 * (100 + _cents("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(_cents("l_extendedprice")).cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(disc_e4).cast("double") / F.lit(10_000.0)).alias("sum_disc_price"),
+            (F.sum(charge_e6).cast("double") / F.lit(1_000_000.0)).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents("o_totalprice")).cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+    )
+
+
+def _top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    spend = o.groupBy("o_custkey").agg(F.sum(_cents("o_totalprice")).alias("spend_cents"))
+    w = Window.partitionBy("n_name").orderBy(F.desc("spend_cents"), F.asc("c_custkey"))
+    return (
+        spend.join(c, spend.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            (F.col("spend_cents").cast("double") / F.lit(100.0)).alias("total_spend"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts_us`` (integer microseconds): the parquet stores
+    TIMESTAMP(NANOS), which Spark reads as int64 nanos (nanosAsLong) and
+    DuckDB truncates to micros — integer ``div 1000`` reproduces DuckDB's
+    truncation exactly, so both engines see identical instants."""
+    e = load_table(spark, sf_dir, "events")
+    return e.withColumn("ts_us", F.expr("ts div 1000"))
+
+
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_format(F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = flagged.groupBy("user_id", "session_id").agg(F.count("*").alias("sess_n"))
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("sess_n").alias("n_events"),
+        F.max("sess_n").alias("longest_session"),
+    )
+
+
+# --- text analysis queries ---------------------------------------------------
+
+
+def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_subtokens"),
+    )
+
+
+def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.alpha_ratio("text").alias("alpha_ratio"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+def _lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", T.lang_id("text").alias("predicted"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_DOC_TOKEN_STATS_ORACLE = f"""
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT)
+               AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS INT) AS n_subtokens
+    FROM documents
+"""
+
+
+def _quality_sql_fragments() -> tuple[str, str, str]:
+    stop_list = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+    alpha = (
+        "(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        "CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE) END)"
+    )
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    stop = (
+        f"(CASE WHEN len({toks}) <= 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter({toks}, w -> list_contains([{stop_list}], w))) AS DOUBLE)"
+        f" / CAST(len({toks}) AS DOUBLE) END)"
+    )
+    len_ok = "(CASE WHEN length(text) >= 50 AND length(text) <= 10000 THEN 1.0 ELSE 0.0 END)"
+    return alpha, stop, len_ok
+
+
+def _doc_quality_oracle() -> str:
+    alpha, stop, len_ok = _quality_sql_fragments()
+    return f"""
+        SELECT doc_id,
+               {alpha} AS alpha_ratio,
+               {stop} AS stopword_ratio,
+               (({alpha} + {stop}) + {len_ok}) / 3.0 AS quality
+        FROM documents
+    """
+
+
+def _lang_id_oracle() -> str:
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    hits = {
+        lang: (
+            f"len(list_filter({toks}, w -> list_contains("
+            f"[{', '.join(repr(m) for m in markers)}], w)))"
+        )
+        for lang, markers in T.LANG_MARKERS.items()
+    }
+    # argmax with ties broken toward the lexicographically LARGER language name
+    # (mirrors array_max over (hits, lang) structs in functions/text.py)
+    langs_desc = sorted(T.LANG_MARKERS, reverse=True)
+    case = " ".join(
+        f"WHEN {hits[lang]} >= greatest({', '.join(hits[o] for o in langs_desc if o != lang)}) "
+        f"THEN '{lang}'"
+        for lang in langs_desc[:-1]
+    )
+    pred = (
+        f"(CASE WHEN greatest({', '.join(hits.values())}) = 0 THEN 'und' "
+        f"{case} ELSE '{langs_desc[-1]}' END)"
+    )
+    return f"""
+        SELECT lang, {pred} AS predicted, count(*) AS n
+        FROM documents
+        GROUP BY lang, predicted
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-10 over the sf0.001 vector store."""
     return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
@@ -400,6 +638,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": _dedup_ngram,
         "dedup_simhash": _dedup_simhash,
         "neardup_embedding": _neardup_embedding,
+        "knn_lsh_bucket": _knn_lsh_bucket,
+        "tpch_q1_pricing": _tpch_q1_pricing,
+        "orders_by_nation": _orders_by_nation,
+        "top_customers_per_nation": _top_customers_per_nation,
+        "events_hourly": _events_hourly,
+        "events_sessionize": _events_sessionize,
+        "doc_token_stats": _doc_token_stats,
+        "doc_quality": _doc_quality,
+        "lang_id_eval": _lang_id_eval,
     }
 
 
@@ -474,4 +721,91 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": _NGRAM_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
         "neardup_embedding": _NEARDUP_EMB_ORACLE,
+        "knn_lsh_bucket": _lsh_oracle(),
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS sum_base_price,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                       / 10000.0 AS sum_disc_price,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                            * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE)
+                       / 1000000.0 AS sum_charge,
+                   sum(l_quantity) / count(*) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "top_customers_per_nation": """
+            WITH spend AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT n.n_name, c.c_custkey,
+                   CAST(s.spend_cents AS DOUBLE) / 100.0 AS total_spend,
+                   CAST(row_number() OVER (
+                        PARTITION BY n.n_name
+                        ORDER BY s.spend_cents DESC, c.c_custkey ASC) AS INT) AS rank
+            FROM spend s
+            JOIN customer c ON s.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            QUALIFY rank <= 3
+        """,
+        "events_hourly": """
+            SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                       AS sum_k,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events
+            GROUP BY hour, event_type
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_id
+                FROM flagged
+            ),
+            per_session AS (
+                SELECT user_id, session_id, count(*) AS sess_n
+                FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id,
+                   count(*) AS n_sessions,
+                   CAST(sum(sess_n) AS BIGINT) AS n_events,
+                   max(sess_n) AS longest_session
+            FROM per_session GROUP BY user_id
+        """,
+        "doc_token_stats": _DOC_TOKEN_STATS_ORACLE,
+        "doc_quality": _doc_quality_oracle(),
+        "lang_id_eval": _lang_id_oracle(),
     }

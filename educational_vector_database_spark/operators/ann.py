@@ -1,0 +1,170 @@
+"""Approximate nearest-neighbor search — the batch scale path.
+
+The reference serves ANN online via an HNSW graph (reference src/vectordb/
+ann.py:21-102); BASELINE.json fixes our approach as "batch vector index build
+via DataFrame ops, no online ANN serving". Three strategies, cheapest first:
+
+1. ``bucket_expr`` / ``knn_in_bucket`` — random-hyperplane sign LSH with FIXED
+   deterministic hyperplanes (seeded, generated once driver-side, inlined as
+   literals). Bucket assignment is a pure Column expression -> at 100 TB the
+   bucket id computes during the scan, can be a partition column of the stored
+   index (partition pruning turns a query into a one-bucket scan), and is
+   bit-reproducible anywhere — which also makes it oracle-checkable.
+2. ``ivf_assign`` — IVF: nearest-centroid assignment against a broadcast
+   centroid table (centroids from KMeans or any external source); probe the
+   ``nprobe`` nearest centroids at query time.
+3. ``brp_lsh_join`` — MLlib ``BucketedRandomProjectionLSH`` wrapper for
+   approximate similarity self-joins (euclidean).
+
+Exact kNN (operators/knn.py) stays the canonical semantics, mirroring the
+reference's own parity test which trusts brute force (tests/
+test_v3_features.py:29-46).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from . import knn as K
+
+LSH_SEED = 42
+
+
+def hyperplanes(dim: int, n_planes: int = 4, seed: int = LSH_SEED) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (fixed seed -> identical on every
+    driver, executor, and oracle engine)."""
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in rng.randn(dim)] for _ in range(n_planes)]
+
+
+def bucket_expr(vector_col: Column | str, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-LSH bucket id: bit j = (v . h_j) > 0; bucket = Σ bit << j.
+    Pure fold arithmetic — no UDF, no RNG at execution time."""
+    v = V.as_double(vector_col)
+    bits = [
+        F.when(V.dot_product(v, V.vector_literal(h)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j, h in enumerate(planes)
+    ]
+    return sum(bits).cast("int")
+
+
+def bucket_of(query_vector: Sequence[float], planes: Sequence[Sequence[float]]) -> int:
+    """Driver-side bucket of a query vector — same left-to-right fold as the
+    Column expression so the boundary cases agree bit-for-bit."""
+    b = 0
+    for j, h in enumerate(planes):
+        s = 0.0
+        for x, y in zip(query_vector, h):
+            s += float(x) * float(y)
+        if s > 0:
+            b |= 1 << j
+    return b
+
+
+def knn_in_bucket(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    planes: Sequence[Sequence[float]],
+    k: int = 5,
+    metric: str = "cosine",
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe_buckets: int = 1,
+) -> DataFrame:
+    """Approximate kNN: restrict the exact scan to the query's LSH bucket(s).
+
+    With the index stored partitioned by bucket, the filter becomes partition
+    pruning — the physical plan reads 1/2^n_planes of the data. ``n_probe_buckets``
+    > 1 probes neighboring buckets (hamming-1 flips) for higher recall."""
+    qb = bucket_of(query_vector, planes)
+    probe = [qb]
+    if n_probe_buckets > 1:
+        probe += [qb ^ (1 << j) for j in range(min(n_probe_buckets - 1, len(planes)))]
+    pred = bucket_expr(vector_col, planes).isin(probe)
+    return K.knn(df.filter(pred), query_vector, k=k, metric=metric,
+                 vector_col=vector_col, id_col=id_col)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vector_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF cell assignment: argmin euclidean distance to a broadcast centroid
+    table. One broadcast nested-loop + per-row min — the corpus never
+    shuffles. Adds ``centroid_id`` (write the index partitioned by it)."""
+    c = F.broadcast(centroids.select(
+        F.col(centroid_id_col), V.as_double(centroid_vec_col).alias("__cv")
+    ))
+    scored = df.crossJoin(c).withColumn(
+        "__dist", V.euclidean_distance(V.as_double(vector_col), F.col("__cv"))
+    )
+    w_cols = [x for x in df.columns]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*w_cols).orderBy(F.asc("__dist"), F.asc(centroid_id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*w_cols, F.col(centroid_id_col))
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame, n_cells: int, vector_col: str = "embedding", seed: int = LSH_SEED
+) -> DataFrame:
+    """KMeans centroids via MLlib (batch index build via DataFrame ops — the
+    BASELINE.json approach, ≙ HNSWIndex.build ann.py:67-76). Returns
+    ``(centroid_id, centroid array<double>)``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.select(array_to_vector(V.as_double(vector_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feat)
+    centers = model.clusterCenters()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid_id: int, centroid: array<double>",
+    )
+
+
+def brp_lsh_join(
+    df: DataFrame,
+    threshold: float,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """Approximate euclidean-distance self-join via MLlib
+    BucketedRandomProjectionLSH (the library scale path for near-dup mining;
+    ≙ the role hnswlib plays in the reference). Returns (id_a, id_b, dist)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col), array_to_vector(V.as_double(vector_col)).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, threshold, distCol="dist")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.col("dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )

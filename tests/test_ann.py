@@ -1,0 +1,94 @@
+"""ANN operator tests: LSH bucketing, IVF assignment, MLlib LSH join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from educational_vector_database_spark.operators import ann as A
+from educational_vector_database_spark.operators import knn as K
+from educational_vector_database_spark.session import load_table
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _qv(spark, sf_dir, vid=0):
+    return [float(x) for x in
+            _emb(spark, sf_dir).filter(F.col("vec_id") == vid).head().embedding]
+
+
+def test_hyperplanes_deterministic():
+    assert A.hyperplanes(8, 3) == A.hyperplanes(8, 3)
+    assert A.hyperplanes(8, 3, seed=1) != A.hyperplanes(8, 3, seed=2)
+
+
+def test_bucket_expr_matches_driver_side(spark, sf_dir):
+    planes = A.hyperplanes(64, 4)
+    rows = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", A.bucket_expr("embedding", planes).alias("b")
+    ).collect()
+    for r in rows[:50]:
+        assert A.bucket_of([float(x) for x in r.embedding], planes) == r.b
+
+
+def test_bucket_distribution_covers_space(spark, sf_dir):
+    planes = A.hyperplanes(64, 4)
+    n_buckets = (
+        _emb(spark, sf_dir)
+        .select(A.bucket_expr("embedding", planes).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets >= 8  # 16 possible; Gaussian planes should hit most
+
+
+def test_knn_in_bucket_subset_of_exact_and_self_found(spark, sf_dir):
+    planes = A.hyperplanes(64, 4)
+    qv = _qv(spark, sf_dir, 3)
+    approx = K.knn(_emb(spark, sf_dir), qv, k=500)  # exact scores for all
+    exact_scores = {r.vec_id: r.score for r in approx.collect()}
+    got = A.knn_in_bucket(_emb(spark, sf_dir), qv, planes, k=5).collect()
+    assert got[0].vec_id == 3  # the query vector itself shares its own bucket
+    for r in got:
+        assert abs(exact_scores[r.vec_id] - r.score) < 1e-12
+
+
+def test_multi_probe_recall_improves(spark, sf_dir):
+    planes = A.hyperplanes(64, 4)
+    qv = _qv(spark, sf_dir, 9)
+    exact = [r.vec_id for r in K.knn(_emb(spark, sf_dir), qv, k=10).collect()]
+    r1 = {r.vec_id for r in A.knn_in_bucket(_emb(spark, sf_dir), qv, planes, k=10).collect()}
+    r4 = {r.vec_id for r in A.knn_in_bucket(
+        _emb(spark, sf_dir), qv, planes, k=10, n_probe_buckets=4).collect()}
+    rec1 = len(r1 & set(exact)) / 10
+    rec4 = len(r4 & set(exact)) / 10
+    assert rec4 >= rec1
+
+
+def test_ivf_assign_nearest_centroid(spark):
+    df = spark.createDataFrame(
+        [(1, [0.9, 0.0]), (2, [0.0, 1.1]), (3, [1.2, 0.1])],
+        "vec_id: long, embedding: array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id: int, centroid: array<double>"
+    )
+    got = {r.vec_id: r.centroid_id for r in A.ivf_assign(df, cents).collect()}
+    assert got == {1: 0, 2: 1, 3: 0}
+
+
+def test_train_ivf_and_assign_roundtrip(spark, sf_dir):
+    emb = _emb(spark, sf_dir).limit(200)
+    cents = A.train_ivf_centroids(emb, n_cells=4)
+    assert cents.count() == 4
+    assigned = A.ivf_assign(emb, cents)
+    assert assigned.count() == 200
+    assert assigned.select("centroid_id").distinct().count() >= 2
+
+
+def test_brp_lsh_join_finds_close_pairs(spark):
+    data = [(i, [float(i), 0.0]) for i in range(10)] + [(100, [0.05, 0.0])]
+    df = spark.createDataFrame(data, "vec_id: long, embedding: array<double>")
+    pairs = {(r.id_a, r.id_b) for r in A.brp_lsh_join(df, threshold=0.2).collect()}
+    assert (0, 100) in pairs
+    assert all(abs(a - b) < 20 for a, b in pairs if b != 100)
