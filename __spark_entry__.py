@@ -244,7 +244,7 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.embedding_near_dup(_emb(spark, sf_dir), threshold=0.45)
+    return D.embedding_near_dup_blocked(_emb(spark, sf_dir), threshold=0.45)
 
 
 _DEDUP_EXACT_ORACLE = """
@@ -371,12 +371,20 @@ _SIMHASH_ORACLE = f"""
     SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
 """
 
-_NEARDUP_EMB_ORACLE = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+# scores via per-row unit normalization then dot — the same op order as
+# embedding_near_dup / embedding_near_dup_blocked (normalize once per row,
+# one dot per pair), bit-identical across engines
+_NEARDUP_EMB_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+        FROM e
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_COS.format(a="a.v", b="b.v")} AS score
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {_COS.format(a="a.v", b="b.v")} >= 0.45
+           list_dot_product(a.u, b.u) AS score
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.u, b.u) >= 0.45
 """
 
 

@@ -22,6 +22,17 @@ def _col(v: Column | str) -> Column:
     return F.col(v) if isinstance(v, str) else v
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE and pass it to ``fn`` as a lambda-bound variable.
+
+    Higher-order-function lambdas re-evaluate any captured outer expression per
+    array element (Catalyst inlines it), so e.g. shingling over
+    ``normalized_text(...)`` would re-run two regexes per shingle — measured
+    ~50x slower at sf0.1. Wrapping the expensive expression in a one-element
+    array and binding it through ``transform`` forces single evaluation."""
+    return F.get(F.transform(F.array(expr), fn), 0)
+
+
 def chunk_array(text: Column | str, chunk_size: int = DEFAULT_CHUNK_SIZE) -> Column:
     """``[text[i:i+cs] for i in range(0, len(text), cs)]`` with the reference's
     empty-text edge: ``"" -> [""]`` (reference rag.py:17-24).
@@ -157,25 +168,34 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
 
     One ``transform`` over start offsets — stays JVM-side; for a 100 TB corpus
     this is the map-side of MinHash and never touches Python."""
-    t = normalized_text(text)
-    n = F.greatest(F.lit(1), F.length(t) - F.lit(k - 1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n.cast("int")),
-            lambda i: t.substr(i, F.lit(k)),
-        )
+    return _bind(
+        normalized_text(text),
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.lit(1), F.length(t) - F.lit(k - 1)).cast("int"),
+                ),
+                lambda i: t.substr(i, F.lit(k)),
+            )
+        ),
     )
 
 
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
     """Array of word n-grams (distinct) of the normalized text."""
-    toks = F.split(normalized_text(text), " ")
-    cnt = F.greatest(F.lit(1), F.size(toks) - F.lit(n - 1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), (cnt - 1).cast("int")),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        )
+    return _bind(
+        F.split(normalized_text(text), " "),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    (F.greatest(F.lit(1), F.size(toks) - F.lit(n - 1)) - 1).cast("int"),
+                ),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
+                ),
+            )
+        ),
     )

@@ -84,3 +84,28 @@ def test_embedding_near_dup_threshold(spark):
     pairs = {(r.id_a, r.id_b): r.score for r in
              D.embedding_near_dup(df, threshold=0.9).collect()}
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] > 0.99
+
+
+def test_embedding_near_dup_blocked_bit_identical(spark, sf_dir):
+    """Block-GEMM path must equal the expression path bit-for-bit (same IEEE
+    fold order), for every metric, including tiny block sizes that force many
+    cross-block pairs."""
+    from educational_vector_database_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    for metric, thr in (("cosine", 0.45), ("dot", 2.0), ("euclidean", 0.35)):
+        expr = {(r.id_a, r.id_b): r.score for r in
+                D.embedding_near_dup(emb, threshold=thr, metric=metric).collect()}
+        blk = {(r.id_a, r.id_b): r.score for r in
+               D.embedding_near_dup_blocked(
+                   emb, threshold=thr, metric=metric, block_size=64).collect()}
+        assert set(expr) == set(blk), metric
+        assert all(expr[k] == blk[k] for k in expr), metric
+
+
+def test_embedding_near_dup_blocked_unknown_metric(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id: long, embedding: array<double>")
+    with pytest.raises(ValueError):
+        D.embedding_near_dup_blocked(df, metric="manhattan")
