@@ -622,6 +622,31 @@ def _lang_id_oracle() -> str:
     """
 
 
+# --- multimodal (rows-only checks: binary decode is not SQL-expressible) ----
+
+
+def _media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic raw-codec media corpus -> per-image feature vectors
+    (mapInPandas plumbing; same embedding shape the kNN operators consume)."""
+    from educational_vector_database_spark import multimodal as M
+
+    return M.image_features(M.synth_media(spark))
+
+
+def _media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from educational_vector_database_spark import multimodal as M
+
+    return M.sample_frames(M.synth_media(spark), every_k=4).select(
+        "media_id", "frame_index", F.length("content").alias("frame_bytes")
+    )
+
+
+def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from educational_vector_database_spark import multimodal as M
+
+    return M.media_stats(M.synth_media(spark))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-10 over the sf0.001 vector store."""
     return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
@@ -655,6 +680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "lang_id_eval": _lang_id_eval,
+        "media_image_features": _media_image_features,
+        "media_frame_sample": _media_frame_sample,
+        "media_stats": _media_stats,
     }
 
 
