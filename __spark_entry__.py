@@ -263,7 +263,20 @@ _DEDUP_EXACT_ORACLE = """
     FROM fpv GROUP BY fp
 """
 
-_MINHASH_ORACLE = f"""
+def _minhash_oracle(num_hashes: int = 64, rows_per_band: int = 4) -> str:
+    """Replicates minhash_near_dup: one md5 -> 30-bit base hash per shingle,
+    universal-hash signature (same (a_i,b_i) constants), banded LSH,
+    exact-Jaccard verify. All int64 arithmetic — bit-identical to Spark."""
+    params = D.minhash_params(num_hashes)
+    n_bands = num_hashes // rows_per_band
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a}*h + {b}) % {D.MINHASH_P}))"
+        for a, b in params
+    )
+    band_key = " || '|' || ".join(
+        f"sig[CAST({rows_per_band}*b+{r + 1} AS INT)]" for r in range(rows_per_band)
+    )
+    return f"""
     WITH norm AS (
         SELECT doc_id AS id, {_NORM.format(t='text')} AS t FROM documents
     ),
@@ -272,16 +285,16 @@ _MINHASH_ORACLE = f"""
                    for i in range(1, greatest(2, length(t) - 3))]) AS sh
         FROM norm
     ),
-    sig AS (
+    hsv AS (
         SELECT id, sh,
-               [list_min(list_transform(sh, s -> md5(seed || '|' || s)))
-                for seed in range(0, 8)] AS sig
+               list_transform(sh, s ->
+                   (('0x' || substr(md5(s), 1, 15))::BIGINT) % {D.MINHASH_BASE}) AS hs
         FROM sh
     ),
+    sig AS (SELECT id, sh, [{mins}] AS sig FROM hsv),
     bands AS (
-        SELECT id, CAST(b AS INT) AS band_idx,
-               sig[CAST(2*b+1 AS INT)] || '|' || sig[CAST(2*b+2 AS INT)] AS band_key
-        FROM sig, unnest(range(0, 4)) AS t(b)
+        SELECT id, CAST(b AS INT) AS band_idx, {band_key} AS band_key
+        FROM sig, unnest(range(0, {n_bands})) AS t(b)
     ),
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -296,6 +309,9 @@ _MINHASH_ORACLE = f"""
     WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
           CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE) >= 0.5
 """
+
+
+_MINHASH_ORACLE = _minhash_oracle()
 
 _NGRAM_ORACLE = f"""
     WITH norm AS (
