@@ -638,6 +638,207 @@ def _lang_id_oracle() -> str:
     """
 
 
+# --- IVF (batch ANN index build via DataFrame ops, SURVEY §2.12 N2/N4) ------
+
+N_IVF_CELLS = 4
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Deterministic centroid fixture: the first N_IVF_CELLS stored vectors
+    (KMeans training lives in operators/ann.py train_ivf_centroids; fixed
+    centroids keep this query SQL-oracle-checkable)."""
+    rows = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < N_IVF_CELLS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r.embedding] for r in rows]
+
+
+def _cell_expr(cents: list[list[float]], vec_col) -> F.Column:
+    """argmin_i euclidean_distance(vec, centroid_i), ties -> lowest i. The
+    distances are the bit-exact shared formula, so Spark and the SQL oracle
+    pick identical cells."""
+    from educational_vector_database_spark.functions import vector as V
+
+    v = V.as_double(vec_col)
+    ds = [V.euclidean_distance(v, V.vector_literal(c)) for c in cents]
+    expr = F.lit(len(cents) - 1)
+    for i in range(len(cents) - 2, -1, -1):
+        rest = ds[i + 1 :]
+        rhs = rest[0] if len(rest) == 1 else F.least(*rest)
+        expr = F.when(ds[i] <= rhs, F.lit(i)).otherwise(expr)
+    return expr.cast("int")
+
+
+def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = _ivf_centroids(spark, sf_dir)
+    return _emb(spark, sf_dir).select(
+        "vec_id", _cell_expr(cents, "embedding").alias("centroid_id")
+    )
+
+
+IVF_QUERY_ID = 7  # not one of the centroid rows, so the probe is non-trivial
+
+
+def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: assign cells, scan ONLY the query's nearest cell, exact kNN
+    inside it (nprobe=1). The cell predicate prunes ~1/N_IVF_CELLS of the
+    corpus; with the index written partitioned by centroid_id this becomes
+    partition pruning."""
+    cents = _ivf_centroids(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    cells = _emb(spark, sf_dir).withColumn(
+        "centroid_id", _cell_expr(cents, "embedding")
+    )
+    probe = cells.filter(F.col("vec_id") == IVF_QUERY_ID).head().centroid_id
+    return K.knn(cells.filter(F.col("centroid_id") == probe), qv, k=TOP_K)
+
+
+# self-contained SQL replica: centroids are the vec_id<4 rows; cell = argmin
+# euclidean distance with lowest-centroid-id tie-break (a window over the
+# cross product — same distances, same winner as the Spark when-chain)
+_IVF_ASSIGN_CTE = f"""
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < {N_IVF_CELLS}),
+    d AS (
+        SELECT e.vec_id, c.cid,
+               list_distance(e.embedding::DOUBLE[], c.cv) AS dist,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC, c.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN c
+    ),
+    assign AS (SELECT vec_id, CAST(cid AS INT) AS centroid_id FROM d WHERE rn = 1)
+"""
+
+_IVF_CELLS_ORACLE = f"""
+    WITH {_IVF_ASSIGN_CTE}
+    SELECT vec_id, centroid_id FROM assign
+"""
+
+_KNN_IVF_ORACLE = f"""
+    WITH {_IVF_ASSIGN_CTE},
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {IVF_QUERY_ID}),
+    probe AS (SELECT centroid_id FROM assign WHERE vec_id = {IVF_QUERY_ID})
+    SELECT e.vec_id AS vec_id,
+           {_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS score
+    FROM embeddings e
+    JOIN assign s ON e.vec_id = s.vec_id
+    CROSS JOIN q CROSS JOIN probe
+    WHERE s.centroid_id = probe.centroid_id
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+"""
+
+
+# --- vector aggregation / fingerprints / tumbling windows -------------------
+
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid via scaled-integer sums: floor(x*1e6) is exact in
+    IEEE and integer SUM is order-independent, so the result is deterministic
+    across partitionings AND engines (a raw float SUM would hash-mismatch on
+    aggregation order). Precision 1e-6 per element, documented."""
+    e = _emb(spark, sf_dir)
+    sums = [
+        F.sum(
+            F.floor(F.col("embedding")[i].cast("double") * F.lit(1e6)).cast("long")
+        ).alias(f"s{i}")
+        for i in range(DIM)
+    ]
+    g = e.groupBy("label").agg(F.count("*").alias("n"), *sums)
+    centroid = F.array(
+        *[
+            (F.col(f"s{i}").cast("double") / F.col("n") / F.lit(1e6))
+            for i in range(DIM)
+        ]
+    )
+    return g.select("label", "n", centroid.alias("centroid"))
+
+
+def _label_centroids_oracle() -> str:
+    sums = ", ".join(
+        f"sum(CAST(floor(embedding[{i + 1}]::DOUBLE * 1000000.0) AS BIGINT)) AS s{i}"
+        for i in range(DIM)
+    )
+    cent = ", ".join(f"(s{i}::DOUBLE / n / 1000000.0)" for i in range(DIM))
+    return f"""
+        WITH g AS (
+            SELECT label, count(*) AS n, {sums}
+            FROM embeddings GROUP BY label
+        )
+        SELECT label, n, [{cent}] AS centroid FROM g
+    """
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.fingerprint64("text").alias("content_fp"),
+        T.rolling_fingerprint("text").alias("rolling_fp"),
+    )
+
+
+_DOC_FP_ORACLE = f"""
+    WITH norm AS (
+        SELECT doc_id, text, {_NORM.format(t='text')} AS t FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_fp,
+               list_transform(string_split(t, ' '),
+                   tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1073741824) AS hs
+        FROM norm
+    )
+    SELECT doc_id, content_fp,
+           list_reduce(list_prepend(0::BIGINT, hs),
+                       (a, b) -> (a * {T.ROLLING_B} + b) % {T.ROLLING_P}) AS rolling_fp
+    FROM h
+"""
+
+
+def _events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the Structured Streaming tumbling-window aggregate
+    (streaming/windows.py hourly_counts shape at 30-min granularity). Value
+    sums in exact cents so the float is order-independent."""
+    e = _events(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    return (
+        e.groupBy(F.window("event_time", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+_EVENTS_TUMBLING_ORACLE = """
+    SELECT time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY window_start, event_type
+"""
+
+
 # --- multimodal (rows-only checks: binary decode is not SQL-expressible) ----
 
 
@@ -699,6 +900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": _media_image_features,
         "media_frame_sample": _media_frame_sample,
         "media_stats": _media_stats,
+        "ivf_cells": _ivf_cells,
+        "knn_ivf": _knn_ivf,
+        "label_centroids": _label_centroids,
+        "doc_fingerprint": _doc_fingerprint,
+        "events_tumbling": _events_tumbling,
     }
 
 
@@ -860,4 +1066,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": _DOC_TOKEN_STATS_ORACLE,
         "doc_quality": _doc_quality_oracle(),
         "lang_id_eval": _lang_id_oracle(),
+        "ivf_cells": _IVF_CELLS_ORACLE,
+        "knn_ivf": _KNN_IVF_ORACLE,
+        "label_centroids": _label_centroids_oracle(),
+        "doc_fingerprint": _DOC_FP_ORACLE,
+        "events_tumbling": _EVENTS_TUMBLING_ORACLE,
     }

@@ -163,6 +163,37 @@ def normalized_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+#: Rolling-hash constants (Rabin–Karp style polynomial fold). All arithmetic
+#: stays below 2^39 so int64 is exact on every engine.
+ROLLING_B = 131
+ROLLING_P = 2_147_483_647
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over the
+    normalized token stream, ``h = fold(tokens, 0, (acc,t) -> (acc*B +
+    hash30(t)) mod P)``.
+
+    Unlike the set-based md5 fingerprint (:func:`fingerprint64`), this is
+    sensitive to token ORDER — two docs with the same words shuffled get
+    different fingerprints — which is what content-defined chunking / shift-
+    resistant dedup pipelines key on. ``hash30`` is the first 60 bits of
+    md5 mod 2^30 (the cross-engine primitive), the fold is exact int64, so a
+    SQL oracle reproduces it bit-for-bit."""
+    toks = F.split(normalized_text(text), " ")
+    h30 = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % F.lit(
+        1 << 30
+    )
+    return _bind(
+        F.transform(toks, h30),
+        lambda hs: F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * F.lit(ROLLING_B) + h) % F.lit(ROLLING_P),
+        ),
+    )
+
+
 def char_shingles(text: Column | str, k: int = 5) -> Column:
     """Array of k-character shingles of the normalized text (distinct).
 

@@ -49,3 +49,28 @@ def test_shingles_and_ngrams(spark):
     assert "hello" in sh and all(len(s) == 5 for s in sh if len(s) == 5)
     ng = _one(spark, "a b c d", T.word_ngrams("text", 2))
     assert ng == ["a b", "b c", "c d"]
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id: long, text: string",
+    )
+    vals = {r.doc_id: r.v for r in
+            df.select("doc_id", T.rolling_fingerprint("text").alias("v")).collect()}
+    assert vals[1] == vals[3]          # deterministic
+    assert vals[1] != vals[2]          # ORDER matters (set fingerprint would tie)
+    assert 0 <= vals[1] < T.ROLLING_P
+
+
+def test_rolling_fingerprint_matches_python_model(spark):
+    import hashlib
+
+    text = "The quick Brown fox!"
+    norm = "the quick brown fox"
+    acc = 0
+    for tok in norm.split(" "):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % (1 << 30)
+        acc = (acc * T.ROLLING_B + h) % T.ROLLING_P
+    got = _one(spark, text, T.rolling_fingerprint("text"))
+    assert got == acc
