@@ -148,7 +148,9 @@ def _dummy_vec_values(max_len: int = 310) -> str:
 def _rag_context_oracle() -> str:
     """The whole RAG read path in SQL: chunk -> embed (literal map) -> cosine
     top-3 -> best-first string_agg context + placeholder answer."""
-    qv = ", ".join(repr(float(x)) for x in _dummy_vector(len(RAG_QUERY), DUMMY_DIM))
+    qv = ", ".join(
+        f"CAST('{float(x)!r}' AS DOUBLE)" for x in _dummy_vector(len(RAG_QUERY), DUMMY_DIM)
+    )
     cos = _COS.format(a="emb_map.v", b=f"[{qv}]::DOUBLE[]")
     return f"""
         WITH chunks AS (
@@ -202,6 +204,37 @@ def _rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = rag.build_rag_index(_docs(spark, sf_dir), emb, CHUNK_SIZE)
     qv = [float(x) for x in emb.embed(RAG_QUERY)]
     return rag.assemble_context(rag.retrieve(chunks, qv, k=3))
+
+
+def _search_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 search_text: embed the query string driver-side (one string — no
+    single-row UDF job, reference api.py:164-168), then exact kNN over the
+    chunk store built by the chunk+embed pipeline."""
+    emb = DummyEmbeddings(DUMMY_DIM)
+    chunks = rag.build_rag_index(_docs(spark, sf_dir), emb, CHUNK_SIZE)
+    qv = [float(x) for x in emb.embed(RAG_QUERY)]
+    return K.knn(chunks, qv, k=TOP_K, id_col="chunk_id")
+
+
+def _search_text_topk_oracle() -> str:
+    qv = ", ".join(
+        f"CAST('{float(x)!r}' AS DOUBLE)" for x in _dummy_vector(len(RAG_QUERY), DUMMY_DIM)
+    )
+    cos = _COS.format(a="emb_map.v", b=f"[{qv}]::DOUBLE[]")
+    return f"""
+        WITH chunks AS (
+            SELECT d.doc_id * 100000 + t.i AS chunk_id,
+                   substr(d.text, CAST(t.i * {CHUNK_SIZE} + 1 AS INT), {CHUNK_SIZE}) AS chunk
+            FROM documents d,
+                 unnest(range(0, greatest(1,
+                        CAST(ceil(length(d.text) / {CHUNK_SIZE}.0) AS BIGINT)))) AS t(i)
+        )
+        SELECT c.chunk_id, {cos} AS score
+        FROM chunks c JOIN {_dummy_vec_values()}
+          ON length(c.chunk) = emb_map.text_len
+        ORDER BY score DESC, chunk_id ASC
+        LIMIT {TOP_K}
+    """
 
 
 def _docs_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "embed_dummy": _embed_dummy,
         "rag_context": _rag_context,
+        "search_text_topk": _search_text_topk,
         "docs_stats_by_lang": _docs_stats_by_lang,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -964,6 +998,7 @@ def oracle_sql() -> dict[str, str]:
               ON length(d.text) = emb_map.text_len
         """,
         "rag_context": _rag_context_oracle(),
+        "search_text_topk": _search_text_topk_oracle(),
         "docs_stats_by_lang": """
             SELECT lang,
                    count(*) AS n_docs,

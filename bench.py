@@ -30,18 +30,25 @@ HEADLINE = [
     "knn_cosine",
     "knn_join_topk",
     "knn_lsh_bucket",
+    "knn_ivf",
+    "search_text_topk",
     "chunk_documents",
     "embed_dummy",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram",
     "neardup_embedding",
+    "doc_fingerprint",
     "tpch_q1_pricing",
     "orders_by_nation",
     "top_customers_per_nation",
     "events_hourly",
     "events_sessionize",
+    "events_tumbling",
     "doc_quality",
     "lang_id_eval",
+    "label_centroids",
 ]
 
 

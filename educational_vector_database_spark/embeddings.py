@@ -65,7 +65,19 @@ class DummyEmbeddings(Embeddings):
 
         @F.pandas_udf(ArrayType(DoubleType()))
         def dummy_embed(texts: pd.Series) -> pd.Series:
-            return texts.map(lambda t: _dummy_vector(len(t or ""), dim).tolist())
+            # the vector depends ONLY on len(text) (reference quirk, kept):
+            # memoize per distinct length so a corpus of millions of docs
+            # seeds the RNG a few hundred times per executor, not per row
+            cache: dict[int, list] = {}
+
+            def vec(t):
+                n = len(t or "")
+                v = cache.get(n)
+                if v is None:
+                    v = cache[n] = _dummy_vector(n, dim).tolist()
+                return v
+
+            return texts.map(vec)
 
         return dummy_embed
 

@@ -364,6 +364,44 @@ def simhash_hex(text: Column | str, as_nibbles: bool = False) -> Column:
     )
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str = "id", tokens_col: str = "toks"
+) -> DataFrame:
+    """(id, distinct-token array) -> (id, sh 16-hex-char simhash).
+
+    Bit-identical to :func:`simhash_hex` (tested), but vectorized: md5 per
+    token in hashlib (same bytes as SQL ``md5``), then one
+    ``unpackbits``/majority pass in NumPy per doc instead of 64 interpreted
+    bit-count filters per doc (measured ~10x at sf0.1). Bit layout matches
+    the nibble definition: hex char p, bit k == unpacked bit index
+    ``4p + (3-k)`` (unpackbits is MSB-first)."""
+    import hashlib
+
+    import numpy as np
+
+    md5 = hashlib.md5
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for toks in pdf[tokens_col]:
+                n = len(toks)
+                if n == 0:
+                    out.append("0" * 16)
+                    continue
+                raw = np.frombuffer(
+                    b"".join(md5(t.encode("utf-8")).digest()[:8] for t in toks),
+                    dtype=np.uint8,
+                ).reshape(n, 8)
+                ones = np.unpackbits(raw, axis=1).sum(axis=0)  # (64,) MSB-first
+                maj = (ones * 2 > n).astype(np.uint8)
+                nibbles = np.packbits(maj).reshape(8)  # bytes, 2 nibbles each
+                out.append("".join(f"{b:02x}" for b in nibbles))
+            yield pd.DataFrame({id_col: pdf[id_col], "sh": out})
+
+    return df.select(id_col, tokens_col).mapInPandas(run, f"{id_col} long, sh string")
+
+
 def simhash_near_dup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -375,11 +413,16 @@ def simhash_near_dup(
     Blocking: split the 64-bit hash into 4 x 16-bit bands; by pigeonhole any
     pair within hamming 3 agrees on at least one full band, so the 4-way
     band equi-join has EXACT recall for the declared radius — this is the
-    standard web-scale simhash join (Manku et al., WWW'07), expressed as
-    posexplode + equi-join. Verify computes true hamming via nibble XOR
-    popcounts. Returns ``(id_a, id_b, hamming)``."""
-    base = df.select(
-        F.col(id_col).alias("id"), simhash_hex(text_col).alias("sh")
+    standard web-scale simhash join (Manku et al., WWW'07), expressed as one
+    band group-by + in-bucket pair generation (signatures computed ONCE;
+    sh rides in the bucket struct so verification joins nothing back).
+    Verify computes true hamming via nibble XOR popcounts. Returns
+    ``(id_a, id_b, hamming)``."""
+    base = simhash_signatures(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(F.split(T.normalized_text(text_col), " ")).alias("toks"),
+        )
     )
     bands = base.select(
         "id",
@@ -388,20 +431,31 @@ def simhash_near_dup(
             F.array(*[F.substring("sh", 4 * b + 1, 4) for b in range(4)])
         ).alias("band_idx", "band_key"),
     )
+    buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.collect_list(F.struct("id", "sh")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    pair_struct = T._bind(
+        F.array_sort("ms"),  # struct sort: by id asc (id is first field)
+        lambda ms: F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + 2, F.size(ms)),
+                    lambda y: F.struct(
+                        x.id.alias("id_a"),
+                        y.id.alias("id_b"),
+                        x.sh.alias("sh_a"),
+                        y.sh.alias("sh_b"),
+                    ),
+                ),
+            )
+        ),
+    )
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        buckets.select(F.explode(pair_struct).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     ham = sum(

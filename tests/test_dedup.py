@@ -76,6 +76,24 @@ def test_simhash_banding_recall_matches_bruteforce(spark):
     assert blocked == {(r.id_a, r.id_b) for r in brute.collect()}
 
 
+def test_simhash_signatures_bit_identical_to_expression(spark, sf_dir):
+    """The vectorized mapInPandas simhash must equal the Column-expression
+    simhash_hex bit-for-bit on real corpus text."""
+    from educational_vector_database_spark.functions import text as T
+    from educational_vector_database_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    expr = {r.doc_id: r.sh for r in
+            docs.select("doc_id", D.simhash_hex("text").alias("sh")).collect()}
+    fast = {r.id: r.sh for r in D.simhash_signatures(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(F.split(T.normalized_text("text"), " ")).alias("toks"),
+        )
+    ).collect()}
+    assert expr == fast
+
+
 def test_embedding_near_dup_threshold(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
