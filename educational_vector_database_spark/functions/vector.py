@@ -68,7 +68,12 @@ def cosine_similarity(a: Column | str, b: Column | str, eps: float = 0.0) -> Col
     """
     a, b = _col(a), _col(b)
     denom = (l2_norm(a) + F.lit(eps)) * (l2_norm(b) + F.lit(eps))
-    return dot_product(a, b) / denom
+    # zero-vector guard: the reference normalizes with +1e-12 so a zero
+    # vector scores 0.0 (index.py:4-16); with eps=0 the raw division would be
+    # 0/0 — which Spark's ANSI mode (default since 4.0) raises on. The CASE
+    # branch is only evaluated when denom != 0, so non-degenerate scores are
+    # bit-identical to the plain formula (and to the SQL oracle).
+    return F.when(denom != 0.0, dot_product(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def euclidean_distance(a: Column | str, b: Column | str) -> Column:

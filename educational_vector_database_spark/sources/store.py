@@ -74,6 +74,43 @@ def load(spark: SparkSession, path: str) -> tuple[DataFrame, StoreConfig]:
     return df, config
 
 
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write as a BUCKETED catalog table (``bucketBy`` + optional
+    ``sortBy``).
+
+    Bucketing is the write-time answer to repeated join/agg shuffles: two
+    tables bucketed the same way on the join key equi-join with NO Exchange
+    (verified in tests — the plan's join reads bucketed scans directly),
+    and a self-join (dedup verification, batch kNN by id) co-locates for
+    free. At 100 TB, bucketing the vector store by id turns every
+    candidate-verification join in operators/dedup.py into a local join.
+    Requires the session catalog (saveAsTable) — plain directory reads of
+    the same files still work."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
+def save_as(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options) -> None:
+    """Format-generic sink (parquet/json/csv/orc). Parquet is the native
+    format; the others exist for interchange — csv/json lose the array
+    column's type, so embeddings are serialized via to_json for those."""
+    out = df
+    if fmt in ("csv", "json"):
+        for field in df.schema.fields:
+            if field.dataType.simpleString().startswith("array"):
+                out = out.withColumn(field.name, F.to_json(field.name))
+    out.write.mode(mode).options(**options).format(fmt).save(path)
+
+
 def load_or_init(
     spark: SparkSession, path: str, default_config: StoreConfig
 ) -> tuple[DataFrame, StoreConfig]:

@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) — invariants the unit fixtures can't
+sweep: arbitrary text through the chunker/fingerprints, arbitrary vectors
+through the similarity kernels. The reference has no property testing
+(SURVEY.md §5); these guard the engine's algebraic contracts."""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from educational_vector_database_spark.functions import text as T
+from educational_vector_database_spark.functions import vector as V
+
+SETTINGS = dict(max_examples=12, deadline=None)
+
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=400
+)
+vectors = st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False, width=64),
+    min_size=4,
+    max_size=4,
+)
+
+
+@given(st.lists(texts, min_size=1, max_size=8), st.integers(min_value=1, max_value=50))
+@settings(**SETTINGS)
+def test_chunker_concat_reconstructs_text(spark, docs, cs):
+    """concat(chunks) == text, and every chunk but the last is exactly cs
+    chars (reference rag.py:17-24 semantics, including '' -> ['''])."""
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id: long, text: string")
+    rows = (
+        df.select("doc_id", F.posexplode(T.chunk_array("text", cs)).alias("i", "chunk"))
+        .orderBy("doc_id", "i")
+        .collect()
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.chunk)
+    for doc_id, text in enumerate(docs):
+        chunks = by_doc[doc_id]
+        assert "".join(chunks) == text
+        assert all(len(c) == cs for c in chunks[:-1])
+        if text == "":
+            assert chunks == [""]
+
+
+@given(st.lists(vectors, min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_cosine_bounds_and_self_similarity(spark, vecs):
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id: long, embedding: array<double>"
+    )
+    rows = df.select(
+        "vec_id",
+        V.cosine_similarity("embedding", "embedding").alias("self_cos"),
+        V.l2_norm("embedding").alias("nrm"),
+    ).collect()
+    for r in rows:
+        if r.nrm > 1e-6:
+            assert abs(r.self_cos - 1.0) < 1e-9
+        assert not math.isnan(r.nrm)
+
+
+@given(st.lists(vectors, min_size=2, max_size=4))
+@settings(**SETTINGS)
+def test_euclidean_symmetry_and_triangle_zero(spark, vecs):
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id: long, embedding: array<double>"
+    )
+    a = df.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    rows = (
+        a.crossJoin(b)
+        .select("ia", "ib", V.euclidean_distance("va", "vb").alias("d"))
+        .collect()
+    )
+    d = {(r.ia, r.ib): r.d for r in rows}
+    for (i, j), v in d.items():
+        assert v == d[(j, i)]  # bitwise symmetric
+        if i == j:
+            assert v == 0.0
+        assert v >= 0.0
+
+
+@given(st.lists(texts, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_fingerprints_deterministic_and_normalization_invariant(spark, docs):
+    """Same text -> same fingerprints; case/extra-space variants collide on
+    the ROLLING fingerprint (normalized) but not necessarily on content_fp."""
+    rows = [(i, t) for i, t in enumerate(docs)] + [
+        (1000 + i, t.upper() + "  ") for i, t in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.fp, r.rfp)
+        for r in df.select(
+            "doc_id",
+            T.fingerprint64("text").alias("fp"),
+            T.rolling_fingerprint("text").alias("rfp"),
+        ).collect()
+    }
+    for i, t in enumerate(docs):
+        fp, rfp = got[i]
+        assert 0 <= rfp < T.ROLLING_P
+        # uppercasing + trailing spaces: normalized stream unchanged for
+        # ascii-lowerable text
+        if t == t.lower() and all(ord(c) < 128 for c in t):
+            assert got[1000 + i][1] == rfp
+
+
+@given(st.lists(texts, min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_simhash_identical_text_zero_hamming(spark, docs):
+    from educational_vector_database_spark.operators import dedup as D
+
+    rows = [(i, t) for i, t in enumerate(docs)] + [
+        (100 + i, t) for i, t in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sh = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", D.simhash_hex("text").alias("sh")).collect()
+    }
+    for i in range(len(docs)):
+        assert sh[i] == sh[100 + i]
+        assert len(sh[i]) == 16 and all(c in "0123456789abcdef" for c in sh[i])

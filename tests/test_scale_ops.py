@@ -1,0 +1,85 @@
+"""Scale-technique tests: salted joins, bucketed tables, format sinks."""
+
+from pyspark.sql import functions as F
+
+from educational_vector_database_spark.operators import skew as S
+from educational_vector_database_spark.sources import store
+
+
+def _skewed(spark):
+    # 90% of rows share key 0 (the hot key), the rest spread over 1..9
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise((F.col("id") % 9) + 1).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim_"), F.col("id")).alias("name")
+    )
+    return big, small
+
+
+def test_salted_join_equals_plain_join(spark):
+    big, small = _skewed(spark)
+    plain = {(r.k, r.payload, r.name) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.payload, r.name) for r in S.salted_join(big, small, "k", n_salts=4).collect()}
+    assert salted == plain
+    assert len(salted) == 2000
+
+
+def test_salt_actually_spreads_hot_key(spark):
+    big, _ = _skewed(spark)
+    n_salts = 4
+    per_salt = (
+        S.with_salt(big.filter("k = 0"), n_salts)
+        .groupBy(S.SALT).agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(per_salt) == n_salts  # hot key spread over every salt
+    assert max(r.n for r in per_salt) < 1800  # no single straggler bucket
+
+
+def test_hot_keys_diagnostic(spark):
+    big, _ = _skewed(spark)
+    top = S.hot_keys(big, ["k"], top_n=1).head()
+    assert top.k == 0 and top.n_rows == 1800
+
+
+def test_bucketed_self_join_has_no_exchange(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 7).alias("label")
+    )
+    store.save_bucketed(df, "bkt_emb", "vec_id", n_buckets=8, sort_col="vec_id")
+    # disable auto-broadcast: with a tiny fixture the planner would broadcast
+    # and skip bucketing entirely; at scale both sides are too big to ship
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table("bkt_emb")
+        joined = t.alias("a").join(t.alias("b"), "vec_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # co-located: bucket join, no shuffle
+        assert "Bucketed: true" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_emb")
+
+
+def test_save_as_roundtrip_formats(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id: long, embedding: array<double>"
+    )
+    pq = str(tmp_path / "pq")
+    store.save_as(df, pq, "parquet")
+    assert spark.read.parquet(pq).count() == 2
+
+    js = str(tmp_path / "js")
+    store.save_as(df, js, "json")
+    back = spark.read.json(js)
+    # array serialized as JSON string for interchange formats
+    row = back.orderBy("vec_id").head()
+    assert row.embedding == "[1.0,2.0]"
+
+    cs = str(tmp_path / "cs")
+    store.save_as(df, cs, "csv", header=True)
+    assert spark.read.option("header", True).csv(cs).count() == 2
