@@ -872,6 +872,80 @@ _EVENTS_TUMBLING_ORACLE = """
 """
 
 
+# --- as-of join / rollup (relational breadth beyond the reference) ----------
+
+
+def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click matched to the user's most recent view at-or-before it —
+    the as-of join (operators/asof.py union+window plan, one shuffle,
+    no row explosion). Oracle: DuckDB native ASOF JOIN."""
+    from educational_vector_database_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts_us", "event_id")
+    views = ev.filter("event_type = 'view'").select(
+        "user_id", F.col("ts_us").alias("v_ts"), F.col("event_id").alias("view_id")
+    )
+    return asof_join(clicks, views, "user_id", "ts_us", "v_ts", ["view_id", "v_ts"])
+
+
+_EVENTS_ASOF_ORACLE = """
+    WITH clicks AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, epoch_us(ts) AS v_ts, event_id AS view_id
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT c.user_id, c.ts_us, c.event_id, v.view_id, v.v_ts
+    FROM clicks c
+    ASOF JOIN views v ON c.user_id = v.user_id AND v.v_ts <= c.ts_us
+"""
+
+
+def _orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (nation, order year) with ROLLUP subtotals — hierarchical
+    aggregation Catalyst expands into grouping sets in ONE pass (no
+    re-aggregation per level). Money in exact cents."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("o_year"), _cents("o_totalprice").alias("cents"))
+    )
+    return (
+        j.rollup("n_name", "o_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+        # subtotal rows carry NULL group keys; sentinel them so downstream
+        # comparators need no mixed-type NULL ordering
+        .select(
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+_ORDERS_ROLLUP_ORACLE = """
+    SELECT coalesce(n.n_name, '(all)') AS n_name,
+           CAST(coalesce(year(o.o_orderdate), -1) AS INT) AS o_year,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))
+"""
+
+
 # --- multimodal (rows-only checks: binary decode is not SQL-expressible) ----
 
 
@@ -936,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _media_stats,
         "ivf_cells": _ivf_cells,
         "knn_ivf": _knn_ivf,
+        "events_asof": _events_asof,
+        "orders_rollup": _orders_rollup,
         "label_centroids": _label_centroids,
         "doc_fingerprint": _doc_fingerprint,
         "events_tumbling": _events_tumbling,
@@ -1103,6 +1179,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_eval": _lang_id_oracle(),
         "ivf_cells": _IVF_CELLS_ORACLE,
         "knn_ivf": _KNN_IVF_ORACLE,
+        "events_asof": _EVENTS_ASOF_ORACLE,
+        "orders_rollup": _ORDERS_ROLLUP_ORACLE,
         "label_centroids": _label_centroids_oracle(),
         "doc_fingerprint": _DOC_FP_ORACLE,
         "events_tumbling": _EVENTS_TUMBLING_ORACLE,

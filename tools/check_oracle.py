@@ -81,10 +81,11 @@ def main() -> int:
             failures += 1
             continue
         # order-insensitive: sort both by the column-name-sorted tuple
+        # (repr key — sortable even with NULLs / mixed types in a column)
         order = sorted(range(len(scols)), key=lambda i: scols[i])
         dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        skey = sorted(tuple(canon(r[i]) for i in order) for r in srows)
-        dkey = sorted(tuple(canon(r[i]) for i in dorder) for r in drows)
+        skey = sorted((tuple(canon(r[i]) for i in order) for r in srows), key=repr)
+        dkey = sorted((tuple(canon(r[i]) for i in dorder) for r in drows), key=repr)
         maxdiff = 0.0
         exact = True
         for sr, dr in zip(skey, dkey):
