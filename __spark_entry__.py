@@ -872,6 +872,67 @@ _EVENTS_TUMBLING_ORACLE = """
 """
 
 
+# --- streaming pipeline under the batch oracle -------------------------------
+
+
+def _stream_ingest_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk+embed pipeline run as a Structured Streaming job (file
+    source over documents.parquet, availableNow drain to a parquet sink),
+    then read back. Checked against the SAME SQL oracle shape as the batch
+    pipeline — the unified-semantics claim (one logical plan, two engines)
+    proven through the value-hash gate, not just asserted."""
+    import tempfile
+
+    from educational_vector_database_spark.streaming import ingest as I
+
+    emb = DummyEmbeddings(DUMMY_DIM)
+    docs_schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    # the testdata table is a single parquet FILE; the file stream source
+    # wants a directory, so stream the sf dir with a glob filter
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out_dir = tempfile.mkdtemp(prefix="evdb_stream_out_")
+    ck_dir = tempfile.mkdtemp(prefix="evdb_stream_ck_")
+    q = (
+        I.index_stream(stream, emb, chunk_size=CHUNK_SIZE)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    chunks = spark.read.parquet(out_dir)
+    return chunks.select(
+        "chunk_id",
+        F.length("chunk").alias("chunk_len"),
+        F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x).alias("emb_sum"),
+    )
+
+
+def _stream_ingest_oracle() -> str:
+    return f"""
+        WITH chunks AS (
+            SELECT d.doc_id * 100000 + t.i AS chunk_id,
+                   substr(d.text, CAST(t.i * {CHUNK_SIZE} + 1 AS INT), {CHUNK_SIZE}) AS chunk
+            FROM documents d,
+                 unnest(range(0, greatest(1,
+                        CAST(ceil(length(d.text) / {CHUNK_SIZE}.0) AS BIGINT)))) AS t(i)
+        )
+        SELECT c.chunk_id,
+               CAST(length(c.chunk) AS INT) AS chunk_len,
+               emb_map.emb_sum
+        FROM chunks c JOIN {_dummy_sum_values()}
+          ON length(c.chunk) = emb_map.text_len
+    """
+
+
 # --- as-of join / rollup (relational breadth beyond the reference) ----------
 
 
@@ -1012,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _knn_ivf,
         "events_asof": _events_asof,
         "orders_rollup": _orders_rollup,
+        "stream_ingest_chunks": _stream_ingest_chunks,
         "label_centroids": _label_centroids,
         "doc_fingerprint": _doc_fingerprint,
         "events_tumbling": _events_tumbling,
@@ -1043,15 +1105,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, e.vec_id ASC
             LIMIT {TOP_K}
         """,
-        "knn_join_topk": f"""
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                FROM embeddings WHERE vec_id < 8
+        "knn_join_topk": """
+            WITH u AS (
+                SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                          embedding::DOUBLE[]))) AS uv
+                FROM embeddings
             ),
+            q AS (SELECT vec_id AS query_id, uv AS qv FROM u WHERE vec_id < 8),
             scored AS (
                 SELECT q.query_id, e.vec_id,
-                       {_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS score
-                FROM embeddings e CROSS JOIN q
+                       list_dot_product(e.uv, q.qv) AS score
+                FROM u e CROSS JOIN q
             )
             SELECT query_id, vec_id, score,
                    CAST(row_number() OVER (
@@ -1181,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _KNN_IVF_ORACLE,
         "events_asof": _EVENTS_ASOF_ORACLE,
         "orders_rollup": _ORDERS_ROLLUP_ORACLE,
+        "stream_ingest_chunks": _stream_ingest_oracle(),
         "label_centroids": _label_centroids_oracle(),
         "doc_fingerprint": _DOC_FP_ORACLE,
         "events_tumbling": _EVENTS_TUMBLING_ORACLE,
