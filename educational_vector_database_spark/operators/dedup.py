@@ -472,6 +472,84 @@ def simhash_near_dup(
 
 
 # ---------------------------------------------------------------------------
+# connected components: near-dup pairs -> cluster ids -> dedup survivors
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Undirected edges -> ``(id, cluster_id)`` where cluster_id is the MIN id
+    reachable from ``id`` (the canonical survivor of a dedup cluster).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converged when no label
+    changes. Rounds = graph diameter (near-dup clusters are dense, so
+    usually 2-3). Each round is one join + one groupBy — all shuffles on the
+    8-byte id, and the edge list is the small near-dup output, not the
+    corpus. The per-round ``localCheckpoint`` truncates the lineage so the
+    plan stays flat across iterations (the classic iterative-algorithm
+    requirement on Spark)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full dedup resolution: near-dup pairs -> clusters -> per-doc verdict.
+    Returns ``(id, cluster_id, is_survivor)`` for every document; docs in no
+    cluster survive trivially as their own cluster."""
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        )
+        .withColumn("is_survivor", F.col("id") == F.col("cluster_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup (exact; LSH scale path in operators/ann.py)
 # ---------------------------------------------------------------------------
 

@@ -76,6 +76,25 @@ def test_simhash_banding_recall_matches_bruteforce(spark):
     assert blocked == {(r.id_a, r.id_b) for r in brute.collect()}
 
 
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3 (diameter forces >1 round), pair 7-9, isolated 5 absent
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 9)], "id_a: long, id_b: long"
+    )
+    comp = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dedup_clusters_end_to_end(spark):
+    docs = _docs(spark)  # 1~2 near-dup, 3==4 exact dup
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    out = {r.id: (r.cluster_id, r.is_survivor)
+           for r in D.dedup_clusters(docs, pairs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (3, True), 4: (3, False),
+    }
+
+
 def test_simhash_signatures_bit_identical_to_expression(spark, sf_dir):
     """The vectorized mapInPandas simhash must equal the Column-expression
     simhash_hex bit-for-bit on real corpus text."""
