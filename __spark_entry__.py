@@ -790,7 +790,12 @@ def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(DIM)
         ]
     )
-    return g.select("label", "n", centroid.alias("centroid"))
+    # exploded (label, n, dim_idx, value) rows: every element still lands in
+    # the hash gate, and the shape is canonicalizable (scalar columns only)
+    exploded = g.select("label", "n", F.posexplode(centroid).alias("dim_idx", "value"))
+    return exploded.select(
+        "label", "n", F.col("dim_idx").cast("int").alias("dim_idx"), "value"
+    )
 
 
 def _label_centroids_oracle() -> str:
@@ -803,8 +808,12 @@ def _label_centroids_oracle() -> str:
         WITH g AS (
             SELECT label, count(*) AS n, {sums}
             FROM embeddings GROUP BY label
-        )
-        SELECT label, n, [{cent}] AS centroid FROM g
+        ),
+        c AS (SELECT label, n, [{cent}] AS centroid FROM g)
+        SELECT label, n,
+               CAST(generate_subscripts(centroid, 1) - 1 AS INT) AS dim_idx,
+               unnest(centroid) AS value
+        FROM c
     """
 
 
@@ -1007,29 +1016,115 @@ _ORDERS_ROLLUP_ORACLE = """
 """
 
 
-# --- multimodal (rows-only checks: binary decode is not SQL-expressible) ----
+# --- multimodal -------------------------------------------------------------
+# The synth corpus (multimodal.synth_media) is seeded per media_id, so the
+# expected outputs are precomputable driver-side into VALUES-literal oracles —
+# the same pattern as _dummy_sum_values. The binary decode itself is not
+# SQL-expressible, but its deterministic *results* are hash-checkable.
+
+_MEDIA_N_IMAGES, _MEDIA_N_AUDIO, _MEDIA_N_VIDEOS = 64, 16, 8
+_MEDIA_W, _MEDIA_H, _MEDIA_C = 32, 24, 3
+_MEDIA_SR, _MEDIA_NSAMP, _MEDIA_NFRAMES = 16000, 16000, 12
+_MEDIA_EVERY_K = 4
 
 
 def _media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic raw-codec media corpus -> per-image feature vectors
-    (mapInPandas plumbing; same embedding shape the kNN operators consume)."""
+    (mapInPandas plumbing; same embedding shape the kNN operators consume).
+    Emitted exploded (media_id, feat_idx, value) so every element is hashed
+    by the scalar-only canonicalizer."""
     from educational_vector_database_spark import multimodal as M
 
-    return M.image_features(M.synth_media(spark))
+    return M.image_features(M.synth_media(spark)).select(
+        "media_id", F.posexplode("embedding").alias("feat_idx", "value")
+    )
+
+
+def _media_image_features_oracle() -> str:
+    """Expected feature values, re-derived in plain NumPy from the seeded
+    generator parameters (multimodal.py synth_media/image_features math)."""
+    import numpy as np
+
+    rows = []
+    for mid in range(_MEDIA_N_IMAGES):
+        rng = np.random.RandomState(mid % (2**31))
+        img = (
+            rng.randint(0, 256, _MEDIA_W * _MEDIA_H * _MEDIA_C, dtype=np.uint8)
+            .reshape(_MEDIA_H, _MEDIA_W, _MEDIA_C)
+            .astype(np.float64)
+        )
+        lum = img.mean(axis=2)
+        hist, _edges = np.histogram(lum, bins=8, range=(0.0, 256.0))
+        vec = np.concatenate(
+            [img.mean(axis=(0, 1)), img.std(axis=(0, 1)), hist / max(1, lum.size)]
+        )
+        rows.extend(
+            f"({mid}, {i}, CAST('{float(x)!r}' AS DOUBLE))" for i, x in enumerate(vec)
+        )
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(feat_idx AS INT) AS feat_idx,
+               value
+        FROM (VALUES {", ".join(rows)}) AS t(media_id, feat_idx, value)
+    """
 
 
 def _media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from educational_vector_database_spark import multimodal as M
 
-    return M.sample_frames(M.synth_media(spark), every_k=4).select(
+    return M.sample_frames(M.synth_media(spark), every_k=_MEDIA_EVERY_K).select(
         "media_id", "frame_index", F.length("content").alias("frame_bytes")
     )
+
+
+def _media_frame_sample_oracle() -> str:
+    """Pure arithmetic on the generator parameters: every video (ids after
+    images+audio) yields frames 0, k, 2k, ... of H*W*C bytes each."""
+    frame_bytes = _MEDIA_W * _MEDIA_H * _MEDIA_C
+    first = _MEDIA_N_IMAGES + _MEDIA_N_AUDIO
+    rows = [
+        f"({mid}, {fi}, {frame_bytes})"
+        for mid in range(first, first + _MEDIA_N_VIDEOS)
+        for fi in range(0, _MEDIA_NFRAMES, _MEDIA_EVERY_K)
+    ]
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(frame_index AS INT) AS frame_index,
+               CAST(frame_bytes AS INT) AS frame_bytes
+        FROM (VALUES {", ".join(rows)}) AS t(media_id, frame_index, frame_bytes)
+    """
 
 
 def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from educational_vector_database_spark import multimodal as M
 
     return M.media_stats(M.synth_media(spark))
+
+
+def _media_stats_oracle() -> str:
+    """Pure arithmetic on the generator parameters (payload sizes and meta
+    are fully determined by synth_media's defaults)."""
+    img_bytes = _MEDIA_W * _MEDIA_H * _MEDIA_C
+    rows = [
+        ("image", _MEDIA_N_IMAGES, _MEDIA_N_IMAGES * img_bytes, float(_MEDIA_W), 0.0),
+        ("audio", _MEDIA_N_AUDIO, _MEDIA_N_AUDIO * _MEDIA_NSAMP * 2, 0.0, 0.0),
+        (
+            "video",
+            _MEDIA_N_VIDEOS,
+            _MEDIA_N_VIDEOS * img_bytes * _MEDIA_NFRAMES,
+            float(_MEDIA_W),
+            float(_MEDIA_NFRAMES),
+        ),
+    ]
+    vals = ", ".join(
+        f"('{k}', {n}, {b}, CAST('{w!r}' AS DOUBLE), CAST('{fr!r}' AS DOUBLE))"
+        for k, n, b, w, fr in rows
+    )
+    return f"""
+        SELECT kind, CAST(n AS BIGINT) AS n, CAST(total_bytes AS BIGINT) AS total_bytes,
+               avg_width, avg_frames
+        FROM (VALUES {vals}) AS t(kind, n, total_bytes, avg_width, avg_frames)
+    """
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1251,4 +1346,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": _label_centroids_oracle(),
         "doc_fingerprint": _DOC_FP_ORACLE,
         "events_tumbling": _EVENTS_TUMBLING_ORACLE,
+        "media_image_features": _media_image_features_oracle(),
+        "media_frame_sample": _media_frame_sample_oracle(),
+        "media_stats": _media_stats_oracle(),
     }

@@ -45,5 +45,14 @@ def get_spark(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one testdata table (TESTDATA.md: one parquet file per table)."""
+    """Read one testdata table (TESTDATA.md: one parquet file per table).
+
+    Self-sufficient under any SparkSession: ``events.parquet`` stores
+    TIMESTAMP(NANOS), which vanilla Spark rejects (PARQUET_TYPE_ILLEGAL).
+    ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime SQL conf, so we set
+    it here (not only in :func:`get_spark`) — a user's stock session then
+    reads ``events`` with ``ts`` as int64 nanoseconds, same as ours.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
