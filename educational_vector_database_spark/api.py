@@ -55,6 +55,7 @@ class VectorDB:
         self._df = df if df is not None else spark.createDataFrame(
             [], f"{id_col} bigint, {vector_col} array<double>, text string"
         )
+        self._appends_since_checkpoint = 0
 
     # -- ingest (reference api.py:95-103, 156-162) ---------------------------
 
@@ -67,10 +68,21 @@ class VectorDB:
             raise ValueError(f"Vector dimension mismatch, expected {self.dim}")
         return df
 
+    #: Truncate the union lineage after this many appends: each append layers
+    #: one ``unionByName`` onto the logical plan, and after thousands of
+    #: micro-appends Catalyst analysis cost dominates. ``localCheckpoint``
+    #: (lazy) caps plan depth at O(_CHECKPOINT_EVERY) while staying a facade
+    #: convenience — the durable path is sources/store.py + streaming/ingest.
+    _CHECKPOINT_EVERY = 32
+
     def add_vectors(self, df: DataFrame) -> "VectorDB":
         """Append a batch of ``(vec_id, embedding, ...)`` rows (≙ S1 insert)."""
         incoming = self._validate_dim(df)
         self._df = self._df.unionByName(incoming, allowMissingColumns=True)
+        self._appends_since_checkpoint += 1
+        if self._appends_since_checkpoint >= self._CHECKPOINT_EVERY:
+            self._df = self._df.localCheckpoint(eager=False)
+            self._appends_since_checkpoint = 0
         return self
 
     def add_texts(self, texts_df: DataFrame, text_col: str = "text") -> "VectorDB":

@@ -201,13 +201,19 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
     this is the map-side of MinHash and never touches Python."""
     return _bind(
         normalized_text(text),
+        # NULL text: length(NULL) is NULL but greatest() IGNORES nulls, so the
+        # sequence still yields [1] and substr(NULL,..) makes a [NULL] array —
+        # filter null shingles out so a NULL doc degrades to [] (empty doc)
         lambda t: F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.lit(1), F.length(t) - F.lit(k - 1)).cast("int"),
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.lit(1), F.length(t) - F.lit(k - 1)).cast("int"),
+                    ),
+                    lambda i: t.substr(i, F.lit(k)),
                 ),
-                lambda i: t.substr(i, F.lit(k)),
+                lambda s: s.isNotNull(),
             )
         ),
     )

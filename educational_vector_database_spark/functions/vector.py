@@ -51,10 +51,21 @@ def l2_norm(v: Column | str) -> Column:
 
 
 def l2_normalize(v: Column | str, eps: float = EPSILON) -> Column:
-    """v / (‖v‖ + eps), element-wise (reference index.py:4-8 ``_normalize``)."""
+    """v / (‖v‖ + eps), element-wise (reference index.py:4-8 ``_normalize``).
+
+    With ``eps=0.0`` the division is guarded: a zero vector maps to the zero
+    vector (so any downstream dot product scores 0.0, matching the reference's
+    ``+1e-12`` guard semantics) instead of raising DIVIDE_BY_ZERO under
+    Spark 4's default ANSI mode. Non-zero vectors are untouched by the guard —
+    the CASE branch evaluates only when the norm is 0 — so scores stay
+    bit-identical to the unguarded SQL-oracle formula.
+    """
     v = _col(v)
     n = l2_norm(v) + F.lit(eps)
-    return F.transform(v, lambda x: x / n)
+    scaled = F.transform(v, lambda x: x / n)
+    if eps:
+        return scaled
+    return F.when(n != 0.0, scaled).otherwise(v)
 
 
 def cosine_similarity(a: Column | str, b: Column | str, eps: float = 0.0) -> Column:

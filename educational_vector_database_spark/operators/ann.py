@@ -97,24 +97,38 @@ def ivf_assign(
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid",
 ) -> DataFrame:
-    """IVF cell assignment: argmin euclidean distance to a broadcast centroid
-    table. One broadcast nested-loop + per-row min — the corpus never
-    shuffles. Adds ``centroid_id`` (write the index partitioned by it)."""
-    c = F.broadcast(centroids.select(
-        F.col(centroid_id_col), V.as_double(centroid_vec_col).alias("__cv")
-    ))
-    scored = df.crossJoin(c).withColumn(
-        "__dist", V.euclidean_distance(V.as_double(vector_col), F.col("__cv"))
-    )
-    w_cols = [x for x in df.columns]
-    from pyspark.sql import Window
+    """IVF cell assignment: argmin euclidean distance over the centroid set,
+    computed as a PURE scan-side Column expression — the corpus never
+    shuffles, never joins, and duplicate input rows are preserved (each row
+    gets its own assignment). Adds ``centroid_id`` (write the index
+    partitioned by it, and the cell predicate becomes partition pruning).
 
-    w = Window.partitionBy(*w_cols).orderBy(F.asc("__dist"), F.asc(centroid_id_col))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*w_cols, F.col(centroid_id_col))
+    Centroids are collected to the driver and inlined as literals: an IVF
+    centroid table is O(cells) rows by definition (the index would be useless
+    otherwise), the same small-table contract under which Spark broadcasts.
+    ``array_min`` over ``struct(dist, centroid_id)`` is Spark's lexicographic
+    struct ordering: minimum distance, ties broken by lowest centroid id —
+    identical semantics to the oracle's ``row_number`` formulation."""
+    cents = sorted(
+        (
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in centroids.select(centroid_id_col, centroid_vec_col).collect()
+        ),
+        key=lambda t: t[0],
     )
+    v = V.as_double(vector_col)
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    V.euclidean_distance(v, V.vector_literal(cv)).alias("d"),
+                    F.lit(cid).cast("int").alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+    )["cid"]
+    return df.withColumn(centroid_id_col, best)
 
 
 def train_ivf_centroids(

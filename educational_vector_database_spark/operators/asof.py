@@ -69,14 +69,17 @@ def asof_join(
     merged = lu.unionByName(ru).withColumn(
         "__match", F.last("__r", ignorenulls=True).over(w)
     )
-    out = merged.filter(F.col("__side") == 1).select(
+    matched = merged.filter(F.col("__side") == 1)
+    # matchedness is the carried STRUCT being non-null — a matched right row
+    # whose payload fields are all NULL still counts as a match (filtering on
+    # a payload column instead would wrongly drop it)
+    if how == "inner":
+        matched = matched.filter(F.col("__match").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join supports how in ('inner','left'), got {how!r}")
+    return matched.select(
         *keys,
         F.col("__ts").alias(left_ts),
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
         *[F.col(f"__match.{c}").alias(c) for c in right_payload],
     )
-    if how == "inner":
-        out = out.filter(F.col(right_payload[0]).isNotNull())
-    elif how != "left":
-        raise ValueError(f"asof_join supports how in ('inner','left'), got {how!r}")
-    return out

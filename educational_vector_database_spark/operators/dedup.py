@@ -123,7 +123,7 @@ def minhash_signatures(
         for pdf in batches:
             out = []
             for sh in pdf[shingles_col]:
-                if len(sh) == 0:
+                if sh is None or len(sh) == 0:
                     out.append(np.full(num_hashes, MINHASH_P))
                     continue
                 hv = np.fromiter(
@@ -243,9 +243,16 @@ def minhash_near_dup(
             for a, b, sa, sb in zip(
                 pdf["id_a"], pdf["id_b"], pdf["sh_a"], pdf["sh_b"]
             ):
-                x, y = set(sa), set(sb)
+                # NULL/empty shingle arrays are reachable (empty docs share a
+                # sentinel signature, so they DO become candidates): treat as
+                # empty sets and skip zero-union pairs instead of dividing 0/0
+                x = set(sa) if sa is not None else set()
+                y = set(sb) if sb is not None else set()
                 c = len(x & y)
-                j = c / (len(x) + len(y) - c)
+                u = len(x) + len(y) - c
+                if u == 0:
+                    continue
+                j = c / u
                 if j >= thr:
                     ida.append(a)
                     idb.append(b)
@@ -406,6 +413,7 @@ def simhash_near_dup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_posting: int = 1000,
 ) -> DataFrame:
     """SimHash near-duplicate pairs with hamming distance <= max_hamming.
 
@@ -416,7 +424,14 @@ def simhash_near_dup(
     band group-by + in-bucket pair generation (signatures computed ONCE;
     sh rides in the bucket struct so verification joins nothing back).
     Verify computes true hamming via nibble XOR popcounts. Returns
-    ``(id_a, id_b, hamming)``."""
+    ``(id_a, id_b, hamming)``.
+
+    ``max_posting`` caps bucket size exactly like minhash's: one degenerate
+    band key (e.g. every empty doc simhashes to ``0000``) would otherwise
+    generate pairs quadratically at corpus scale. Recall caveat at the cap: a
+    pair agreeing ONLY on over-cap bands is missed — but an over-cap band
+    value is shared by >max_posting docs, i.e. it is a degenerate band
+    carrying no near-dup signal, the same argument as ngram's stop-gram cap."""
     base = simhash_signatures(
         df.select(
             F.col(id_col).alias("id"),
@@ -433,7 +448,7 @@ def simhash_near_dup(
     buckets = (
         bands.groupBy("band_idx", "band_key")
         .agg(F.collect_list(F.struct("id", "sh")).alias("ms"))
-        .filter(F.size("ms") >= 2)
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_posting))
     )
     pair_struct = T._bind(
         F.array_sort("ms"),  # struct sort: by id asc (id is first field)
@@ -594,6 +609,7 @@ def embedding_near_dup_blocked(
     threshold: float = 0.45,
     metric: str = "cosine",
     block_size: int = 1024,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All-pairs similarity >= threshold via Arrow-batched block matrix math.
 
@@ -614,8 +630,14 @@ def embedding_near_dup_blocked(
     if m not in V.SUPPORTED_METRICS:
         raise ValueError(f"Unknown metric: {metric!r}. Supported: {V.SUPPORTED_METRICS}")
     src = df.select(F.col(id_col).alias("id"), V.as_double(vector_col).alias("v"))
-    n = src.count()
-    n_blocks = max(1, math.ceil(n / block_size))
+    # The RESULT is independent of the blocking (every pair is scored exactly
+    # once either way), so n_blocks only tunes granularity. Prefer a caller
+    # hint; otherwise derive from the partition count — a lineage-only lookup,
+    # NOT an eager count() job (the old behavior ran one extra full pass).
+    if n_rows is not None:
+        n_blocks = max(1, math.ceil(n_rows / block_size))
+    else:
+        n_blocks = max(1, src.rdd.getNumPartitions())
     packed = (
         src.withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)).cast("int"))
         .groupBy("blk")

@@ -93,16 +93,25 @@ def _make_session_fn(timeout_ms: int | None):
             sid, last_ts, n, start = 0, None, 0, None
 
         closed = []
-        for pdf in pdfs:
-            for ts in pdf.sort_values("ts_us")["ts_us"]:
-                ts = int(ts)
-                if last_ts is not None and ts - last_ts > SESSION_GAP_US:
-                    closed.append((user_id, sid, n, start, last_ts))
-                    sid, n, start = sid + 1, 0, None
-                if start is None:
-                    start = ts
-                last_ts = ts
-                n += 1
+        # pdfs is an iterator of Arrow CHUNKS of this group's micro-batch
+        # rows; sorting per chunk would mis-order timestamps that straddle a
+        # chunk boundary. Buffer the micro-batch's rows for this key (bounded
+        # by per-key batch volume, not total state) and sort once.
+        chunks = [pdf[["ts_us"]] for pdf in pdfs]
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame({"ts_us": []})
+        )
+        for ts in batch.sort_values("ts_us")["ts_us"]:
+            ts = int(ts)
+            if last_ts is not None and ts - last_ts > SESSION_GAP_US:
+                closed.append((user_id, sid, n, start, last_ts))
+                sid, n, start = sid + 1, 0, None
+            if start is None:
+                start = ts
+            last_ts = ts
+            n += 1
         state.update((sid, last_ts, n, start))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)

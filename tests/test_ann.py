@@ -92,3 +92,31 @@ def test_brp_lsh_join_finds_close_pairs(spark):
     pairs = {(r.id_a, r.id_b) for r in A.brp_lsh_join(df, threshold=0.2).collect()}
     assert (0, 100) in pairs
     assert all(abs(a - b) < 20 for a, b in pairs if b != 100)
+
+
+def test_ivf_assign_shuffle_free_and_keeps_duplicates(spark):
+    """ivf_assign is a pure scan-side expression: no Exchange in the physical
+    plan, and exact-duplicate input rows each keep their own assignment (the
+    old window formulation silently collapsed them)."""
+    df = spark.createDataFrame(
+        [(1, [0.9, 0.0]), (1, [0.9, 0.0]), (2, [0.0, 1.1])],  # dup row
+        "vec_id: long, embedding: array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id: int, centroid: array<double>"
+    )
+    assigned = A.ivf_assign(df, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = assigned.collect()
+    assert len(rows) == 3  # duplicates preserved
+    got = sorted((r.vec_id, r.centroid_id) for r in rows)
+    assert got == [(1, 0), (1, 0), (2, 1)]
+
+
+def test_ivf_assign_tie_breaks_to_lowest_centroid(spark):
+    df = spark.createDataFrame([(7, [0.5, 0.5])], "vec_id: long, embedding: array<double>")
+    cents = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (0, [1.0, 0.0])], "centroid_id: int, centroid: array<double>"
+    )
+    assert A.ivf_assign(df, cents).head().centroid_id == 0

@@ -61,3 +61,12 @@ def test_asof_matches_bruteforce_on_events(spark, sf_dir):
     )
     slow = {(r.user_id, r.ts_us): (r.view_id, r.v_ts) for r in brute.collect()}
     assert fast == slow and len(fast) > 0
+
+
+def test_asof_inner_keeps_matched_row_with_null_payload(spark):
+    """A matched right row whose payload VALUE is NULL still counts as a
+    match: inner must keep it (matchedness is the struct, not a field)."""
+    trades = spark.createDataFrame([(1, 10, "t")], "sym: long, t_ts: long, trade: string")
+    quotes = spark.createDataFrame([(1, 8, None)], "sym: long, q_ts: long, px: double")
+    got = asof_join(trades, quotes, "sym", "t_ts", "q_ts", ["px"]).collect()
+    assert len(got) == 1 and got[0].px is None

@@ -146,3 +146,63 @@ def test_embedding_near_dup_blocked_unknown_metric(spark):
     df = spark.createDataFrame([(1, [1.0])], "vec_id: long, embedding: array<double>")
     with pytest.raises(ValueError):
         D.embedding_near_dup_blocked(df, metric="manhattan")
+
+
+def test_simhash_degenerate_bucket_capped(spark):
+    """An all-empty-docs corpus shares one simhash (0...0): every band bucket
+    is degenerate. The max_posting cap must drop those buckets (linear cost,
+    zero pairs) instead of generating O(n^2) candidates."""
+    docs = spark.createDataFrame(
+        [(i, "") for i in range(200)], "doc_id: long, text: string"
+    )
+    assert D.simhash_near_dup(docs, max_posting=50).count() == 0
+    # under the cap the pairs DO come back (documented recall tradeoff)
+    small = spark.createDataFrame(
+        [(i, "") for i in range(4)], "doc_id: long, text: string"
+    )
+    assert D.simhash_near_dup(small, max_posting=1000).count() == 6
+
+
+def test_minhash_null_and_empty_docs_no_crash(spark):
+    """NULL texts shingle to [] and share the sentinel signature -> they
+    become candidates; the Jaccard verify must skip those zero-union pairs,
+    not divide by zero. Empty-STRING docs shingle to {''} and legitimately
+    pair with jaccard 1.0 (identical content)."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, None), (2, ""), (3, ""),
+         (4, "the quick brown fox " * 10), (5, "the quick brown fox " * 10)],
+        "doc_id: long, text: string",
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in D.minhash_near_dup(docs, threshold=0.5).collect()}
+    assert pairs[(4, 5)] == 1.0
+    assert pairs[(2, 3)] == 1.0  # empty-string docs are identical docs
+    assert not any(a in (0, 1) or b in (0, 1) for a, b in pairs)  # zero-union skipped
+
+
+def test_embedding_near_dup_zero_vector_scores_zero(spark):
+    """A zero vector must score 0.0 against everything under cosine (the
+    reference's +1e-12 normalizer guard), not raise DIVIDE_BY_ZERO in ANSI
+    mode."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 0.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    pairs = {(r.id_a, r.id_b): r.score for r in
+             D.embedding_near_dup(df, threshold=0.5).collect()}
+    assert set(pairs) == {(1, 2)}
+    blk = {(r.id_a, r.id_b): r.score for r in
+           D.embedding_near_dup_blocked(df, threshold=0.5, block_size=2).collect()}
+    assert set(blk) == {(1, 2)}
+
+
+def test_embedding_near_dup_blocked_n_rows_hint_same_result(spark, sf_dir):
+    from educational_vector_database_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(150)
+    default = {(r.id_a, r.id_b): r.score
+               for r in D.embedding_near_dup_blocked(emb, threshold=0.45).collect()}
+    hinted = {(r.id_a, r.id_b): r.score
+              for r in D.embedding_near_dup_blocked(
+                  emb, threshold=0.45, n_rows=150, block_size=32).collect()}
+    assert default == hinted

@@ -72,3 +72,18 @@ def test_knn_plan_is_take_ordered(spark, sf_dir):
     # (per-partition heap, no full sort, no shuffle)
     plan = K.knn(_emb(spark, sf_dir), _qv(spark, sf_dir), k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_join_zero_vector_query_scores_zero(spark, sf_dir):
+    """Zero vectors on either side of the cosine batch join must score 0.0
+    (reference guard semantics), not raise DIVIDE_BY_ZERO under ANSI mode."""
+    corpus = _emb(spark, sf_dir).limit(20).unionByName(
+        spark.createDataFrame([(9999, [0.0] * 64, -1)],
+                              "vec_id: long, embedding: array<double>, label: int")
+        .select("vec_id", "embedding", "label")
+        , allowMissingColumns=True)
+    queries = spark.createDataFrame(
+        [(0, [0.0] * 64)], "query_id: long, query_vec: array<double>"
+    )
+    got = K.knn_join(corpus, queries, k=3, metric="cosine").collect()
+    assert len(got) == 3 and all(r.score == 0.0 for r in got)

@@ -90,3 +90,18 @@ def test_rag_index_and_answer_through_facade(spark):
     assert len(ans["chunks"]) == 2
     it = db.items()
     assert "embedding" not in it.columns and it.count() == db.count()
+
+
+def test_add_vectors_lineage_bounded(spark):
+    """Micro-appends must not grow the logical plan without bound: after
+    _CHECKPOINT_EVERY appends the facade truncates lineage via (lazy)
+    localCheckpoint, so 3x that many appends stays analyzable and correct."""
+    db = VectorDB(spark, dim=2)
+    n = db._CHECKPOINT_EVERY * 3 + 5
+    for i in range(n):
+        db.add_vectors(spark.createDataFrame(
+            [(i, [float(i), 0.0], None)],
+            "vec_id: long, embedding: array<double>, text: string"))
+    assert db.count() == n
+    # plan depth is bounded by the checkpoint interval, not by n
+    assert len(db.df._jdf.queryExecution().logical().toString().splitlines()) < 200
