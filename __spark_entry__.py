@@ -10,6 +10,7 @@ bit-for-bit — no rounding games.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -87,6 +88,53 @@ def _scan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _project_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb(spark, sf_dir).select("vec_id", "label")
+
+
+def _store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistence parity (reference api.py:174-205 save/load, its roundtrip
+    test ≙ ref tests/test_v2_features.py:11-48): write the embeddings store
+    via sources/store.py, read it back, and checksum the read-back rows AND
+    the config sidecar. The oracle computes the same checksums on the source
+    parquet directly — equal iff the roundtrip is lossless. Scaled-int sums
+    (floor(x*1e6)) are aggregation-order-free, so the hash is deterministic
+    under any partitioning."""
+    import tempfile
+
+    from educational_vector_database_spark.sources import store as S
+
+    src = _emb(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"evdb_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    S.save(src, path, S.StoreConfig(dim=DIM, metric="cosine"))
+    df, cfg = S.load(spark, path)
+    elem_micro = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.floor(x * F.lit(1e6)).cast("long"),
+    )
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("vec_id").alias("vec_id_sum"),
+        F.sum("label").alias("label_sum"),
+        F.sum(elem_micro).alias("elem_micro_sum"),
+        F.lit(int(cfg.dim)).alias("cfg_dim"),
+        F.lit(cfg.metric).alias("cfg_metric"),
+    )
+
+
+_STORE_ROUNDTRIP_ORACLE = f"""
+    SELECT count(*) AS n_rows,
+           CAST(sum(vec_id) AS BIGINT) AS vec_id_sum,
+           CAST(sum(label) AS BIGINT) AS label_sum,
+           CAST(sum(list_sum(list_transform(embedding::DOUBLE[],
+                x -> CAST(floor(x * 1000000.0) AS BIGINT)))) AS BIGINT)
+               AS elem_micro_sum,
+           CAST({DIM} AS INT) AS cfg_dim,
+           'cosine' AS cfg_metric
+    FROM embeddings
+"""
 
 
 def _filter_dim_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,6 +326,38 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_blocked(_emb(spark, sf_dir), threshold=0.45)
+
+
+def _neardup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declared 100 TB dedup path: sign-LSH bucketize -> exact block GEMM
+    within buckets. Candidates restricted to same-bucket pairs; emitted scores
+    are bit-exact (same kernel as neardup_embedding). The oracle replicates
+    the bucket expression in SQL, so the approximation itself is checked."""
+    return D.embedding_near_dup_bucketed(
+        _emb(spark, sf_dir), _PLANES, threshold=0.45
+    )
+
+
+def _neardup_embedding_bucketed_oracle() -> str:
+    def lit_vec(h):
+        return "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in h) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit_vec(h)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, h in enumerate(_PLANES)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        u AS (
+            SELECT vec_id, ({bucket}) AS bkt,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+            FROM e
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.u, b.u) AS score
+        FROM u a JOIN u b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.u, b.u) >= 0.45
+    """
 
 
 _DEDUP_EXACT_ORACLE = """
@@ -1136,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
+        "store_roundtrip": _store_roundtrip,
         "filter_dim_valid": _filter_dim_valid,
         "knn_cosine": _knn_query("cosine"),
         "knn_dot": _knn_query("dot"),
@@ -1152,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": _dedup_ngram,
         "dedup_simhash": _dedup_simhash,
         "neardup_embedding": _neardup_embedding,
+        "neardup_embedding_bucketed": _neardup_embedding_bucketed,
         "knn_lsh_bucket": _knn_lsh_bucket,
         "tpch_q1_pricing": _tpch_q1_pricing,
         "orders_by_nation": _orders_by_nation,
@@ -1185,6 +1267,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "project_items": "SELECT vec_id, label FROM embeddings",
+        "store_roundtrip": _STORE_ROUNDTRIP_ORACLE,
         "filter_dim_valid": """
             SELECT count(*) AS n_valid FROM embeddings WHERE len(embedding) = 64
         """,
@@ -1251,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": _NGRAM_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
         "neardup_embedding": _NEARDUP_EMB_ORACLE,
+        "neardup_embedding_bucketed": _neardup_embedding_bucketed_oracle(),
         "knn_lsh_bucket": _lsh_oracle(),
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,

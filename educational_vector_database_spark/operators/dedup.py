@@ -24,6 +24,8 @@ signal anyway). AQE skew-join handles residual imbalance.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -652,7 +654,16 @@ def embedding_near_dup_blocked(
             F.col("b.rows").alias("rows_b"),
         )
     )
-    thr = float(threshold)
+    return pairs.mapInPandas(
+        _make_block_scorer(m, float(threshold)), "id_a long, id_b long, score double"
+    )
+
+
+def _make_block_scorer(m: str, thr: float):
+    """mapInPandas kernel over (same, rows_a, rows_b) block pairs — shared by
+    the flat-blocked and the LSH-bucketed near-dup paths. Dot products
+    accumulate dimension-by-dimension, the exact IEEE fold order of
+    functions/vector.py and the SQL oracle."""
 
     def score_blocks(batches):
         import numpy as np
@@ -667,6 +678,7 @@ def embedding_near_dup_blocked(
             sq = np.zeros(len(mat))
             for i in range(mat.shape[1]):  # exact fold order
                 sq = sq + mat[:, i] * mat[:, i]
+            sq[sq == 0.0] = 1.0  # zero vector stays zero (scores 0.0), no 0/0
             return mat / np.sqrt(sq)[:, None]
 
         for pdf in batches:
@@ -701,4 +713,66 @@ def embedding_near_dup_blocked(
                 }
             )
 
-    return pairs.mapInPandas(score_blocks, "id_a long, id_b long, score double")
+    return score_blocks
+
+
+def embedding_near_dup_bucketed(
+    df: DataFrame,
+    planes: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    threshold: float = 0.45,
+    metric: str = "cosine",
+    blocks_per_bucket: int = 4,
+) -> DataFrame:
+    """The 100 TB embedding near-dup path: sign-LSH bucketize (a pure scan
+    expression, operators/ann.py:45-53), then run the exact block-GEMM only
+    WITHIN each bucket. Global cost drops from O(n²) to Σ_b O(n_b²) — with
+    2^n_planes well-mixed buckets that is a ~2^n_planes× pair reduction, and
+    the block-pair join becomes an equi-join on the bucket id (one shuffle
+    keyed by a small int, never a global cross join).
+
+    APPROXIMATE by construction: a pair is compared only if both rows land in
+    the same bucket. For cosine near-dups this is exactly the sign-LSH
+    collision guarantee — P(same bucket) = (1 - θ/π)^n_planes, so at
+    threshold 0.45 (θ≈63°) with 4 planes expected recall ≈ 0.65²·… ≈ 0.41 per
+    single table; raise recall by unioning several plane sets (each pass is
+    independent) or lowering n_planes. Scores of emitted pairs are BIT-EXACT
+    equal to :func:`embedding_near_dup` — same kernel, same fold order — so
+    the output is a strict subset of the exact result (verified in
+    tests/test_dedup.py parity test).
+
+    ≙ the role hnswlib plays in the reference (ann.py:21-102) re-expressed as
+    batch DataFrame ops per BASELINE.json."""
+    from . import ann as A
+
+    m = metric.lower()
+    if m not in V.SUPPORTED_METRICS:
+        raise ValueError(f"Unknown metric: {metric!r}. Supported: {V.SUPPORTED_METRICS}")
+    src = df.select(
+        F.col(id_col).alias("id"),
+        V.as_double(vector_col).alias("v"),
+        A.bucket_expr(vector_col, planes).alias("bkt"),
+    )
+    packed = (
+        src.withColumn(
+            "blk", F.pmod(F.hash("id"), F.lit(blocks_per_bucket)).cast("int")
+        )
+        .groupBy("bkt", "blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+    )
+    pairs = (
+        packed.alias("a")
+        .join(
+            packed.alias("b"),
+            (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.blk") <= F.col("b.blk")),
+        )
+        .select(
+            (F.col("a.blk") == F.col("b.blk")).alias("same"),
+            F.col("a.rows").alias("rows_a"),
+            F.col("b.rows").alias("rows_b"),
+        )
+    )
+    return pairs.mapInPandas(
+        _make_block_scorer(m, float(threshold)), "id_a long, id_b long, score double"
+    )

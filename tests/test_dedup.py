@@ -206,3 +206,41 @@ def test_embedding_near_dup_blocked_n_rows_hint_same_result(spark, sf_dir):
               for r in D.embedding_near_dup_blocked(
                   emb, threshold=0.45, n_rows=150, block_size=32).collect()}
     assert default == hinted
+
+
+def test_embedding_near_dup_bucketed_subset_of_exact(spark, sf_dir):
+    """Bucketed pairs must be a strict subset of the exact all-pairs result
+    with BIT-EXACT scores; report recall (the documented LSH tradeoff)."""
+    from educational_vector_database_spark.operators import ann as A
+    from educational_vector_database_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    planes = A.hyperplanes(64, 4)
+    exact = {(r.id_a, r.id_b): r.score for r in
+             D.embedding_near_dup(emb, threshold=0.45).collect()}
+    bucketed = {(r.id_a, r.id_b): r.score for r in
+                D.embedding_near_dup_bucketed(emb, planes, threshold=0.45).collect()}
+    assert set(bucketed) <= set(exact)
+    assert all(exact[k] == bucketed[k] for k in bucketed)  # bit-exact
+
+
+def test_embedding_near_dup_bucketed_finds_near_identical(spark):
+    """Near-identical vectors (theta ~ 0) collide in the same sign-LSH bucket
+    with probability ~(1-theta/pi)^4 ~ 1, so the bucketed path must find ALL
+    planted high-similarity duplicates — the actual dedup workload (threshold-
+    boundary pairs at cos 0.45 collide only ~18%, by design)."""
+    import numpy as np
+
+    from educational_vector_database_spark.operators import ann as A
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + rng.randn(16) * 1e-3]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    planes = A.hyperplanes(16, 4)
+    got = {(r.id_a, r.id_b) for r in
+           D.embedding_near_dup_bucketed(df, planes, threshold=0.999).collect()}
+    assert got == {(2 * i, 2 * i + 1) for i in range(20)}
