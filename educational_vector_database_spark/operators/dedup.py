@@ -122,6 +122,19 @@ def minhash_signatures(
     md5 = hashlib.md5
 
     def run(batches):
+        # shingle -> base-hash memo shared across docs in this worker: char
+        # k-grams repeat heavily corpus-wide (distinct grams ≪ occurrences),
+        # so memoizing cuts the md5 work several-fold at no semantic change.
+        memo: dict[str, int] = {}
+
+        def bh(s):
+            v = memo.get(s)
+            if v is None:
+                v = memo[s] = (
+                    int(md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_BASE
+                )
+            return v
+
         for pdf in batches:
             out = []
             for sh in pdf[shingles_col]:
@@ -129,12 +142,7 @@ def minhash_signatures(
                     out.append(np.full(num_hashes, MINHASH_P))
                     continue
                 hv = np.fromiter(
-                    (
-                        int(md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_BASE
-                        for s in sh
-                    ),
-                    dtype=np.int64,
-                    count=len(sh),
+                    (bh(s) for s in sh), dtype=np.int64, count=len(sh)
                 )[:, None]
                 out.append(((av * hv + bv) % MINHASH_P).min(axis=0))
             cols = {id_col: pdf[id_col]}
@@ -147,6 +155,89 @@ def minhash_signatures(
     return df.select(id_col, shingles_col).mapInPandas(
         run, f"{id_col} long{passthrough}, sig array<long>"
     )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a NARROW input up to the session's default parallelism
+    before a Python-kernel stage. A small corpus often arrives as 1-2 parquet
+    splits, which would serialize the mapInPandas work onto one worker; the
+    shuffle moved is tiny (the narrow projection). A corpus already split
+    wider than the default parallelism (the 100 TB case) is left untouched —
+    no shuffle is added at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _uniq_shingles(t: str | None, k: int):
+    """Sorted unique char k-shingles as a NumPy ``S{k}`` array — element-for-
+    element equal (as byte strings) to functions/text.py char_shingles
+    (1-based substr(i, k) over sequence(1, greatest(1, len-k+1))) on the
+    ASCII-normalized text, and to the DuckDB oracle's substr comprehension.
+
+    Vectorized: sliding_window_view + np.unique run in C, so a 10 kB doc
+    costs one O(n log n) sort instead of 10k Python slice/set operations.
+    NULL -> empty array (matches the expression's null-filtered array);
+    '' -> [''] (substr of '' is ''). Short (<k) docs store their whole text;
+    NUL padding inside the S dtype cannot collide with real windows because
+    normalized text is NUL-free ASCII."""
+    import numpy as np
+
+    if t is None:
+        return np.empty(0, dtype=f"S{k}")
+    b = t.encode("utf-8")
+    if len(b) <= k:
+        return np.array([b], dtype=f"S{k}")
+    a = np.frombuffer(b, dtype=np.uint8)
+    w = np.ascontiguousarray(np.lib.stride_tricks.sliding_window_view(a, k))
+    return np.unique(w.view(f"S{k}").ravel())
+
+
+def _minhash_from_text(
+    norm: DataFrame, shingle_k: int, num_hashes: int, seed: int = 42
+) -> DataFrame:
+    """(id, t normalized) -> (id, t, sig): shingle by slicing + minhash in ONE
+    Arrow hop. Versus shipping shingle ARRAYS into minhash_signatures, the
+    transfer is ~k× smaller (k-grams overlap) and the interpreted
+    char_shingles expression leaves the hot path entirely; the math is the
+    same memoized md5 -> (a*x+b) mod p column-min, bit-identical to the SQL
+    oracle."""
+    import hashlib
+
+    import numpy as np
+
+    params = minhash_params(num_hashes, seed)
+    av = np.array([p[0] for p in params], dtype=np.int64)[None, :]
+    bv = np.array([p[1] for p in params], dtype=np.int64)[None, :]
+    md5 = hashlib.md5
+    k = shingle_k
+
+    def run(batches):
+        memo: dict[bytes, int] = {}
+
+        def bh(s: bytes) -> int:
+            v = memo.get(s)
+            if v is None:
+                v = memo[s] = int(md5(s).hexdigest()[:15], 16) % MINHASH_BASE
+            return v
+
+        for pdf in batches:
+            out = []
+            for t in pdf["t"]:
+                sh = _uniq_shingles(t, k)
+                if sh.size == 0:
+                    out.append(np.full(num_hashes, MINHASH_P))
+                    continue
+                # iterating an S-dtype array yields the shingle bytes (NUL
+                # padding stripped) == utf-8 of the substr shingle string
+                hv = np.fromiter(
+                    (bh(s) for s in sh), dtype=np.int64, count=sh.size
+                )[:, None]
+                out.append(((av * hv + bv) % MINHASH_P).min(axis=0))
+            yield pd.DataFrame({"id": pdf["id"], "t": pdf["t"], "sig": out})
+
+    return norm.select("id", "t").mapInPandas(run, "id long, t string, sig array<long>")
 
 
 def minhash_near_dup(
@@ -166,24 +257,28 @@ def minhash_near_dup(
     s=0.3 boilerplate-similarity pairs (the bulk of a template-heavy corpus)
     collide at only ~0.12, keeping the candidate set near-linear.
 
-    Pipeline: shingle (map) -> signature (map) -> explode bands (map) ->
-    groupBy (band_idx, band_key) collecting member ids -> generate in-bucket
-    pairs -> distinct candidate pairs -> join shingle arrays back -> exact
-    Jaccard filter. Returns ``(id_a, id_b, jaccard)`` with id_a < id_b.
+    Pipeline: normalize (expression) -> shingle+signature (one mapInPandas,
+    shingling by Python slicing — identical to substr semantics on the
+    ASCII-normalized text) -> explode bands -> groupBy (band_idx, band_key)
+    collecting member ids -> generate in-bucket pairs -> distinct candidate
+    pairs -> join the NORMALIZED TEXT back -> exact Jaccard verify (re-
+    shingles per pair in the kernel). Returns ``(id_a, id_b, jaccard)`` with
+    id_a < id_b.
 
-    The bucket group-by shuffles only (band_key, id) — ONE pass over the
-    expensive signature map (a self-join would compute it per side) and no
-    cached state. ``max_posting`` drops degenerate buckets bigger than the
-    cap (they would be quadratic and carry no signal)."""
+    Carrying text instead of shingle arrays is the scale choice: a k-gram
+    array is ~k× the text bytes, so the persist, the bucket shuffle feed and
+    both verify joins move ~5× less data, and the interpreted char_shingles
+    expression disappears from the hot path (re-slicing in the kernel is
+    cheaper than one Arrow transfer of the arrays). ``max_posting`` drops
+    degenerate buckets bigger than the cap (quadratic cost, no signal)."""
     n_bands = num_hashes // rows_per_band
-    sh_df = df.select(
-        F.col(id_col).alias("id"),
-        T.char_shingles(text_col, shingle_k).alias("sh"),
+    norm = _spread(
+        df.select(F.col(id_col).alias("id"), T.normalized_text(text_col).alias("t"))
     )
-    # (id, sh, sig) feeds three plan branches (banding + both verify joins);
+    # (id, t, sig) feeds three plan branches (banding + both verify joins);
     # persist the one expensive map instead of recomputing it per branch.
     # MEMORY_AND_DISK (default): at corpus scale this spills rather than evicts.
-    base = minhash_signatures(sh_df, num_hashes=num_hashes, keep_shingles=True).persist()
+    base = _minhash_from_text(norm, shingle_k, num_hashes).persist()
 
     bands = base.select(
         "id",
@@ -224,32 +319,44 @@ def minhash_near_dup(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    # equi-joins on id: AQE broadcasts the shingle side when it is small and
+    # equi-joins on id: AQE broadcasts the text side when it is small and
     # falls back to shuffle join at corpus scale (no forced-broadcast hint —
-    # the shingle table is linear in corpus size). The Jaccard itself runs
-    # vectorized in mapInPandas: Python set intersection is ~10x the
-    # interpreted array_intersect expression, and |A∪B| = |A|+|B|-|A∩B| so
-    # one set op per pair. Integer sizes -> double at the end: exact, order-
-    # free, bit-identical to the SQL oracle.
-    sh = base.select("id", "sh")
+    # the text table is linear in corpus size). The Jaccard itself runs
+    # vectorized in mapInPandas: each pair re-shingles by slicing (identical
+    # sets to the signature stage) and |A∪B| = |A|+|B|-|A∩B| so one set op
+    # per pair. Integer sizes -> double at the end: exact, order-free,
+    # bit-identical to the SQL oracle.
+    txt = base.select("id", "t")
     pairs = cand.join(
-        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        txt.select(F.col("id").alias("id_a"), F.col("t").alias("t_a")), "id_a"
     ).join(
-        sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        txt.select(F.col("id").alias("id_b"), F.col("t").alias("t_b")), "id_b"
     )
     thr = float(threshold)
+    k = shingle_k
 
     def jaccard(batches):
+        # a doc appears in MANY candidate pairs (avg pair fan-out ≫ 1), so
+        # shingle each distinct doc once per worker and keep the python-set
+        # form for O(min(|A|,|B|)) C-dict intersections
+        memo: dict[int, frozenset] = {}
+
+        def sh_of(i: int, t) -> frozenset:
+            v = memo.get(i)
+            if v is None:
+                v = memo[i] = frozenset(_uniq_shingles(t, k).tolist())
+            return v
+
         for pdf in batches:
             ida, idb, jc = [], [], []
-            for a, b, sa, sb in zip(
-                pdf["id_a"], pdf["id_b"], pdf["sh_a"], pdf["sh_b"]
+            for a, b, ta, tb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["t_a"], pdf["t_b"]
             ):
-                # NULL/empty shingle arrays are reachable (empty docs share a
-                # sentinel signature, so they DO become candidates): treat as
-                # empty sets and skip zero-union pairs instead of dividing 0/0
-                x = set(sa) if sa is not None else set()
-                y = set(sb) if sb is not None else set()
+                # NULL texts shingle to the empty set yet share the sentinel
+                # signature, so they DO become candidates: skip zero-union
+                # pairs instead of dividing 0/0
+                x = sh_of(a, ta)
+                y = sh_of(b, tb)
                 c = len(x & y)
                 u = len(x) + len(y) - c
                 if u == 0:
@@ -390,24 +497,44 @@ def simhash_signatures(
     md5 = hashlib.md5
 
     def run(batches):
+        # token -> 8-byte digest memo, shared across every doc this worker
+        # sees: corpus vocabulary is tiny next to total token occurrences
+        # (Zipf), so this cuts md5 calls ~10-20x. Bounded: natural-language
+        # vocabularies are millions of entries at most (~100 MB worst case).
+        memo: dict[str, bytes] = {}
+
+        def h8(t):
+            d = memo.get(t)
+            if d is None:
+                d = memo[t] = md5(t.encode("utf-8")).digest()[:8]
+            return d
+
         for pdf in batches:
             out = []
+            out64 = []
             for toks in pdf[tokens_col]:
                 n = len(toks)
                 if n == 0:
                     out.append("0" * 16)
+                    out64.append(0)
                     continue
                 raw = np.frombuffer(
-                    b"".join(md5(t.encode("utf-8")).digest()[:8] for t in toks),
-                    dtype=np.uint8,
+                    b"".join(h8(t) for t in toks), dtype=np.uint8
                 ).reshape(n, 8)
                 ones = np.unpackbits(raw, axis=1).sum(axis=0)  # (64,) MSB-first
                 maj = (ones * 2 > n).astype(np.uint8)
-                nibbles = np.packbits(maj).reshape(8)  # bytes, 2 nibbles each
-                out.append("".join(f"{b:02x}" for b in nibbles))
-            yield pd.DataFrame({id_col: pdf[id_col], "sh": out})
+                packed = np.packbits(maj).reshape(8).tobytes()  # 8 bytes, MSB first
+                out.append(packed.hex())
+                # the SAME 64 bits as a signed int64: banding keys become
+                # shift/mask ints and hamming one bit_count(xor) downstream
+                out64.append(int.from_bytes(packed, "big", signed=True))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sh": out, "sh64": out64}
+            ).astype({"sh64": "int64"})
 
-    return df.select(id_col, tokens_col).mapInPandas(run, f"{id_col} long, sh string")
+    return df.select(id_col, tokens_col).mapInPandas(
+        run, f"{id_col} long, sh string, sh64 long"
+    )
 
 
 def simhash_near_dup(
@@ -423,10 +550,11 @@ def simhash_near_dup(
     pair within hamming 3 agrees on at least one full band, so the 4-way
     band equi-join has EXACT recall for the declared radius — this is the
     standard web-scale simhash join (Manku et al., WWW'07), expressed as one
-    band group-by + in-bucket pair generation (signatures computed ONCE;
-    sh rides in the bucket struct so verification joins nothing back).
-    Verify computes true hamming via nibble XOR popcounts. Returns
-    ``(id_a, id_b, hamming)``.
+    band group-by + in-bucket pair generation (signatures computed ONCE; the
+    int64 signature rides in the bucket struct so verification joins nothing
+    back). Band keys are shift/mask ints of the packed int64 signature and
+    verify is ONE ``bit_count(xor)`` per pair — not 16 per-nibble string ops.
+    Returns ``(id_a, id_b, hamming)``.
 
     ``max_posting`` caps bucket size exactly like minhash's: one degenerate
     band key (e.g. every empty doc simhashes to ``0000``) would otherwise
@@ -434,22 +562,30 @@ def simhash_near_dup(
     pair agreeing ONLY on over-cap bands is missed — but an over-cap band
     value is shared by >max_posting docs, i.e. it is a degenerate band
     carrying no near-dup signal, the same argument as ngram's stop-gram cap."""
+    src = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
     base = simhash_signatures(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(F.split(T.normalized_text(text_col), " ")).alias("toks"),
+        src.select(
+            "id",
+            F.array_distinct(F.split(T.normalized_text("__t"), " ")).alias("toks"),
         )
     )
     bands = base.select(
         "id",
-        "sh",
+        "sh64",
         F.posexplode(
-            F.array(*[F.substring("sh", 4 * b + 1, 4) for b in range(4)])
+            F.array(
+                *[
+                    F.shiftrightunsigned("sh64", 48 - 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .cast("int")
+                    for b in range(4)
+                ]
+            )
         ).alias("band_idx", "band_key"),
     )
     buckets = (
         bands.groupBy("band_idx", "band_key")
-        .agg(F.collect_list(F.struct("id", "sh")).alias("ms"))
+        .agg(F.collect_list(F.struct("id", "sh64")).alias("ms"))
         .filter((F.size("ms") >= 2) & (F.size("ms") <= max_posting))
     )
     pair_struct = T._bind(
@@ -462,29 +598,26 @@ def simhash_near_dup(
                     lambda y: F.struct(
                         x.id.alias("id_a"),
                         y.id.alias("id_b"),
-                        x.sh.alias("sh_a"),
-                        y.sh.alias("sh_b"),
+                        x.sh64.alias("a64"),
+                        y.sh64.alias("b64"),
                     ),
                 ),
             )
         ),
     )
-    cand = (
-        buckets.select(F.explode(pair_struct).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
-        .distinct()
-    )
-    ham = sum(
-        F.bit_count(
-            _nibble_value(F.substring("sh_a", p + 1, 1)).bitwiseXOR(
-                _nibble_value(F.substring("sh_b", p + 1, 1))
-            )
-        )
-        for p in range(16)
-    )
+    # Verify BEFORE dedup: hamming is one codegen'd bit_count(xor) per row,
+    # so computing it on the (≤4x duplicated) candidate stream is nearly
+    # free, and the global distinct then shuffles (id_a, id_b, hamming) —
+    # three narrow ints already filtered to true near-dups — instead of wide
+    # rows carrying two 16-char signatures. Exact regardless of which band(s)
+    # produced a pair.
+    ham = F.bit_count(F.col("a64").bitwiseXOR(F.col("b64")))
     return (
-        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        buckets.select(F.explode(pair_struct).alias("p"))
+        .select("p.id_a", "p.id_b", "p.a64", "p.b64")
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -634,12 +767,19 @@ def embedding_near_dup_blocked(
     src = df.select(F.col(id_col).alias("id"), V.as_double(vector_col).alias("v"))
     # The RESULT is independent of the blocking (every pair is scored exactly
     # once either way), so n_blocks only tunes granularity. Prefer a caller
-    # hint; otherwise derive from the partition count — a lineage-only lookup,
-    # NOT an eager count() job (the old behavior ran one extra full pass).
+    # hint; otherwise derive from lineage-only metadata, NOT an eager count()
+    # job (the old behavior ran one extra full pass): subdividing each input
+    # partition ~8x bounds a block at ~1/8 of a partition (≈16 MB of vectors
+    # under default maxPartitionBytes — safe for one collect_list cell), and
+    # the defaultParallelism floor keeps small inputs wide enough to use
+    # every core.
     if n_rows is not None:
         n_blocks = max(1, math.ceil(n_rows / block_size))
     else:
-        n_blocks = max(1, src.rdd.getNumPartitions())
+        n_blocks = max(
+            src.rdd.getNumPartitions() * 8,
+            df.sparkSession.sparkContext.defaultParallelism,
+        )
     packed = (
         src.withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)).cast("int"))
         .groupBy("blk")
