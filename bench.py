@@ -49,6 +49,11 @@ HEADLINE = [
     "doc_quality",
     "lang_id_eval",
     "label_centroids",
+    # round 2 additions: the declared 100 TB dedup path, persistence parity,
+    # and the as-of join (events read fix made it portable)
+    "neardup_embedding_bucketed",
+    "store_roundtrip",
+    "events_asof",
 ]
 
 

