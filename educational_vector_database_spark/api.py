@@ -43,6 +43,8 @@ class VectorDB:
         df: DataFrame | None = None,
         id_col: str = "vec_id",
         vector_col: str = "embedding",
+        use_approx: bool = False,
+        n_cells: int = 16,
     ):
         if metric.lower() not in V.SUPPORTED_METRICS:
             raise ValueError(f"Unknown metric: {metric!r}")
@@ -52,6 +54,12 @@ class VectorDB:
         self.embeddings = embeddings
         self.id_col = id_col
         self.vector_col = vector_col
+        # ≙ reference use_ann (api.py:26-35): approximate reads served from a
+        # lazily (re)built cached index; stale after appends, rebuilt on the
+        # next search — never on the write path.
+        self.use_approx = use_approx
+        self._ivf = None
+        self._n_cells = n_cells
         self._df = df if df is not None else spark.createDataFrame(
             [], f"{id_col} bigint, {vector_col} array<double>, text string"
         )
@@ -99,6 +107,19 @@ class VectorDB:
 
     def search_vector(self, query_vector: Sequence[float], k: int = 5) -> DataFrame:
         extra = [c for c in self._df.columns if c not in (self.id_col, self.vector_col)]
+        if self.use_approx:
+            from .operators.ann import IVFIndex
+
+            if self._ivf is None:
+                self._ivf = IVFIndex(
+                    n_cells=self._n_cells, metric=self.metric,
+                    vector_col=self.vector_col, id_col=self.id_col,
+                )
+            # ensure() embeds the reference's lazy-rebuild contract: appends
+            # since the last build make the index stale; the SEARCH pays the
+            # rebuild (ref api.py:42-62), not the write.
+            self._ivf.ensure(self._df)
+            return self._ivf.query(self._df, query_vector, k=k)
         return K.knn(
             self._df, query_vector, k=k, metric=self.metric,
             vector_col=self.vector_col, id_col=self.id_col, extra_cols=extra,
@@ -161,7 +182,7 @@ class VectorDB:
         storemod.save(
             self._df, path,
             StoreConfig(
-                dim=self.dim, metric=self.metric,
+                dim=self.dim, metric=self.metric, use_approx=self.use_approx,
                 embeddings_class=type(self.embeddings).__name__ if self.embeddings else None,
                 id_col=self.id_col, vector_col=self.vector_col,
             ),
@@ -178,4 +199,5 @@ class VectorDB:
         return cls(
             spark, dim=cfg.dim, metric=cfg.metric, embeddings=embeddings,
             df=df, id_col=cfg.id_col, vector_col=cfg.vector_col,
+            use_approx=cfg.use_approx,
         )

@@ -150,6 +150,116 @@ def train_ivf_centroids(
     )
 
 
+class IVFIndex:
+    """Cached batch IVF index with LAZY rebuild and explicit invalidation —
+    the Spark analog of the reference's ANN orchestration (ref api.py:42-62
+    ``_maybe_init_ann``: rebuild when the indexed size no longer matches the
+    corpus; ref api.py:35 ``ann_index = None`` is the invalidated state).
+
+    The "index" is the corpus with a ``centroid_id`` column, persisted
+    (MEMORY_AND_DISK, spills at scale); centroids live driver-side (O(cells)).
+    ``query`` probes the ``nprobe`` nearest cells only — with the assignment
+    cached, a probe scans ~nprobe/n_cells of the corpus and shuffles nothing.
+
+    Staleness contract mirrors the reference: the index remembers how many
+    rows it indexed; ``ensure(df)`` rebuilds iff the corpus row count moved
+    (one cheap count() per ensure — the reference's ``get_all()`` equivalent).
+    ``invalidate()`` is the explicit cache-invalidate op: unpersists and
+    drops state, so the next query rebuilds."""
+
+    def __init__(
+        self,
+        n_cells: int = 16,
+        metric: str = "cosine",
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+        seed: int = LSH_SEED,
+    ):
+        self.n_cells = n_cells
+        self.metric = metric
+        self.vector_col = vector_col
+        self.id_col = id_col
+        self.seed = seed
+        self._assigned: DataFrame | None = None
+        self._centroids: list[tuple[int, list[float]]] | None = None
+        self._indexed_rows = -1
+
+    # -- build / invalidate (≙ _maybe_init_ann / ann_index = None) -----------
+
+    def build(self, df: DataFrame) -> "IVFIndex":
+        """(Re)build: train centroids, assign cells, persist the assignment.
+        The count() both materializes the cache and records the indexed size
+        used by the staleness check."""
+        self.invalidate()
+        cents_df = train_ivf_centroids(
+            df, self.n_cells, vector_col=self.vector_col, seed=self.seed
+        )
+        self._centroids = [
+            (int(r.centroid_id), [float(x) for x in r.centroid])
+            for r in cents_df.collect()
+        ]
+        assigned = ivf_assign(df, cents_df, vector_col=self.vector_col).persist()
+        self._indexed_rows = assigned.count()
+        self._assigned = assigned
+        return self
+
+    def invalidate(self) -> None:
+        """Explicit cache invalidation: the next ensure()/query() rebuilds."""
+        if self._assigned is not None:
+            self._assigned.unpersist()
+        self._assigned = None
+        self._centroids = None
+        self._indexed_rows = -1
+
+    def is_stale(self, df: DataFrame) -> bool:
+        """≙ reference ``ann_index is None or _ann_index_size != n_vectors``."""
+        return self._assigned is None or df.count() != self._indexed_rows
+
+    def ensure(self, df: DataFrame) -> "IVFIndex":
+        """Lazy rebuild orchestration (reference rebuilds on access, not on
+        write): cheap no-op when fresh, full rebuild when the corpus moved."""
+        if self.is_stale(df):
+            self.build(df)
+        return self
+
+    # -- read path ------------------------------------------------------------
+
+    def _probe_cells(self, query_vector: Sequence[float], nprobe: int) -> list[int]:
+        """Driver-side nearest-centroid ranking, same euclidean fold order as
+        the executor-side assignment expression."""
+        qv = [float(x) for x in query_vector]
+
+        def dist(c):
+            s = 0.0
+            for a, b in zip(qv, c):
+                d = a - b
+                s += d * d
+            return s
+
+        ranked = sorted(self._centroids, key=lambda t: (dist(t[1]), t[0]))
+        return [cid for cid, _ in ranked[:nprobe]]
+
+    def query(
+        self,
+        df: DataFrame,
+        query_vector: Sequence[float],
+        k: int = 5,
+        nprobe: int = 1,
+    ) -> DataFrame:
+        """Approximate kNN: exact search restricted to the nprobe nearest
+        cells of the cached assignment. Lazily rebuilds first if stale."""
+        self.ensure(df)
+        probe = self._probe_cells(query_vector, nprobe)
+        return K.knn(
+            self._assigned.filter(F.col("centroid_id").isin(probe)),
+            query_vector,
+            k=k,
+            metric=self.metric,
+            vector_col=self.vector_col,
+            id_col=self.id_col,
+        )
+
+
 def brp_lsh_join(
     df: DataFrame,
     threshold: float,

@@ -120,3 +120,55 @@ def test_ivf_assign_tie_breaks_to_lowest_centroid(spark):
         [(1, [0.0, 1.0]), (0, [1.0, 0.0])], "centroid_id: int, centroid: array<double>"
     )
     assert A.ivf_assign(df, cents).head().centroid_id == 0
+
+
+def test_ivf_index_lazy_rebuild_and_invalidate(spark, sf_dir):
+    """I2 lifecycle: build caches the assignment; appends make it stale; the
+    NEXT query rebuilds (lazy, read-path — ref api.py:42-62); invalidate()
+    is the explicit cache-drop."""
+    emb = _emb(spark, sf_dir).limit(100)
+    idx = A.IVFIndex(n_cells=4)
+    idx.build(emb)
+    assert not idx.is_stale(emb)
+    got = idx.query(emb, _qv(spark, sf_dir, 3), k=5).collect()
+    assert len(got) == 5
+
+    grown = emb.unionByName(
+        emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    )
+    assert idx.is_stale(grown)          # size moved -> stale
+    got2 = idx.query(grown, _qv(spark, sf_dir, 3), k=5).collect()  # lazy rebuild
+    assert not idx.is_stale(grown)
+    assert len(got2) == 5
+
+    idx.invalidate()
+    assert idx.is_stale(grown)
+
+
+def test_ivf_index_query_subset_of_exact_with_equal_scores(spark, sf_dir):
+    emb = _emb(spark, sf_dir).limit(200)
+    qv = _qv(spark, sf_dir, 7)
+    idx = A.IVFIndex(n_cells=4).build(emb)
+    exact = {r.vec_id: r.score for r in K.knn(emb, qv, k=200).collect()}
+    for r in idx.query(emb, qv, k=5, nprobe=2).collect():
+        assert abs(exact[r.vec_id] - r.score) < 1e-12
+
+
+def test_vectordb_use_approx_lifecycle(spark):
+    import numpy as np
+
+    from educational_vector_database_spark.api import VectorDB
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)], None) for i in range(60)]
+    db = VectorDB(spark, dim=8, use_approx=True, n_cells=2)
+    db.add_vectors(spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, text: string"))
+    q = rows[5][1]
+    got = db.search_vector(q, k=3).collect()
+    assert got[0].vec_id == 5  # query vector's own row lands in its own cell
+    # append -> stale -> next search lazily rebuilds and can see new rows
+    db.add_vectors(spark.createDataFrame(
+        [(999, q, None)], "vec_id: long, embedding: array<double>, text: string"))
+    ids = {r.vec_id for r in db.search_vector(q, k=3).collect()}
+    assert 999 in ids
