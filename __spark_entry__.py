@@ -1096,6 +1096,63 @@ _ORDERS_ROLLUP_ORACLE = """
 """
 
 
+# --- deterministic sampling (training-pipeline curation ops) ----------------
+
+#: DuckDB replica of operators/sample.py _hash_bucket (salt '')
+_HASH_BUCKET_SQL = (
+    "(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15))::BIGINT % 1000000)"
+)
+
+
+def _docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language reservoir: 20 docs per lang in md5-hash
+    order — same rows on any cluster layout, any engine (the property
+    partition-RNG df.sample cannot give)."""
+    from educational_vector_database_spark.operators import sample as SM
+
+    return SM.stratified_sample(
+        _docs(spark, sf_dir), "lang", 20, "doc_id"
+    ).select("doc_id", "lang", "sample_rank")
+
+
+_DOCS_SAMPLE_ORACLE = f"""
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (
+                PARTITION BY lang
+                ORDER BY {_HASH_BUCKET_SQL.format(k="doc_id")} ASC, doc_id ASC
+           ) AS INT) AS sample_rank
+    FROM documents
+    QUALIFY sample_rank <= 20
+"""
+
+
+def _docs_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout from complementary ranges of one hash: the id_sum
+    checksums prove the split is disjoint and exhaustive (train+holdout
+    reconstruct the corpus exactly)."""
+    from educational_vector_database_spark.operators import sample as SM
+
+    train, hold = SM.split_train_holdout(_docs(spark, sf_dir), "doc_id", 0.1)
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        ).select(F.lit(name).alias("split"), "n_docs", "id_sum")
+
+    return tag(train, "train").unionByName(tag(hold, "holdout"))
+
+
+_DOCS_SPLIT_ORACLE = f"""
+    SELECT CASE WHEN {_HASH_BUCKET_SQL.format(k="doc_id")} < 100000
+                THEN 'holdout' ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY split
+"""
+
+
 # --- multimodal -------------------------------------------------------------
 # The synth corpus (multimodal.synth_media) is seeded per media_id, so the
 # expected outputs are precomputable driver-side into VALUES-literal oracles —
@@ -1243,6 +1300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "lang_id_eval": _lang_id_eval,
+        "docs_sample_stratified": _docs_sample_stratified,
+        "docs_split_sizes": _docs_split_sizes,
         "media_image_features": _media_image_features,
         "media_frame_sample": _media_frame_sample,
         "media_stats": _media_stats,
@@ -1430,6 +1489,8 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": _label_centroids_oracle(),
         "doc_fingerprint": _DOC_FP_ORACLE,
         "events_tumbling": _EVENTS_TUMBLING_ORACLE,
+        "docs_sample_stratified": _DOCS_SAMPLE_ORACLE,
+        "docs_split_sizes": _DOCS_SPLIT_ORACLE,
         "media_image_features": _media_image_features_oracle(),
         "media_frame_sample": _media_frame_sample_oracle(),
         "media_stats": _media_stats_oracle(),

@@ -54,6 +54,7 @@ HEADLINE = [
     "neardup_embedding_bucketed",
     "store_roundtrip",
     "events_asof",
+    "docs_sample_stratified",
 ]
 
 

@@ -1,0 +1,85 @@
+"""Deterministic sampling — training-data pipeline operators.
+
+The reference has no sampling surface (it serves search, not corpus
+curation), but a 100 TB training pipeline needs reproducible subsets:
+splits must be stable across reruns, machines, and engines, which rules out
+``df.sample`` (partition-RNG: result changes with partitioning). Everything
+here keys off a cross-engine content hash (md5 — the same primitive as
+functions/text.py fingerprint64), so a row's membership is a pure function
+of its id: re-running on a different cluster layout, or in DuckDB, selects
+the SAME rows.
+
+Scale shape:
+
+- ``hash_fraction_sample`` — a scan-side predicate: no shuffle, no state,
+  pushes through column pruning; sampling 1% of 100 TB reads row groups and
+  drops rows in the scan stage.
+- ``stratified_sample`` — top-N per group in hash order via one window over
+  the group key: a single Exchange on the group column; skewed groups cost
+  their own size, nothing more (rank is computed per group, not globally).
+- ``split_train_holdout`` — two complementary hash-range predicates from ONE
+  hash value: train/holdout are disjoint and exhaustive BY CONSTRUCTION, the
+  property a per-split ``sample()`` cannot give.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Hash-space denominator: membership thresholds are integers out of this,
+#: so fractions are exact (no float-boundary drift between engines).
+DENOM = 1_000_000
+
+
+def _hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Uniform bucket in [0, DENOM) from a cross-engine content hash:
+    first 15 hex digits of md5(salt || key) as BIGINT, mod DENOM. The salt
+    decorrelates independent samples drawn over the same key space."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(DENOM))
+
+
+def hash_fraction_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically: a row survives iff
+    hash(key) mod DENOM < fraction*DENOM. Pure scan-side predicate."""
+    thresh = int(round(float(fraction) * DENOM))
+    return df.filter(_hash_bucket(key_col, salt) < thresh)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly min(n, |group|) rows per group, chosen in hash order —
+    a deterministic reservoir: stable under reruns AND under corpus appends
+    that don't change the top-n hash ranks of a group. Adds ``sample_rank``
+    (1-based within the group). Ties (hash collisions) break by key."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(_hash_bucket(key_col, salt).asc(), F.col(key_col).asc())
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= n_per_group)
+    )
+
+
+def split_train_holdout(
+    df: DataFrame, key_col: str, holdout_fraction: float, salt: str = ""
+) -> tuple[DataFrame, DataFrame]:
+    """(train, holdout) from complementary ranges of ONE hash: disjoint and
+    exhaustive by construction — the contamination-free split a training
+    pipeline needs (a holdout row can never also train, even across reruns
+    or engines)."""
+    thresh = int(round(float(holdout_fraction) * DENOM))
+    b = _hash_bucket(key_col, salt)
+    return df.filter(b >= thresh), df.filter(b < thresh)
