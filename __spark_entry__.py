@@ -964,6 +964,62 @@ _EVENTS_TUMBLING_ORACLE = """
 # --- streaming pipeline under the batch oracle -------------------------------
 
 
+def _stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregate run as a STREAMING job (file source over
+    events.parquet, availableNow drain) and checked against the SAME oracle
+    as the batch twin ``events_tumbling`` — the unified-semantics claim for
+    windowed aggregation, proven through the value-hash gate.
+
+    Sink choice: memory + complete mode, because an append-mode drain only
+    emits windows the final watermark has passed — the trailing windows would
+    be held in state and the batch comparison would fail. Complete mode
+    emits the full result table; production would run update mode into a
+    keyed sink instead (the aggregation plan is identical)."""
+    import uuid
+
+    from educational_vector_database_spark.streaming import windows as W
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    e = W.with_event_time(stream)
+    agg = (
+        e.withWatermark("event_time", "2 hours")
+        .groupBy(F.window("event_time", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+            "min_value",
+            "max_value",
+        )
+    )
+    table = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
 def _stream_ingest_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The chunk+embed pipeline run as a Structured Streaming job (file
     source over documents.parquet, availableNow drain to a parquet sink),
@@ -1232,6 +1288,85 @@ def _media_frame_sample_oracle() -> str:
     """
 
 
+def _media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio PCM windowed features (rms mean/std, zero-cross rate, peak),
+    exploded to scalar rows; oracle re-derives from the seeded generator."""
+    from educational_vector_database_spark import multimodal as M
+
+    return M.audio_features(M.synth_media(spark)).select(
+        "media_id", F.posexplode("embedding").alias("feat_idx", "value")
+    )
+
+
+def _media_audio_features_oracle() -> str:
+    import numpy as np
+
+    rows = []
+    for mid in range(_MEDIA_N_IMAGES, _MEDIA_N_IMAGES + _MEDIA_N_AUDIO):
+        rng = np.random.RandomState(mid % (2**31))
+        pcm = (rng.randn(_MEDIA_NSAMP) * 3000).astype(np.int16).astype(np.float64)
+        win = max(1, _MEDIA_SR * 25 // 1000)
+        n_win = max(1, len(pcm) // win)
+        frames = pcm[: n_win * win].reshape(n_win, win)
+        rms = np.sqrt((frames**2).mean(axis=1))
+        zc = float((np.diff(np.signbit(pcm)) != 0).mean()) if len(pcm) > 1 else 0.0
+        feats = [
+            float(rms.mean()),
+            float(rms.std()),
+            zc,
+            float(np.abs(pcm).max() if len(pcm) else 0.0),
+        ]
+        rows.extend(
+            f"({mid}, {i}, CAST('{x!r}' AS DOUBLE))" for i, x in enumerate(feats)
+        )
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(feat_idx AS INT) AS feat_idx, value
+        FROM (VALUES {", ".join(rows)}) AS t(media_id, feat_idx, value)
+    """
+
+
+_RESIZE_W, _RESIZE_H = 8, 6
+
+
+def _media_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize of every image, checksummed (length + md5 of
+    the raw payload — the full buffer is pinned by the hash)."""
+    from educational_vector_database_spark import multimodal as M
+
+    r = M.resize_images(M.synth_media(spark), out_w=_RESIZE_W, out_h=_RESIZE_H)
+    return r.select(
+        "media_id",
+        F.length("content").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+def _media_resize_checksum_oracle() -> str:
+    import hashlib
+
+    import numpy as np
+
+    rows = []
+    for mid in range(_MEDIA_N_IMAGES):
+        rng = np.random.RandomState(mid % (2**31))
+        img = (
+            rng.randint(0, 256, _MEDIA_W * _MEDIA_H * _MEDIA_C, dtype=np.uint8)
+            .reshape(_MEDIA_H, _MEDIA_W, _MEDIA_C)
+        )
+        yi = (np.arange(_RESIZE_H) * _MEDIA_H) // _RESIZE_H
+        xi = (np.arange(_RESIZE_W) * _MEDIA_W) // _RESIZE_W
+        small = img[yi][:, xi]
+        buf = small.tobytes()
+        rows.append(f"({mid}, {len(buf)}, '{hashlib.md5(buf).hexdigest()}')")
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(n_bytes AS INT) AS n_bytes,
+               content_md5
+        FROM (VALUES {", ".join(rows)}) AS t(media_id, n_bytes, content_md5)
+    """
+
+
 def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from educational_vector_database_spark import multimodal as M
 
@@ -1305,11 +1440,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": _media_image_features,
         "media_frame_sample": _media_frame_sample,
         "media_stats": _media_stats,
+        "media_audio_features": _media_audio_features,
+        "media_resize_checksum": _media_resize_checksum,
         "ivf_cells": _ivf_cells,
         "knn_ivf": _knn_ivf,
         "events_asof": _events_asof,
         "orders_rollup": _orders_rollup,
         "stream_ingest_chunks": _stream_ingest_chunks,
+        "stream_events_tumbling": _stream_events_tumbling,
         "label_centroids": _label_centroids,
         "doc_fingerprint": _doc_fingerprint,
         "events_tumbling": _events_tumbling,
@@ -1486,6 +1624,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": _EVENTS_ASOF_ORACLE,
         "orders_rollup": _ORDERS_ROLLUP_ORACLE,
         "stream_ingest_chunks": _stream_ingest_oracle(),
+        "stream_events_tumbling": _EVENTS_TUMBLING_ORACLE,
         "label_centroids": _label_centroids_oracle(),
         "doc_fingerprint": _DOC_FP_ORACLE,
         "events_tumbling": _EVENTS_TUMBLING_ORACLE,
@@ -1494,4 +1633,6 @@ def oracle_sql() -> dict[str, str]:
         "media_image_features": _media_image_features_oracle(),
         "media_frame_sample": _media_frame_sample_oracle(),
         "media_stats": _media_stats_oracle(),
+        "media_audio_features": _media_audio_features_oracle(),
+        "media_resize_checksum": _media_resize_checksum_oracle(),
     }

@@ -286,13 +286,20 @@ def minhash_near_dup(
     base = _minhash_from_text(norm, shingle_k, num_hashes).persist()
     base.count()
 
+    # band key = STRUCT of the band's r signature values: groupBy hashes /
+    # shuffles 8r bytes per row instead of a ~70-char concat string, and no
+    # string materializes at all. Equality semantics identical (struct
+    # equality is fieldwise), so the candidate set is unchanged.
     bands = base.select(
         "id",
         F.posexplode(
             F.array(
                 *[
-                    F.concat_ws(
-                        "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    F.struct(
+                        *[
+                            F.col("sig")[b * rows_per_band + r].alias(f"h{r}")
+                            for r in range(rows_per_band)
+                        ]
                     )
                     for b in range(n_bands)
                 ]
