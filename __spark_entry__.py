@@ -592,6 +592,60 @@ def _orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_by_nation_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same aggregate through the SKEW path: orders⋈customer runs as a
+    salted join (random salt on the big side, small side replicated per
+    salt — operators/skew.py). Salt never reaches results, so this query
+    shares orders_by_nation's oracle verbatim: the hash gate proves the
+    skew tool is result-transparent."""
+    from educational_vector_database_spark.operators import skew as SK
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    joined = SK.salted_join(o, c.select("o_custkey", "c_nationkey"), "o_custkey")
+    return (
+        joined.join(F.broadcast(n), joined.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents("o_totalprice")).cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-hour event counts, one column per event type. The explicit
+    value list keeps the output schema static (a discovery pass over 100 TB
+    just to learn column names would be a full extra scan)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.withColumn(
+            "hour",
+            F.date_format(F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd HH"),
+        )
+        .groupBy("hour")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+_EVENTS_PIVOT_ORACLE = f"""
+    SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+           {", ".join(
+               f"count(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY hour
+"""
+
+
 def _top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -1429,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_bucket": _knn_lsh_bucket,
         "tpch_q1_pricing": _tpch_q1_pricing,
         "orders_by_nation": _orders_by_nation,
+        "orders_by_nation_salted": _orders_by_nation_salted,
+        "events_pivot": _events_pivot,
         "top_customers_per_nation": _top_customers_per_nation,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
@@ -1561,6 +1617,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
         """,
+        "orders_by_nation_salted": """
+            SELECT n.n_name,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "events_pivot": _EVENTS_PIVOT_ORACLE,
         "top_customers_per_nation": """
             WITH spend AS (
                 SELECT o_custkey,
