@@ -79,6 +79,10 @@ def main() -> int:
         df = qs[name](spark, sf_dir)
         df.collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Operators that persist() internally (minhash signature cache) can't
+        # unpersist their own lazy result; drop leftover blocks here so one
+        # query's cache residue doesn't distort the next query's timing.
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",

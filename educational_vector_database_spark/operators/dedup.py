@@ -24,6 +24,7 @@ signal anyway). AQE skew-join handles residual imbalance.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 import pandas as pd  # module-level so pandas_udf type hints resolve
@@ -780,19 +781,33 @@ def embedding_near_dup_blocked(
     src = df.select(F.col(id_col).alias("id"), V.as_double(vector_col).alias("v"))
     # The RESULT is independent of the blocking (every pair is scored exactly
     # once either way), so n_blocks only tunes granularity. Prefer a caller
-    # hint; otherwise derive from lineage-only metadata, NOT an eager count()
-    # job (the old behavior ran one extra full pass): subdividing each input
-    # partition ~8x bounds a block at ~1/8 of a partition (≈16 MB of vectors
-    # under default maxPartitionBytes — safe for one collect_list cell), and
-    # the defaultParallelism floor keeps small inputs wide enough to use
-    # every core.
+    # hint; otherwise size blocks from driver-side FILE metadata — no eager
+    # count() job, and unlike a partition-count heuristic it tracks data
+    # volume (a 798 KB table in 1 partition must NOT get 32 blocks: block
+    # pairs grow quadratically, and 528 tiny GEMMs are pure Python overhead
+    # — measured 6x slower than 3 big ones). ~400 B/row of parquet for a
+    # 64-dim float vector row, so block_size rows ≈ 400 KB of file; higher
+    # dims shift bytes/row up and blocks shrink proportionally, which is the
+    # right direction (GEMM cost per block scales with dim too). No
+    # parallelism floor: padding n_blocks up re-ships every block in O(n)
+    # extra pairs (measured 2x slower end-to-end at 800 KB input than 3 fat
+    # pairs on 3 cores), and at real scale the byte-derived count is already
+    # far above the core count.
     if n_rows is not None:
         n_blocks = max(1, math.ceil(n_rows / block_size))
     else:
-        n_blocks = max(
-            src.rdd.getNumPartitions() * 8,
-            df.sparkSession.sparkContext.defaultParallelism,
-        )
+        bytes_per_block = block_size * 400
+        paths = [p.removeprefix("file:") for p in src.inputFiles()]
+        total = 0
+        for p in paths:
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+        if total > 0:
+            n_blocks = max(1, math.ceil(total / bytes_per_block))
+        else:  # non-file source (e.g. in-memory test frames): partition-based
+            n_blocks = max(1, src.rdd.getNumPartitions())
     packed = (
         src.withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)).cast("int"))
         .groupBy("blk")
