@@ -1263,6 +1263,376 @@ _DOCS_SPLIT_ORACLE = f"""
 """
 
 
+# --- corpus statistics & curation (training-pipeline breadth) ---------------
+
+
+def _dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup RESOLUTION, not just pair mining: minhash near-dup
+    pairs -> connected components (iterative min-label propagation,
+    operators/dedup.py connected_components) -> per-document verdict
+    (id, cluster_id, is_survivor). The oracle recomputes the same clusters
+    with a recursive transitive-closure CTE, so the iterative distributed
+    algorithm is hash-checked against an independent sequential one."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_near_dup(docs)
+    return D.dedup_clusters(docs, pairs).select(
+        "id", "cluster_id", F.col("is_survivor").cast("int").alias("is_survivor")
+    )
+
+
+_DEDUP_SURVIVORS_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM ({_MINHASH_ORACLE})
+    ),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    lab AS (
+        SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT d.doc_id AS id,
+           CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id
+                THEN 1 ELSE 0 END AS INT) AS is_survivor
+    FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+"""
+
+
+_KMV_K = 256
+#: 2^60 as an exact double: fingerprint64 is 15 hex chars = 60 bits, so
+#: h / 2^60 maps the k-th minimum hash into (0, 1] for the KMV estimator.
+_KMV_SCALE = float(1 << 60)
+
+
+def _docs_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch next to the exact answer.
+
+    The sketch the 100 TB path wants: each partition keeps only its k
+    smallest 60-bit token hashes (TakeOrderedAndProject — no full shuffle of
+    the token set), the merged k-th minimum estimates distinct count as
+    (k-1) / (h_k / 2^60). Unlike HyperLogLog the estimate is a deterministic
+    function of the data (md5-based hash, no engine-private RNG), so DuckDB
+    reproduces it BIT-EXACTLY — a hash-checkable sketch. true_distinct rides
+    along to show the error (exact count distinct = one extra shuffle).
+
+    Keyed on 5-char shingles (the minhash shingle space), not tokens: the
+    synthetic corpus has a ~31-word vocabulary, which would leave the sketch
+    degenerate (k > distinct)."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(T.char_shingles("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    hs = toks.select(T.fingerprint64("tok").alias("h")).distinct()
+    kth = hs.orderBy("h").limit(_KMV_K).agg(
+        F.max("h").alias("kth_hash"), F.count("*").alias("k")
+    )
+    exact = toks.agg(F.count("*").alias("true_distinct"))
+    return kth.crossJoin(exact).select(
+        "k",
+        "kth_hash",
+        (
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SCALE)
+            / F.col("kth_hash").cast("double")
+        ).alias("est_distinct"),
+        "true_distinct",
+    )
+
+
+_KMV_ORACLE = f"""
+    WITH norm AS (SELECT {_NORM.format(t='text')} AS t FROM documents),
+    tok AS (
+        SELECT DISTINCT unnest([substr(t, CAST(i AS INT), 5)
+                                for i in range(1, greatest(2, length(t) - 3))])
+               AS tok
+        FROM norm
+    ),
+    tf AS (SELECT tok FROM tok WHERE tok <> ''),
+    h AS (
+        SELECT DISTINCT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tf
+    ),
+    kth AS (
+        SELECT max(h) AS kth_hash, count(*) AS k
+        FROM (SELECT h FROM h ORDER BY h LIMIT {_KMV_K})
+    )
+    SELECT CAST(k AS BIGINT) AS k, kth_hash,
+           ({float(_KMV_K - 1)!r} * {_KMV_SCALE!r}) / CAST(kth_hash AS DOUBLE)
+               AS est_distinct,
+           (SELECT count(*) FROM tf) AS true_distinct
+    FROM kth
+"""
+
+
+def _docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout contamination audit: NEAR-duplicate pairs (minhash,
+    jaccard >= 0.5) that straddle the hash split — the check a training
+    pipeline runs before trusting an eval set (exact-dup checks miss
+    paraphrase-level leakage; this corpus has zero exact dups but real
+    near-dup clusters). Split membership is the same scan-side hash
+    predicate as docs_split_sizes, evaluated on the pair's endpoint ids —
+    no join against the split frames needed."""
+    from educational_vector_database_spark.operators import sample as SM
+
+    pairs = D.minhash_near_dup(_docs(spark, sf_dir))
+    ha = SM._hash_bucket(F.col("id_a")) < 100000
+    hb = SM._hash_bucket(F.col("id_b")) < 100000
+    hold_end = F.when(ha & ~hb, F.col("id_a")).when(hb & ~ha, F.col("id_b"))
+    return pairs.agg(
+        F.count("*").alias("n_neardup_pairs"),
+        F.sum((ha != hb).cast("long")).alias("n_cross_split_pairs"),
+        F.countDistinct(hold_end).alias("n_contaminated_holdout"),
+    )
+
+
+_CONTAMINATION_ORACLE = f"""
+    WITH pairs AS (SELECT id_a, id_b FROM ({_MINHASH_ORACLE})),
+    m AS (
+        SELECT id_a, id_b,
+               ({_HASH_BUCKET_SQL.format(k="id_a")} < 100000) AS ha,
+               ({_HASH_BUCKET_SQL.format(k="id_b")} < 100000) AS hb
+        FROM pairs
+    )
+    SELECT count(*) AS n_neardup_pairs,
+           CAST(sum(CASE WHEN ha <> hb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_split_pairs,
+           CAST(count(DISTINCT CASE WHEN ha AND NOT hb THEN id_a
+                                    WHEN hb AND NOT ha THEN id_b END) AS BIGINT)
+               AS n_contaminated_holdout
+    FROM m
+"""
+
+
+def _dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality eval: minhash-banded pairs vs the EXACT shingle-jaccard
+    ground truth (same 5-char shingle space minhash verifies in, computed by
+    an inverted-index join — no cross join). Emits (n_true, n_pred, n_hit,
+    recall). Precision is 1.0 by construction (minhash exact-verifies every
+    candidate), so only recall is informative: it measures banding misses —
+    the S-curve's false-negative rate near the 0.5 threshold. At corpus
+    scale this eval runs on a sampled subset; the estimator itself is the
+    operator being graded here."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        F.col("doc_id").alias("id"), F.explode(T.char_shingles("text")).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
+        .filter(
+            F.col("c").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("c")).cast("double")
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    pred = D.minhash_near_dup(docs).select("id_a", "id_b")
+    # One pass: a full outer join tags each pair's membership, a single agg
+    # produces all three counts — computing them separately would re-run the
+    # minhash and inverted-index pipelines once per count (measured 2.3x).
+    tagged = (
+        exact.withColumn("in_true", F.lit(1))
+        .join(pred.withColumn("in_pred", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        .select(
+            F.coalesce("in_true", F.lit(0)).alias("in_true"),
+            F.coalesce("in_pred", F.lit(0)).alias("in_pred"),
+        )
+    )
+    return tagged.agg(
+        F.sum("in_true").alias("n_true"),
+        F.sum("in_pred").alias("n_pred"),
+        F.sum(F.col("in_true") * F.col("in_pred")).alias("n_hit"),
+    ).select(
+        "n_true",
+        "n_pred",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_true").cast("double")).alias(
+            "recall"
+        ),
+    )
+
+
+_MINHASH_RECALL_ORACLE = f"""
+    WITH norm AS (
+        SELECT doc_id AS id, {_NORM.format(t='text')} AS t FROM documents
+    ),
+    shs AS (
+        SELECT id, list_distinct([substr(t, CAST(i AS INT), 5)
+                   for i in range(1, greatest(2, length(t) - 3))]) AS sh
+        FROM norm
+    ),
+    exact AS (
+        SELECT x.id AS id_a, y.id AS id_b
+        FROM shs x JOIN shs y ON x.id < y.id
+        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+              CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              >= 0.5
+    ),
+    pred AS (SELECT id_a, id_b FROM ({_MINHASH_ORACLE})),
+    hit AS (SELECT * FROM pred INTERSECT SELECT * FROM exact)
+    SELECT (SELECT count(*) FROM exact) AS n_true,
+           (SELECT count(*) FROM pred) AS n_pred,
+           (SELECT count(*) FROM hit) AS n_hit,
+           CAST((SELECT count(*) FROM hit) AS DOUBLE) /
+           CAST((SELECT count(*) FROM exact) AS DOUBLE) AS recall
+"""
+
+
+def _docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-50 tokens by corpus frequency, ties broken by
+    token text so the result is engine-independent. Partial aggregation
+    combines map-side, then TakeOrdered ships only 50 rows per partition to
+    the driver-side merge — no global sort of the vocabulary."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(T.normalized_text("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+_VOCAB_ORACLE = f"""
+    WITH norm AS (SELECT {_NORM.format(t='text')} AS t FROM documents),
+    tok AS (SELECT unnest(string_split(t, ' ')) AS tok FROM norm)
+    SELECT tok, count(*) AS n
+    FROM tok WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 50
+"""
+
+
+def _lineitem_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (revenue-change forecast): tight filter + single
+    aggregate. The showcase predicate-pushdown query — every filter reaches
+    the parquet scan (PushedFilters in PLANS.md), so at 100 TB the scan
+    skips whole row groups on shipdate min/max stats before any CPU is
+    spent. Revenue sums exact 1e-4 units (price has 2 dp, discount 2 dp) so
+    the float total is aggregation-order-free."""
+    l = load_table(spark, sf_dir, "lineitem")
+    rev_unit = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000
+    ).cast("long")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(rev_unit).cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+_Q6_ORACLE = """
+    SELECT count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
+
+
+def _events_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate suppression (the event-stream analog of exact
+    dedup): within each user's timeline, an event is kept iff its type
+    differs from the previous event's. One window over (user_id, time) —
+    the shuffle is keyed by user_id only, and the tie-break on event_id
+    makes the lag deterministic."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    kept = e.withColumn("prev_type", F.lag("event_type").over(w)).withColumn(
+        "kept",
+        (F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))).cast(
+            "int"
+        ),
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum("kept").alias("n_kept"),
+    )
+
+
+_EVENTS_DEDUP_CONSECUTIVE_ORACLE = """
+    WITH flagged AS (
+        SELECT event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS kept
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           count(*) AS n_total,
+           CAST(sum(kept) AS BIGINT) AS n_kept
+    FROM flagged
+    GROUP BY event_type
+"""
+
+
+def _store_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange parity: write the documents table as JSON-lines (the
+    lingua franca of LLM training corpora), read it back through an explicit
+    schema, checksum the round-tripped rows. The oracle computes the same
+    checksums on the source parquet — equal iff JSONL serialization is
+    lossless for every text (UTF-8 escapes included)."""
+    import tempfile
+
+    from educational_vector_database_spark.sources import store as S
+
+    docs = _docs(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"evdb_jsonl_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    S.save_as(docs, path, fmt="json")
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("n_chars_sum"),
+        F.sum(T.fingerprint64("text") % F.lit(1000000007)).alias("text_fp_sum"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+_JSONL_ROUNDTRIP_ORACLE = """
+    SELECT count(*) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+           CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007)
+                AS BIGINT) AS text_fp_sum,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+"""
+
+
 # --- multimodal -------------------------------------------------------------
 # The synth corpus (multimodal.synth_media) is seeded per media_id, so the
 # expected outputs are precomputable driver-side into VALUES-literal oracles —
@@ -1507,6 +1877,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": _label_centroids,
         "doc_fingerprint": _doc_fingerprint,
         "events_tumbling": _events_tumbling,
+        "dedup_survivors": _dedup_survivors,
+        "dedup_minhash_recall": _dedup_minhash_recall,
+        "docs_kmv_distinct": _docs_kmv_distinct,
+        "docs_contamination": _docs_contamination,
+        "docs_vocab_topk": _docs_vocab_topk,
+        "lineitem_q6_forecast": _lineitem_q6_forecast,
+        "events_dedup_consecutive": _events_dedup_consecutive,
+        "store_roundtrip_jsonl": _store_roundtrip_jsonl,
     }
 
 
@@ -1702,4 +2080,12 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": _media_stats_oracle(),
         "media_audio_features": _media_audio_features_oracle(),
         "media_resize_checksum": _media_resize_checksum_oracle(),
+        "dedup_survivors": _DEDUP_SURVIVORS_ORACLE,
+        "dedup_minhash_recall": _MINHASH_RECALL_ORACLE,
+        "docs_kmv_distinct": _KMV_ORACLE,
+        "docs_contamination": _CONTAMINATION_ORACLE,
+        "docs_vocab_topk": _VOCAB_ORACLE,
+        "lineitem_q6_forecast": _Q6_ORACLE,
+        "events_dedup_consecutive": _EVENTS_DEDUP_CONSECUTIVE_ORACLE,
+        "store_roundtrip_jsonl": _JSONL_ROUNDTRIP_ORACLE,
     }

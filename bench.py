@@ -55,6 +55,10 @@ HEADLINE = [
     "store_roundtrip",
     "events_asof",
     "docs_sample_stratified",
+    # round 2, second wave: dedup resolution, sketch, pushdown showcase
+    "dedup_survivors",
+    "docs_kmv_distinct",
+    "lineitem_q6_forecast",
 ]
 
 
