@@ -670,25 +670,24 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        # ONE job per round: the new label rides with a per-row changed flag
+        # (labels only ever decrease, so changed == nmin < old), the
+        # checkpoint is lazy, and the max(flag) aggregation both materializes
+        # the checkpointed round and answers the convergence test — the old
+        # shape paid a second job (eager checkpoint, then a join-based diff).
+        lowered = F.least(F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id")))
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
-                ).alias("cluster_id"),
+                lowered.alias("cluster_id"),
+                (lowered < F.col("cluster_id")).cast("int").alias("__chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.max("__chg")).head()[0]
+        labels = new_labels.drop("__chg")
+        if not changed:
             break
     return labels
 
