@@ -1557,6 +1557,50 @@ _Q6_ORACLE = """
 """
 
 
+def _tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation and year): the multi-way
+    join exercise. All three dimension sides (filtered part keys, supplier,
+    nation) broadcast, so the 100 TB fact table is scanned ONCE and never
+    shuffles until the final ~nation×year group-by — the join order a
+    star-schema plan must pick. Revenue in exact 1e-4 units (2 dp price ×
+    2 dp discount) so the sum is aggregation-order-free."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev_unit = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            l.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name"), F.year("l_shipdate").alias("o_year"))
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(rev_unit).cast("double") / F.lit(10000.0)).alias("profit"),
+        )
+    )
+
+
+_Q9_ORACLE = """
+    SELECT n.n_name, CAST(year(l.l_shipdate) AS INT) AS o_year,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+               / 10000.0 AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, o_year
+"""
+
+
 def _events_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive-duplicate suppression (the event-stream analog of exact
     dedup): within each user's timeline, an event is kept iff its type
@@ -1883,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": _docs_contamination,
         "docs_vocab_topk": _docs_vocab_topk,
         "lineitem_q6_forecast": _lineitem_q6_forecast,
+        "tpch_q9_profit": _tpch_q9_profit,
         "events_dedup_consecutive": _events_dedup_consecutive,
         "store_roundtrip_jsonl": _store_roundtrip_jsonl,
     }
@@ -2086,6 +2131,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_contamination": _CONTAMINATION_ORACLE,
         "docs_vocab_topk": _VOCAB_ORACLE,
         "lineitem_q6_forecast": _Q6_ORACLE,
+        "tpch_q9_profit": _Q9_ORACLE,
         "events_dedup_consecutive": _EVENTS_DEDUP_CONSECUTIVE_ORACLE,
         "store_roundtrip_jsonl": _JSONL_ROUNDTRIP_ORACLE,
     }

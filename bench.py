@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_survivors",
     "docs_kmv_distinct",
     "lineitem_q6_forecast",
+    "tpch_q9_profit",
 ]
 
 

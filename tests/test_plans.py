@@ -1,0 +1,52 @@
+"""Physical-plan contracts for the relational/sketch queries.
+
+PLANS.md records what every plan must look like; these tests pin the three
+properties most likely to silently regress (and most expensive at 100 TB):
+filter pushdown + column pruning on the fact scan, broadcast star joins
+with a single fact shuffle, and per-partition top-k instead of global sort.
+"""
+
+import re
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    # formatted mode: the only explain form that does NOT truncate the
+    # PushedFilters / ReadSchema lists on the scan node
+    df = entry.queries()[name](spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan = _plan(spark, "lineitem_q6_forecast")
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_q9_broadcast_star_single_fact_shuffle(spark):
+    plan = _plan(spark, "tpch_q9_profit")
+    # formatted mode: one "(N) <Node>" detail header per physical node
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 3
+    # every dimension ships as a broadcast; the fact table shuffles exactly
+    # once, for the final group-by (BroadcastExchange nodes are not
+    # repartitions of the fact side)
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+
+
+def test_kmv_uses_take_ordered(spark):
+    plan = _plan(spark, "docs_kmv_distinct")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_topk_partial_agg_then_take_ordered(spark):
+    plan = _plan(spark, "docs_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
