@@ -1638,6 +1638,26 @@ _EVENTS_DEDUP_CONSECUTIVE_ORACLE = """
 """
 
 
+def _events_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic under the gate: the heaviest group keys (top-20 users
+    by event volume, operators/skew.py hot_keys) — the measurement that
+    decides between broadcast, salting, or key isolation before a big join.
+    TakeOrderedAndProject after a partial-agg group-by: the full key
+    histogram never leaves the executors."""
+    from educational_vector_database_spark.operators import skew as SK
+
+    return SK.hot_keys(_events(spark, sf_dir), ["user_id"], top_n=20)
+
+
+_HOT_USERS_ORACLE = """
+    SELECT user_id, count(*) AS n_rows
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_rows DESC, user_id ASC
+    LIMIT 20
+"""
+
+
 def _store_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interchange parity: write the documents table as JSON-lines (the
     lingua franca of LLM training corpora), read it back through an explicit
@@ -1929,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_q6_forecast": _lineitem_q6_forecast,
         "tpch_q9_profit": _tpch_q9_profit,
         "events_dedup_consecutive": _events_dedup_consecutive,
+        "events_hot_users": _events_hot_users,
         "store_roundtrip_jsonl": _store_roundtrip_jsonl,
     }
 
@@ -2133,5 +2154,6 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_q6_forecast": _Q6_ORACLE,
         "tpch_q9_profit": _Q9_ORACLE,
         "events_dedup_consecutive": _EVENTS_DEDUP_CONSECUTIVE_ORACLE,
+        "events_hot_users": _HOT_USERS_ORACLE,
         "store_roundtrip_jsonl": _JSONL_ROUNDTRIP_ORACLE,
     }

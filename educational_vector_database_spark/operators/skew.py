@@ -59,10 +59,12 @@ def salted_join(
 
 def hot_keys(df: DataFrame, key_cols: Sequence[str], top_n: int = 20) -> DataFrame:
     """Diagnostic: heaviest join/group keys with their row counts — feed the
-    output into a decision between broadcast, salting, or key isolation."""
+    output into a decision between broadcast, salting, or key isolation.
+    Ties break on the key columns so the top-N boundary is deterministic
+    (engine-independent — the property the oracle gate checks)."""
     return (
         df.groupBy(*key_cols)
         .agg(F.count("*").alias("n_rows"))
-        .orderBy(F.desc("n_rows"))
+        .orderBy(F.desc("n_rows"), *[F.asc(k) for k in key_cols])
         .limit(top_n)
     )
