@@ -1074,6 +1074,83 @@ def _stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def _stream_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization run as a STATEFUL streaming job
+    (``applyInPandasWithState``, streaming/windows.py) over a file source on
+    events.parquet, drained with availableNow — the custom-stateful-operator
+    path under the same value-hash gate as the relational queries.
+
+    Determinism contract: with NoTimeout and a single-file availableNow drain
+    the whole table arrives in one micro-batch, each user's rows reach one
+    state-function call, and the function sorts them by ts_us before folding —
+    so the emitted rows are exactly the CLOSED sessions (every session except
+    each user's last, which stays open in state). That set is expressible in
+    SQL: batch-sessionize, then drop each user's max session_id. Ties on
+    ts_us cannot flip session boundaries (gap 0 never exceeds the threshold)
+    and the per-session aggregates are order-independent, so the hash is
+    stable without an event_id tie-break."""
+    import uuid
+
+    from educational_vector_database_spark.streaming import windows as W
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = stream.select("user_id", F.expr("ts div 1000").alias("ts_us"))
+    table = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
+    q = (
+        W.sessionize_stateful(ev)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
+_STREAM_SESSIONIZE_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts_us) AS start_us, max(ts_us) AS end_us
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(session_id - 1 AS INTEGER) AS session_id,
+           n_events, start_us, end_us
+    FROM (
+        SELECT *, max(session_id) OVER (PARTITION BY user_id) AS max_sid
+        FROM per_session
+    )
+    WHERE session_id < max_sid
+"""
+
+
 def _stream_ingest_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The chunk+embed pipeline run as a Structured Streaming job (file
     source over documents.parquet, availableNow drain to a parquet sink),
@@ -1938,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": _orders_rollup,
         "stream_ingest_chunks": _stream_ingest_chunks,
         "stream_events_tumbling": _stream_events_tumbling,
+        "stream_events_sessionize": _stream_events_sessionize,
         "label_centroids": _label_centroids,
         "doc_fingerprint": _doc_fingerprint,
         "events_tumbling": _events_tumbling,
@@ -2136,6 +2214,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": _ORDERS_ROLLUP_ORACLE,
         "stream_ingest_chunks": _stream_ingest_oracle(),
         "stream_events_tumbling": _EVENTS_TUMBLING_ORACLE,
+        "stream_events_sessionize": _STREAM_SESSIONIZE_ORACLE,
         "label_centroids": _label_centroids_oracle(),
         "doc_fingerprint": _DOC_FP_ORACLE,
         "events_tumbling": _EVENTS_TUMBLING_ORACLE,

@@ -178,3 +178,50 @@ def test_hourly_counts_batch_stream_parity(spark, sf_dir):
         ).agg(F.count("*").alias("n")).collect()
     }
     assert windowed == plain
+
+
+def test_stream_sessionize_matches_batch_closed_sessions(spark, sf_dir):
+    """The declared stream_events_sessionize query (applyInPandasWithState
+    drain) must emit exactly the batch-derived closed sessions: sessionize
+    with the window/lag formulation, then drop each user's last session."""
+    from pyspark.sql import Window
+
+    import __spark_entry__ as entry
+
+    streamed = {
+        tuple(r)
+        for r in entry.queries()["stream_events_sessionize"](spark, sf_dir).collect()
+    }
+
+    from educational_vector_database_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    sess = (
+        e.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+    )
+    mx = Window.partitionBy("user_id")
+    batch_closed = {
+        (r.user_id, r.session_id - 1, r.n_events, r.start_us, r.end_us)
+        for r in sess.withColumn("max_sid", F.max("session_id").over(mx))
+        .filter(F.col("session_id") < F.col("max_sid"))
+        .drop("max_sid")
+        .collect()
+    }
+    assert streamed == batch_closed
