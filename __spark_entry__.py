@@ -1735,6 +1735,161 @@ _HOT_USERS_ORACLE = """
 """
 
 
+def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h window, 15 min slide): each event lands
+    in 4 overlapping windows (streaming/windows.py sliding_value_avg shape,
+    aggregates kept exact-integer so the hash is order-independent). Spark
+    expands ``F.window(w, s)`` scan-side before the partial aggregate — the
+    4× row fan-out never crosses the shuffle un-aggregated, so the plan at
+    100 TB is one shuffle of (window, event_type) partial sums, same as the
+    tumbling twin. The oracle replicates the expansion with a 4-offset
+    unnest."""
+    e = _events(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    return (
+        e.groupBy(
+            F.window("event_time", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+_EVENTS_SLIDING_ORACLE = """
+    WITH micro AS (
+        SELECT epoch_us(ts) AS ts_us, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    expanded AS (
+        SELECT make_timestamp((ts_us // (15*60*1000000) - k.k) * (15*60*1000000))
+                   AS window_start,
+               event_type, cents
+        FROM micro, (SELECT unnest(range(4)) AS k) k
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_value_cents
+    FROM expanded
+    GROUP BY window_start, event_type
+"""
+
+
+def _customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left ANTI join — the curation primitive for 'rows with no match in the
+    other table' (holdout leakage checks, orphan detection) without building
+    the match set on the driver: customers with no order before 1996. The
+    orders side is filtered AND reduced to its join key before the anti join
+    (both pushed to the scan), and AQE broadcasts it when small; at 100 TB
+    the same plan degrades gracefully to a shuffled anti join on
+    o_custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "acctbal_cents"
+            ),
+        )
+    )
+
+
+_CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate < TIMESTAMP '1996-01-01'
+    )
+    GROUP BY c_mktsegment
+"""
+
+
+def _events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day): all 4 grouping combinations in
+    one pass — Spark's Expand operator replicates rows per grouping set
+    BEFORE the partial aggregate, so the shuffle carries partial sums only
+    (same contract as orders_rollup). grouping_id disambiguates NULL-as-ALL
+    from genuine NULLs."""
+    e = _events(spark, sf_dir).withColumn(
+        "hod", F.hour(F.timestamp_micros(F.col("ts_us")))
+    )
+    return (
+        e.cube("event_type", "hod")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+_EVENTS_CUBE_ORACLE = """
+    SELECT event_type,
+           CAST(hour(ts) AS INTEGER) AS hod,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents,
+           CAST(grouping(event_type) * 2 + grouping(hour(ts)) AS INTEGER) AS gid
+    FROM events
+    GROUP BY CUBE (event_type, hour(ts))
+"""
+
+
+def _docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) over document length with a total order (n_chars, doc_id) —
+    the distribution snapshot used to pick chunking and truncation budgets.
+    The single global sort is the honest cost of exact deciles; the
+    production-scale alternative (approx percentiles, no sort) is
+    docs_length_quantiles."""
+    d = _docs(spark, sf_dir)
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        d.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+_DOCS_DECILES_ORACLE = """
+    WITH t AS (
+        SELECT CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER)
+                   AS decile,
+               n_chars
+        FROM documents
+    )
+    SELECT decile, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM t GROUP BY decile
+"""
+
+
 def _store_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interchange parity: write the documents table as JSON-lines (the
     lingua franca of LLM training corpora), read it back through an explicit
@@ -2028,6 +2183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9_profit": _tpch_q9_profit,
         "events_dedup_consecutive": _events_dedup_consecutive,
         "events_hot_users": _events_hot_users,
+        "events_sliding": _events_sliding,
+        "customers_without_orders": _customers_without_orders,
+        "events_cube": _events_cube,
+        "docs_length_deciles": _docs_length_deciles,
         "store_roundtrip_jsonl": _store_roundtrip_jsonl,
     }
 
@@ -2234,5 +2393,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q9_profit": _Q9_ORACLE,
         "events_dedup_consecutive": _EVENTS_DEDUP_CONSECUTIVE_ORACLE,
         "events_hot_users": _HOT_USERS_ORACLE,
+        "events_sliding": _EVENTS_SLIDING_ORACLE,
+        "customers_without_orders": _CUSTOMERS_WITHOUT_ORDERS_ORACLE,
+        "events_cube": _EVENTS_CUBE_ORACLE,
+        "docs_length_deciles": _DOCS_DECILES_ORACLE,
         "store_roundtrip_jsonl": _JSONL_ROUNDTRIP_ORACLE,
     }

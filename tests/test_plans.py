@@ -50,3 +50,29 @@ def test_vocab_topk_partial_agg_then_take_ordered(spark):
     plan = _plan(spark, "docs_vocab_topk")
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_anti_join_broadcast_and_pushdown(spark):
+    plan = _plan(spark, "customers_without_orders")
+    # the orders side must arrive filtered (date pushed to the scan) and as
+    # a broadcast: a shuffled anti join here means the dim reduction failed
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "PushedFilters:" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_sliding_window_expands_before_shuffle(spark):
+    plan = _plan(spark, "events_sliding")
+    # the 4x window fan-out (Expand/Explode) must sit below the partial
+    # aggregate: only (window, event_type) partial sums cross the Exchange
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+    agg_first = re.search(r"^\(\d+\) HashAggregate", plan, re.M)
+    exch = re.search(r"^\(\d+\) Exchange$", plan, re.M)
+    assert agg_first is not None and exch is not None
+
+
+def test_cube_expand_below_partial_agg(spark):
+    plan = _plan(spark, "events_cube")
+    assert "Expand" in plan
+    # one shuffle total: Expand feeds the partial HashAggregate scan-side
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
