@@ -1890,6 +1890,163 @@ _DOCS_DECILES_ORACLE = """
 """
 
 
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase): per user, the
+    first view, the first click AFTER that view, the first purchase after
+    that click — then one row of stage conversion counts. Three Window nodes
+    over the same partition key collapse to ONE shuffle (Spark reuses the
+    hash partitioning across same-key windows), then a partial-aggregated
+    global count: the whole funnel is a single pass over the events table
+    at any scale."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    v = F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
+    staged = e.withColumn("v_ts", v)
+    c = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("v_ts")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    staged = staged.withColumn("c_ts", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("c_ts")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    staged = staged.withColumn("p_ts", p)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("v_ts").alias("v_ts"),
+        F.max("c_ts").alias("c_ts"),
+        F.max("p_ts").alias("p_ts"),
+    )
+    return per_user.agg(
+        F.count(F.col("v_ts")).alias("n_viewed"),
+        F.count(F.col("c_ts")).alias("n_clicked_after_view"),
+        F.count(F.col("p_ts")).alias("n_purchased_after_click"),
+    )
+
+
+_EVENTS_FUNNEL_ORACLE = """
+    WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    s1 AS (
+        SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS v_ts
+        FROM base
+    ),
+    s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > v_ts
+                           THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS c_ts
+        FROM s1
+    ),
+    s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > c_ts
+                           THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS p_ts
+        FROM s2
+    ),
+    per_user AS (
+        SELECT user_id, max(v_ts) AS v_ts, max(c_ts) AS c_ts, max(p_ts) AS p_ts
+        FROM s3 GROUP BY user_id
+    )
+    SELECT count(v_ts) AS n_viewed,
+           count(c_ts) AS n_clicked_after_view,
+           count(p_ts) AS n_purchased_after_click
+    FROM per_user
+"""
+
+
+def _events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user via max-of-struct (max_by semantics): one
+    partial-aggregable group-by — each executor keeps one candidate struct
+    per key before the shuffle, so the exchange carries |users| rows, not
+    |events|. The (ts_us, event_id) prefix makes the max total-ordered and
+    the result deterministic. This is the O(1)-state alternative to the
+    row_number window for 'latest row per key' at 100 TB."""
+    e = _events(spark, sf_dir)
+    latest = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts_us"),
+                    F.col("event_id"),
+                    F.col("event_type"),
+                    _cents("value").alias("cents"),
+                )
+            ).alias("s")
+        )
+    )
+    return latest.select(
+        "user_id",
+        F.col("s.ts_us").alias("last_ts_us"),
+        F.col("s.event_id").alias("last_event_id"),
+        F.col("s.event_type").alias("last_event_type"),
+        F.col("s.cents").alias("last_value_cents"),
+    )
+
+
+_EVENTS_LATEST_ORACLE = """
+    SELECT user_id,
+           epoch_us(ts) AS last_ts_us,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           CAST(round(value * 100) AS BIGINT) AS last_value_cents
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) = 1
+"""
+
+
+def _docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation breadth (SURVEY §2.8): sources that publish in BOTH
+    'en' and 'zh' — INTERSECT of two filtered projections. Spark plans this
+    as a distinct-aggregate over a semi join of deduplicated sides; both
+    inputs prune to one column at the scan."""
+    d = _docs(spark, sf_dir)
+    en = d.filter(F.col("lang") == "en").select("source")
+    zh = d.filter(F.col("lang") == "zh").select("source")
+    return en.intersect(zh)
+
+
+_DOCS_SOURCE_OVERLAP_ORACLE = """
+    SELECT source FROM documents WHERE lang = 'en'
+    INTERSECT
+    SELECT source FROM documents WHERE lang = 'zh'
+"""
+
+
+def _docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length quantiles (0.1/0.25/0.5/0.75/0.9) via Spark's
+    ``percentile`` — linear interpolation at rank q*(n-1), the same formula
+    as DuckDB ``quantile_cont``, so the doubles match bit-exact. Exact
+    percentile sorts per group; the 100 TB path swaps in
+    ``approx_percentile`` (t-digest-style sketch, partial-aggregable) with
+    an accuracy knob — same query shape, no sort."""
+    d = _docs(spark, sf_dir)
+    qs = d.select(
+        F.expr(
+            "percentile(n_chars, array(0.1D, 0.25D, 0.5D, 0.75D, 0.9D))"
+        ).alias("qv")
+    )
+    return qs.select(
+        F.posexplode("qv").alias("q_idx", "n_chars_q")
+    ).withColumn("q_idx", F.col("q_idx").cast("int"))
+
+
+_DOCS_QUANTILES_ORACLE = """
+    WITH q AS (
+        SELECT quantile_cont(n_chars, [0.1, 0.25, 0.5, 0.75, 0.9]) AS ql
+        FROM documents
+    )
+    SELECT CAST(idx.i AS INTEGER) AS q_idx, q.ql[idx.i + 1] AS n_chars_q
+    FROM q, (SELECT unnest(range(5)) AS i) idx
+"""
+
+
 def _store_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interchange parity: write the documents table as JSON-lines (the
     lingua franca of LLM training corpora), read it back through an explicit
@@ -2187,6 +2344,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _customers_without_orders,
         "events_cube": _events_cube,
         "docs_length_deciles": _docs_length_deciles,
+        "events_funnel": _events_funnel,
+        "events_latest_per_user": _events_latest_per_user,
+        "docs_source_overlap": _docs_source_overlap,
+        "docs_length_quantiles": _docs_length_quantiles,
         "store_roundtrip_jsonl": _store_roundtrip_jsonl,
     }
 
@@ -2397,5 +2558,9 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": _CUSTOMERS_WITHOUT_ORDERS_ORACLE,
         "events_cube": _EVENTS_CUBE_ORACLE,
         "docs_length_deciles": _DOCS_DECILES_ORACLE,
+        "events_funnel": _EVENTS_FUNNEL_ORACLE,
+        "events_latest_per_user": _EVENTS_LATEST_ORACLE,
+        "docs_source_overlap": _DOCS_SOURCE_OVERLAP_ORACLE,
+        "docs_length_quantiles": _DOCS_QUANTILES_ORACLE,
         "store_roundtrip_jsonl": _JSONL_ROUNDTRIP_ORACLE,
     }

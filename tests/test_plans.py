@@ -76,3 +76,23 @@ def test_cube_expand_below_partial_agg(spark):
     assert "Expand" in plan
     # one shuffle total: Expand feeds the partial HashAggregate scan-side
     assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+
+
+def test_funnel_one_data_shuffle(spark):
+    plan = _plan(spark, "events_funnel")
+    # 3 same-key Window nodes + the per-user aggregate all reuse ONE hash
+    # partitioning on user_id; the only other Exchange is the single-row
+    # final count
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 3
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 2
+
+
+def test_latest_per_user_partial_agg_before_shuffle(spark):
+    plan = _plan(spark, "events_latest_per_user")
+    # max-of-struct partial-aggregates executor-side: the Exchange carries
+    # one candidate per (partition, user), not the raw events
+    aggs = re.findall(r"^\(\d+\) (?:Sort|Hash|ObjectHash)Aggregate", plan, re.M)
+    assert len(aggs) == 2
+    first_agg = re.search(r"^\(\d+\) (?:Sort|Hash|ObjectHash)Aggregate", plan, re.M)
+    exch = re.search(r"^\(\d+\) Exchange$", plan, re.M)
+    assert first_agg is not None and exch is not None
