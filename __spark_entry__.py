@@ -24,6 +24,7 @@ from educational_vector_database_spark.functions import text as T
 from educational_vector_database_spark.operators import ann as A
 from educational_vector_database_spark.operators import dedup as D
 from educational_vector_database_spark.operators import knn as K
+from educational_vector_database_spark.functions import vector as V
 from educational_vector_database_spark.session import load_table
 
 DIM = 64
@@ -2047,6 +2048,195 @@ _DOCS_QUANTILES_ORACLE = """
 """
 
 
+_VALUE_TIERS = [
+    ("bronze", 0.0, 50.0),
+    ("silver", 50.0, 150.0),
+    ("gold", 150.0, 300.0),
+    ("platinum", 300.0, 1000.0),
+]
+
+
+def _events_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators/rangejoin.py): classify every event's value
+    into a [lo, hi) tier band via BroadcastNestedLoopJoin — the non-equi
+    join family the equi-join planner can't touch. The band table ships to
+    every executor; the 100-TB fact side streams through with NO shuffle
+    until the final tier roll-up of partial sums. The bucketed equi-join
+    rewrite for large band tables is bucketed_range_join (parity-tested in
+    tests/test_rangejoin.py)."""
+    from educational_vector_database_spark.operators import rangejoin as RJ
+
+    e = _events(spark, sf_dir)
+    bands = spark.createDataFrame(_VALUE_TIERS, "tier string, lo double, hi double")
+    joined = RJ.broadcast_range_join(e, bands, F.col("value"))
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n_events"),
+        F.sum(_cents("value")).alias("sum_value_cents"),
+    )
+
+
+def _tiers_values_sql() -> str:
+    rows = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _VALUE_TIERS)
+    return f"(VALUES {rows}) AS bands(tier, lo, hi)"
+
+
+_EVENTS_VALUE_TIERS_ORACLE = f"""
+    SELECT bands.tier AS tier,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events e
+    JOIN {_tiers_values_sql()}
+      ON e.value >= bands.lo AND e.value < bands.hi
+    GROUP BY bands.tier
+"""
+
+
+def _tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective filters on all three
+    tables pushed to the scans, customer broadcast into orders, the
+    orders->lineitem join left to AQE (both sides filtered), revenue in
+    exact cents, top-10 via TakeOrderedAndProject — the canonical
+    'filter early, broadcast the small side, never globally sort' query."""
+    cut = F.lit("1998-01-01").cast("timestamp")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_cents).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_ORACLE = """
+    SELECT l.l_orderkey AS l_orderkey,
+           o.o_orderdate AS o_orderdate,
+           o.o_orderpriority AS o_orderpriority,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_cents DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
+IVF_RECALL_QLO, IVF_RECALL_QHI = 100, 120  # 20 query vectors
+
+
+def _knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality eval (the minhash_recall pattern applied to IVF): recall
+    of nprobe=1 IVF top-10 against the exact cosine top-10 for 20 query
+    vectors, computed entirely as a join — no per-query driver loop. One
+    cells pass is shared by the probe and candidate sides; both rankings use
+    the same (score DESC, vec_id ASC) total order, so the sets — and the
+    integer hit count — are deterministic. n_hits/(n_queries*k) is the
+    recall the nprobe knob trades against scan fraction."""
+    cents = _ivf_centroids(spark, sf_dir)
+    cells = _emb(spark, sf_dir).withColumn(
+        "centroid_id", _cell_expr(cents, "embedding")
+    )
+    queries = (
+        cells.filter(
+            (F.col("vec_id") >= IVF_RECALL_QLO) & (F.col("vec_id") < IVF_RECALL_QHI)
+        )
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("centroid_id").alias("qcell"),
+        )
+    )
+    score = V.similarity("cosine", V.as_double("embedding"), V.as_double("qv"))
+    pairs = cells.join(F.broadcast(queries)).select(
+        "qid", "qcell", "vec_id", "centroid_id", score.alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    exact = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    ivf = (
+        pairs.filter(F.col("centroid_id") == F.col("qcell"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    n_q = IVF_RECALL_QHI - IVF_RECALL_QLO
+    return (
+        exact.join(ivf, ["qid", "vec_id"])
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.lit(n_q).cast("long").alias("n_queries"),
+            F.lit(TOP_K).cast("long").alias("k"),
+            "n_hits",
+        )
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    cos = _COS.format(a="e.embedding::DOUBLE[]", b="q.qv")
+    return f"""
+    WITH {_IVF_ASSIGN_CTE},
+    qs AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings
+        WHERE vec_id >= {IVF_RECALL_QLO} AND vec_id < {IVF_RECALL_QHI}
+    ),
+    qcell AS (
+        SELECT q.qid, a.centroid_id FROM qs q JOIN assign a ON a.vec_id = q.qid
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id, {cos} AS score
+        FROM embeddings e CROSS JOIN qs q
+    ),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= {TOP_K}
+    ),
+    ivf AS (
+        SELECT qid, vec_id FROM (
+            SELECT s.qid, s.vec_id, row_number() OVER (
+                PARTITION BY s.qid ORDER BY s.score DESC, s.vec_id ASC) AS rn
+            FROM scored s
+            JOIN assign a ON a.vec_id = s.vec_id
+            JOIN qcell qc ON qc.qid = s.qid AND a.centroid_id = qc.centroid_id
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT CAST({IVF_RECALL_QHI - IVF_RECALL_QLO} AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM exact JOIN ivf USING (qid, vec_id)
+    """
+
+
 def _store_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interchange parity: write the documents table as JSON-lines (the
     lingua franca of LLM training corpora), read it back through an explicit
@@ -2348,6 +2538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_per_user": _events_latest_per_user,
         "docs_source_overlap": _docs_source_overlap,
         "docs_length_quantiles": _docs_length_quantiles,
+        "events_value_tiers": _events_value_tiers,
+        "tpch_q3_shipping": _tpch_q3_shipping,
+        "knn_ivf_recall": _knn_ivf_recall,
         "store_roundtrip_jsonl": _store_roundtrip_jsonl,
     }
 
@@ -2562,5 +2755,8 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_per_user": _EVENTS_LATEST_ORACLE,
         "docs_source_overlap": _DOCS_SOURCE_OVERLAP_ORACLE,
         "docs_length_quantiles": _DOCS_QUANTILES_ORACLE,
+        "events_value_tiers": _EVENTS_VALUE_TIERS_ORACLE,
+        "tpch_q3_shipping": _Q3_ORACLE,
+        "knn_ivf_recall": _ivf_recall_oracle(),
         "store_roundtrip_jsonl": _JSONL_ROUNDTRIP_ORACLE,
     }

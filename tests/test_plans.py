@@ -96,3 +96,19 @@ def test_latest_per_user_partial_agg_before_shuffle(spark):
     first_agg = re.search(r"^\(\d+\) (?:Sort|Hash|ObjectHash)Aggregate", plan, re.M)
     exch = re.search(r"^\(\d+\) Exchange$", plan, re.M)
     assert first_agg is not None and exch is not None
+
+
+def test_value_tiers_broadcast_nested_loop_no_fact_shuffle(spark):
+    plan = _plan(spark, "events_value_tiers")
+    assert "BroadcastNestedLoopJoin" in plan
+    # only the tier roll-up of partial sums shuffles; the fact side never
+    # repartitions for the join itself
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+
+
+def test_q3_broadcast_customer_and_take_ordered(spark):
+    plan = _plan(spark, "tpch_q3_shipping")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters:" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
