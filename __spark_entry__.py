@@ -2237,6 +2237,72 @@ def _ivf_recall_oracle() -> str:
     """
 
 
+TFIDF_DOC_LIMIT = 20  # keyword output bounded to the first N docs
+
+
+def _docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keywords by TF-IDF: tf from one token pass, df from the
+    same pass re-aggregated, N joined in as a broadcast 1-row aggregate (no
+    driver-side count). idf is ln((N+1)/(df+1)) in integer MICRO units —
+    round(ln·1e6) is engine-stable here because the nearest rounding
+    boundary across every reachable df is ~3e-11 away in ln space while
+    cross-engine libm ULP drift is ~1e-15 (verified over all df in [0, N]
+    at sf0.001/0.01/0.1); raw-double ln does NOT hash-match across engines
+    (41/501 values differ bitwise) which is why the score is integer. The
+    df table is token-vocabulary-sized — broadcast; keyword output is
+    bounded to doc_id < TFIDF_DOC_LIMIT but both frequency passes see the
+    full corpus, as TF-IDF requires."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(T.normalized_text("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    idf_micro = F.round(
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) * 1e6
+    ).cast("long")
+    scored = (
+        tf.filter(F.col("doc_id") < TFIDF_DOC_LIMIT)
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf_micro", F.col("tf") * idf_micro)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_micro"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "tok", "tf", "df", "tfidf_micro")
+    )
+
+
+_TFIDF_ORACLE = f"""
+    WITH norm AS (SELECT doc_id, {_NORM.format(t='text')} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM tok WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.tok, t.tf, d.df,
+               t.tf * CAST(round(ln((n.n_docs + 1.0) / (d.df + 1.0)) * 1000000)
+                           AS BIGINT) AS tfidf_micro
+        FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n
+        WHERE t.doc_id < {TFIDF_DOC_LIMIT}
+    )
+    SELECT doc_id, CAST(rk AS INTEGER) AS rk, tok,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf_micro
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf_micro DESC, tok ASC) AS rk
+        FROM scored
+    )
+    WHERE rk <= 3
+"""
+
+
 def _store_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interchange parity: write the documents table as JSON-lines (the
     lingua franca of LLM training corpora), read it back through an explicit
@@ -2541,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_tiers": _events_value_tiers,
         "tpch_q3_shipping": _tpch_q3_shipping,
         "knn_ivf_recall": _knn_ivf_recall,
+        "docs_tfidf_keywords": _docs_tfidf_keywords,
         "store_roundtrip_jsonl": _store_roundtrip_jsonl,
     }
 
@@ -2758,5 +2825,6 @@ def oracle_sql() -> dict[str, str]:
         "events_value_tiers": _EVENTS_VALUE_TIERS_ORACLE,
         "tpch_q3_shipping": _Q3_ORACLE,
         "knn_ivf_recall": _ivf_recall_oracle(),
+        "docs_tfidf_keywords": _TFIDF_ORACLE,
         "store_roundtrip_jsonl": _JSONL_ROUNDTRIP_ORACLE,
     }
