@@ -2303,6 +2303,411 @@ _TFIDF_ORACLE = f"""
 """
 
 
+def _stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once deduplication: the events stream unioned with
+    itself (every row arrives twice) through ``dropDuplicates("event_id")``
+    — the state-store dedup operator every at-least-once ingest pipeline
+    needs. State is one entry per key; production bounds it with
+    ``withWatermark`` + dropDuplicatesWithinWatermark (documented here, not
+    used, because the batch oracle needs the unbounded variant). Output
+    per-type counts prove each duplicate was suppressed exactly once."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    doubled = src().union(src())
+    deduped = doubled.dropDuplicates(["event_id"]).groupBy("event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
+_STREAM_DEDUP_ORACLE = """
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def _events_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality audit (the expectations check before a corpus
+    ships): null rates, range violations, key uniqueness, domain size — all
+    as conditional aggregates in a single scan, no per-rule jobs. Every
+    counter is an exact integer; at 100 TB this is one map-side-combined
+    aggregate, the cheapest possible full-table validation."""
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("n_null_props"),
+        F.sum(
+            F.when((F.col("value") < 0) | (F.col("value") >= 1000), 1).otherwise(0)
+        ).alias("n_value_out_of_range"),
+        (F.count("*") - F.count_distinct(F.col("event_id"))).alias("n_dup_event_ids"),
+        F.count_distinct(F.col("event_type")).alias("n_event_types"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+_EVENTS_QUALITY_ORACLE = """
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_props,
+           CAST(sum(CASE WHEN value < 0 OR value >= 1000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_value_out_of_range,
+           count(*) - count(DISTINCT event_id) AS n_dup_event_ids,
+           count(DISTINCT event_type) AS n_event_types,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+    FROM events
+"""
+
+
+def _events_user_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (the frame family ROWS can't express): for every
+    event, how many of the same user's events landed in the trailing 30
+    minutes — then the per-user peak. RANGE BETWEEN includes ts peers
+    identically in both engines, so ties don't destabilize the count. One
+    shuffle on user_id serves the frame scan and the per-user max."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-1800 * 1_000_000, 0)
+    )
+    per_event = e.withColumn("burst", F.count("*").over(w))
+    return per_event.groupBy("user_id").agg(
+        F.max("burst").alias("peak_burst"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_EVENTS_BURST_ORACLE = """
+    WITH base AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    per_event AS (
+        SELECT user_id,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW
+               ) AS burst
+        FROM base
+    )
+    SELECT user_id, max(burst) AS peak_burst, count(*) AS n_events
+    FROM per_event GROUP BY user_id
+"""
+
+
+def _store_partitioned_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-write layout + partition pruning: write documents
+    partitioned by lang (the storage layout that turns a language filter
+    into directory pruning at 100 TB), read back ONLY lang='en', checksum.
+    The read-back scan lists a single partition directory —
+    `PartitionFilters: [isnotnull(lang), (lang = en)]` in the plan, asserted
+    in tests/test_plans.py. The oracle computes the same checksums from the
+    source table with a WHERE clause."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"evdb_part_lang_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("n_chars_sum"),
+        F.sum(T.fingerprint64("text") % F.lit(1000000007)).alias("text_fp_sum"),
+    )
+
+
+_STORE_PARTITIONED_ORACLE = """
+    SELECT count(*) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+           CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007)
+                AS BIGINT) AS text_fp_sum
+    FROM documents
+    WHERE lang = 'en'
+"""
+
+
+QUANT_BITS = 8
+
+
+def _embeddings_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the 4x storage
+    compression an embedding store applies before ANN at scale — with the
+    reconstruction-error audit in the same pass. Per vector: symmetric
+    scale = max|x|/127, q_i = round(x_i/scale), error = x_i - q_i*scale.
+    Every expression is an element-wise HOF (transform/aggregate) with the
+    identical IEEE op order as the oracle's list functions, so the double
+    outputs hash bit-exact (max is exactly associative; no reordered sums).
+    Output: per label, vector count, total |q| mass (int), worst
+    reconstruction error."""
+    emb = _emb(spark, sf_dir)
+    x = V.as_double("embedding")
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v))) / F.lit(127.0)
+    q = F.transform(x, lambda v: F.round(v / F.col("__scale")).cast("int"))
+    withq = (
+        emb.withColumn("__scale", scale)
+        .withColumn("__q", q)
+        .withColumn(
+            "q_mass",
+            F.aggregate(
+                F.col("__q"), F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+            ),
+        )
+        .withColumn(
+            "max_abs_err",
+            F.array_max(
+                F.zip_with(
+                    x,
+                    F.col("__q"),
+                    lambda xv, qv: F.abs(xv - qv.cast("double") * F.col("__scale")),
+                )
+            ),
+        )
+    )
+    return withq.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("q_mass").alias("q_mass_sum"),
+        F.max("max_abs_err").alias("worst_err"),
+    )
+
+
+_QUANT_ORACLE = """
+    WITH q AS (
+        SELECT label,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+                   AS scale,
+               embedding::DOUBLE[] AS x
+        FROM embeddings
+    ),
+    per_vec AS (
+        SELECT label,
+               list_sum(list_transform(x, v -> abs(CAST(round(v / scale) AS INTEGER))))
+                   AS q_mass,
+               list_max(
+                   list_transform(
+                       list_zip(x, list_transform(x, v -> CAST(round(v / scale) AS INTEGER))),
+                       p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale)
+                   )
+               ) AS max_abs_err
+        FROM q
+    )
+    SELECT label, count(*) AS n_vecs,
+           CAST(sum(q_mass) AS BIGINT) AS q_mass_sum,
+           max(max_abs_err) AS worst_err
+    FROM per_vec GROUP BY label
+"""
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+HYBRID_CAND = 50  # per-system candidate list size
+
+
+def _search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical and vector top-50 candidate lists fused by
+    reciprocal-rank fusion — the extension every vector-only store (the
+    reference included) grows next. RRF is rank-arithmetic, so the fused
+    score is an exact integer (round(1e6/(K+rank)) per system, summed):
+    engine-independent by construction, no float comparability question.
+
+    Scale shape: each system produces its list via TakeOrdered (per-
+    partition heaps, no global sort); ranking happens WITHIN the 50-row
+    candidate lists (single-partition window over 50 rows — bounded, not a
+    global-order window); the fusion join is 50x50 keyed on doc_id. The
+    expensive parts — term matching and cosine scoring — stay scan-side."""
+    emb = DummyEmbeddings(DUMMY_DIM)
+    d = _docs(spark, sf_dir)
+    q_tokens = RAG_QUERY.split()
+
+    # lexical: total occurrences of query terms, TakeOrdered top-50
+    toks = d.select(
+        "doc_id", F.explode(F.split(T.normalized_text("text"), " ")).alias("tok")
+    )
+    lex_top = (
+        toks.filter(F.col("tok").isin(q_tokens))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf_total"))
+        .orderBy(F.desc("tf_total"), F.asc("doc_id"))
+        .limit(HYBRID_CAND)
+    )
+    w_lex = Window.orderBy(F.desc("tf_total"), F.asc("doc_id"))
+    lex_ranked = lex_top.withColumn("r_lex", F.row_number().over(w_lex)).select(
+        "doc_id", "r_lex"
+    )
+
+    # vector: cosine vs the embedded query over the document LEAD (first 300
+    # chars — the embed-the-lead convention, and what keeps the dummy-vector
+    # VALUES oracle total), TakeOrdered top-50
+    qv = [float(x) for x in emb.embed(RAG_QUERY)]
+    scored = d.select(
+        "doc_id", emb.embed_col(F.expr("substring(text, 1, 300)")).alias("embedding")
+    )
+    vec_top = K.knn(scored, qv, k=HYBRID_CAND, id_col="doc_id")
+    w_vec = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    vec_ranked = vec_top.withColumn("r_vec", F.row_number().over(w_vec)).select(
+        "doc_id", "r_vec"
+    )
+
+    rrf = lambda r: F.round(F.lit(1_000_000.0) / (F.lit(RRF_K) + r)).cast("long")  # noqa: E731
+    fused = (
+        lex_ranked.join(vec_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("r_lex", F.lit(0)).cast("int").alias("r_lex"),
+            F.coalesce("r_vec", F.lit(0)).cast("int").alias("r_vec"),
+            (
+                F.coalesce(rrf(F.col("r_lex")), F.lit(0))
+                + F.coalesce(rrf(F.col("r_vec")), F.lit(0))
+            ).alias("rrf_micro"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(TOP_K)
+
+
+def _hybrid_oracle() -> str:
+    q_tokens = ", ".join(f"'{t}'" for t in RAG_QUERY.split())
+    qv = ", ".join(
+        f"CAST('{float(x)!r}' AS DOUBLE)"
+        for x in _dummy_vector(len(RAG_QUERY), DUMMY_DIM)
+    )
+    cos = _COS.format(a="emb_map.v", b=f"[{qv}]::DOUBLE[]")
+    return f"""
+    WITH norm AS (SELECT doc_id, {_NORM.format(t='text')} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+    lex_top AS (
+        SELECT doc_id, count(*) AS tf_total
+        FROM tok WHERE tok IN ({q_tokens})
+        GROUP BY doc_id
+        ORDER BY tf_total DESC, doc_id ASC
+        LIMIT {HYBRID_CAND}
+    ),
+    lex_ranked AS (
+        SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY tf_total DESC, doc_id ASC) AS INTEGER) AS r_lex
+        FROM lex_top
+    ),
+    vec_scored AS (
+        SELECT d.doc_id, {cos} AS score
+        FROM documents d JOIN {_dummy_vec_values()}
+          ON least(length(d.text), 300) = emb_map.text_len
+    ),
+    vec_top AS (
+        SELECT doc_id, score FROM vec_scored
+        ORDER BY score DESC, doc_id ASC LIMIT {HYBRID_CAND}
+    ),
+    vec_ranked AS (
+        SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY score DESC, doc_id ASC) AS INTEGER) AS r_vec
+        FROM vec_top
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               coalesce(l.r_lex, 0) AS r_lex,
+               coalesce(v.r_vec, 0) AS r_vec,
+               coalesce(CAST(round(1000000.0 / ({RRF_K} + l.r_lex)) AS BIGINT), 0)
+               + coalesce(CAST(round(1000000.0 / ({RRF_K} + v.r_vec)) AS BIGINT), 0)
+                   AS rrf_micro
+        FROM lex_ranked l FULL OUTER JOIN vec_ranked v USING (doc_id)
+    )
+    SELECT doc_id, r_lex, r_vec, rrf_micro
+    FROM fused
+    ORDER BY rrf_micro DESC, doc_id ASC
+    LIMIT {TOP_K}
+    """
+
+
+UPSERT_MOD_N = 100  # keys rewritten by the merge fixture
+UPSERT_NEW_N = 10  # brand-new keys appended
+
+
+def _store_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert (sources/store.py upsert): replace 100 existing docs
+    with edited rows, append 10 new ones, checksum the merged table. The
+    update keyset broadcasts into a left-anti join against the store — the
+    existing side never shuffles. n_updated/n_new prove both merge halves
+    (replace and append) landed exactly once."""
+    from educational_vector_database_spark.sources import store as S
+
+    docs = _docs(spark, sf_dir)
+    mods = (
+        docs.filter(F.col("doc_id") < UPSERT_MOD_N)
+        .withColumn("text", F.concat(F.lit("UPDATED "), F.col("text")))
+        .withColumn("n_chars", F.length("text"))
+    )
+    news = (
+        docs.filter(F.col("doc_id") < UPSERT_NEW_N)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        .withColumn("source", F.lit("upsert"))
+    )
+    merged = S.upsert(docs, mods.unionByName(news), key="doc_id")
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("n_chars_sum"),
+        F.sum(T.fingerprint64("text") % F.lit(1000000007)).alias("text_fp_sum"),
+        F.sum(F.when(F.col("text").startswith("UPDATED "), 1).otherwise(0)).alias(
+            "n_updated"
+        ),
+        F.sum(F.when(F.col("source") == "upsert", 1).otherwise(0)).alias("n_new"),
+    )
+
+
+_UPSERT_ORACLE = f"""
+    WITH mods AS (
+        SELECT doc_id, 'UPDATED ' || text AS text, lang, source,
+               length('UPDATED ' || text) AS n_chars
+        FROM documents WHERE doc_id < {UPSERT_MOD_N}
+    ),
+    news AS (
+        SELECT doc_id + 1000000 AS doc_id, text, lang, 'upsert' AS source, n_chars
+        FROM documents WHERE doc_id < {UPSERT_NEW_N}
+    ),
+    updates AS (SELECT * FROM mods UNION ALL SELECT * FROM news),
+    merged AS (
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = d.doc_id)
+        UNION ALL
+        SELECT doc_id, text, lang, source, n_chars FROM updates
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+           CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007)
+                AS BIGINT) AS text_fp_sum,
+           CAST(sum(CASE WHEN text LIKE 'UPDATED %' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated,
+           CAST(sum(CASE WHEN source = 'upsert' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+    FROM merged
+"""
+
+
 def _store_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interchange parity: write the documents table as JSON-lines (the
     lingua franca of LLM training corpora), read it back through an explicit
@@ -2608,6 +3013,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping": _tpch_q3_shipping,
         "knn_ivf_recall": _knn_ivf_recall,
         "docs_tfidf_keywords": _docs_tfidf_keywords,
+        "stream_events_dedup": _stream_events_dedup,
+        "events_quality_audit": _events_quality_audit,
+        "events_user_burst": _events_user_burst,
+        "store_partitioned_by_lang": _store_partitioned_by_lang,
+        "embeddings_quantize_error": _embeddings_quantize_error,
+        "search_hybrid_rrf": _search_hybrid_rrf,
+        "store_upsert_merge": _store_upsert_merge,
         "store_roundtrip_jsonl": _store_roundtrip_jsonl,
     }
 
@@ -2826,5 +3238,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3_shipping": _Q3_ORACLE,
         "knn_ivf_recall": _ivf_recall_oracle(),
         "docs_tfidf_keywords": _TFIDF_ORACLE,
+        "stream_events_dedup": _STREAM_DEDUP_ORACLE,
+        "events_quality_audit": _EVENTS_QUALITY_ORACLE,
+        "events_user_burst": _EVENTS_BURST_ORACLE,
+        "store_partitioned_by_lang": _STORE_PARTITIONED_ORACLE,
+        "embeddings_quantize_error": _QUANT_ORACLE,
+        "search_hybrid_rrf": _hybrid_oracle(),
+        "store_upsert_merge": _UPSERT_ORACLE,
         "store_roundtrip_jsonl": _JSONL_ROUNDTRIP_ORACLE,
     }

@@ -60,6 +60,19 @@ HEADLINE = [
     "docs_kmv_distinct",
     "lineitem_q6_forecast",
     "tpch_q9_profit",
+    # round 2, third wave: window/join/set/percentile breadth + evals
+    "events_sliding",
+    "events_cube",
+    "events_funnel",
+    "events_latest_per_user",
+    "events_value_tiers",
+    "customers_without_orders",
+    "tpch_q3_shipping",
+    "docs_length_deciles",
+    "docs_length_quantiles",
+    "docs_source_overlap",
+    "docs_tfidf_keywords",
+    "knn_ivf_recall",
 ]
 
 

@@ -111,6 +111,22 @@ def save_as(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwri
     out.write.mode(mode).options(**options).format(fmt).save(path)
 
 
+def upsert(existing: DataFrame, updates: DataFrame, key: str = "doc_id") -> DataFrame:
+    """MERGE semantics (whole-row upsert): rows from ``updates`` replace
+    same-key rows in ``existing``; new keys append. The reference's
+    persist-per-write path (ref: src/server.py add_text -> save) only ever
+    appends; an engine at scale also needs the replace half.
+
+    Plan: anti join on the (deduplicated, key-only) update keyset — which
+    Catalyst broadcasts when small, the overwhelmingly common case — then a
+    union. No full-table shuffle: the existing side streams through the
+    anti join scan-side. This is the read-model half of copy-on-write; pair
+    with a partitioned layout (store_partitioned_by_lang) so the physical
+    rewrite touches only affected partitions."""
+    keys = updates.select(key).distinct()
+    return existing.join(keys, key, "left_anti").unionByName(updates)
+
+
 def load_or_init(
     spark: SparkSession, path: str, default_config: StoreConfig
 ) -> tuple[DataFrame, StoreConfig]:

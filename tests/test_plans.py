@@ -112,3 +112,15 @@ def test_q3_broadcast_customer_and_take_ordered(spark):
     assert "BroadcastHashJoin" in plan
     assert "PushedFilters:" in plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_partitioned_store_prunes_partitions(spark):
+    plan = _plan(spark, "store_partitioned_by_lang")
+    # the lang filter must prune at the directory level, not post-scan
+    assert re.search(r"PartitionFilters: \[[^\]]*lang", plan)
+
+
+def test_quality_audit_single_scan(spark):
+    plan = _plan(spark, "events_quality_audit")
+    # all rules in one pass: exactly one scan of events
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1

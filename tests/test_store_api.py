@@ -105,3 +105,29 @@ def test_add_vectors_lineage_bounded(spark):
     assert db.count() == n
     # plan depth is bounded by the checkpoint interval, not by n
     assert len(db.df._jdf.queryExecution().logical().toString().splitlines()) < 200
+
+
+def test_upsert_replaces_and_appends(spark):
+    from educational_vector_database_spark.sources import store as S
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2"), (9, "new")], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.text) for r in S.upsert(base, updates).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (9, "new")}
+
+
+def test_upsert_duplicate_update_keys_both_land(spark):
+    """upsert replaces whole rows by key; if the updates frame itself has
+    duplicate keys, both rows land (same as SQL UNION ALL semantics) — the
+    caller owns update-side dedup."""
+    from educational_vector_database_spark.sources import store as S
+
+    base = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    updates = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "doc_id long, text string"
+    )
+    assert S.upsert(base, updates).count() == 2
