@@ -2708,6 +2708,105 @@ _UPSERT_ORACLE = f"""
 """
 
 
+BUCKETED_N = 8
+
+
+def _bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables (sources/store.py save_bucketed):
+    orders and customer both bucketed 8-ways on custkey, so the join needs
+    NO Exchange on either side — at 100 TB this converts the nightly
+    fact-dim join's dominant shuffle into a free property of the storage
+    layout. Each side is sorted within buckets, so the SortMergeJoin's sort
+    is satisfied scan-side too (plan-asserted in tests/test_plans.py:
+    zero Exchange nodes between the scans and the join). The oracle is the
+    plain SQL join — bucketing must be result-transparent."""
+    from educational_vector_database_spark.sources import store as S
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_orders, t_cust = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    S.save_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice", "o_orderdate"
+        ),
+        t_orders,
+        bucket_col="o_custkey",
+        n_buckets=BUCKETED_N,
+        sort_col="o_custkey",
+    )
+    S.save_bucketed(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ),
+        t_cust,
+        bucket_col="c_custkey",
+        n_buckets=BUCKETED_N,
+        sort_col="c_custkey",
+    )
+    o, c = spark.table(t_orders), spark.table(t_cust)
+    # the merge hint pins SortMergeJoin: at test scale AQE would broadcast
+    # the dim and hide the property under demonstration — that bucketed
+    # sides sort-merge with NO Exchange and NO Sort (both satisfied by the
+    # storage layout, which is the point at fact-x-fact scale)
+    return (
+        o.hint("merge").join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+_BUCKETED_JOIN_ORACLE = """
+    SELECT c.c_mktsegment AS c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+def _sql_api_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL surface: the same engine drives `spark.sql(...)` over
+    registered temp views — proving a reference user who writes SQL (not
+    DataFrames) gets the identical plan and result. The query text below IS
+    also (modulo dialect-neutral syntax) its own DuckDB oracle."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_cents,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_price_cents,
+               min(l_shipdate) AS first_ship,
+               max(l_shipdate) AS last_ship
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+_SQL_API_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_qty_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def _store_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interchange parity: write the documents table as JSON-lines (the
     lingua franca of LLM training corpora), read it back through an explicit
@@ -3020,6 +3119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_quantize_error": _embeddings_quantize_error,
         "search_hybrid_rrf": _search_hybrid_rrf,
         "store_upsert_merge": _store_upsert_merge,
+        "bucketed_colocated_join": _bucketed_colocated_join,
+        "sql_api_pricing": _sql_api_pricing,
         "store_roundtrip_jsonl": _store_roundtrip_jsonl,
     }
 
@@ -3245,5 +3346,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_quantize_error": _QUANT_ORACLE,
         "search_hybrid_rrf": _hybrid_oracle(),
         "store_upsert_merge": _UPSERT_ORACLE,
+        "bucketed_colocated_join": _BUCKETED_JOIN_ORACLE,
+        "sql_api_pricing": _SQL_API_ORACLE,
         "store_roundtrip_jsonl": _JSONL_ROUNDTRIP_ORACLE,
     }
