@@ -25,7 +25,11 @@ from educational_vector_database_spark.operators import ann as A
 from educational_vector_database_spark.operators import dedup as D
 from educational_vector_database_spark.operators import knn as K
 from educational_vector_database_spark.functions import vector as V
-from educational_vector_database_spark.session import load_table
+from educational_vector_database_spark.session import (
+    events_stream_schema,
+    load_table,
+    ts_micros,
+)
 
 DIM = 64
 TOP_K = 10
@@ -667,12 +671,12 @@ def _top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts_us`` (integer microseconds): the parquet stores
-    TIMESTAMP(NANOS), which Spark reads as int64 nanos (nanosAsLong) and
-    DuckDB truncates to micros — integer ``div 1000`` reproduces DuckDB's
-    truncation exactly, so both engines see identical instants."""
+    """events with ``ts_us`` (integer epoch microseconds), normalized from
+    whichever on-disk flavor the generator produced (int64 nanos or native
+    timestamp[us]) by session.ts_micros — both engines (Spark and the
+    DuckDB oracle's epoch_us) see identical instants either way."""
     e = load_table(spark, sf_dir, "events")
-    return e.withColumn("ts_us", F.expr("ts div 1000"))
+    return e.withColumn("ts_us", ts_micros(e))
 
 
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,10 +1039,7 @@ def _stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from educational_vector_database_spark.streaming import windows as W
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string"
-    )
+    schema = events_stream_schema(spark, sf_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1095,16 +1096,13 @@ def _stream_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from educational_vector_database_spark.streaming import windows as W
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string"
-    )
+    schema = events_stream_schema(spark, sf_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = stream.select("user_id", F.expr("ts div 1000").alias("ts_us"))
+    ev = stream.select("user_id", ts_micros(stream).alias("ts_us"))
     table = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
     q = (
         W.sessionize_stateful(ev)
@@ -2094,10 +2092,11 @@ _EVENTS_VALUE_TIERS_ORACLE = f"""
 
 def _tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): selective filters on all three
-    tables pushed to the scans, customer broadcast into orders, the
-    orders->lineitem join left to AQE (both sides filtered), revenue in
-    exact cents, top-10 via TakeOrderedAndProject — the canonical
-    'filter early, broadcast the small side, never globally sort' query."""
+    tables pushed to the scans, every join left to AQE — the filtered
+    customer side is ~1/5 of ALL customers (GBs at large SF), so no forced
+    broadcast hint; AQE broadcasts it at runtime only when it fits.
+    Revenue in exact cents, top-10 via TakeOrderedAndProject — the
+    canonical 'filter early, never globally sort' query."""
     cut = F.lit("1998-01-01").cast("timestamp")
     c = (
         load_table(spark, sf_dir, "customer")
@@ -2119,7 +2118,7 @@ def _tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev_cents).alias("revenue_cents"))
         .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
@@ -2249,9 +2248,10 @@ def _docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine libm ULP drift is ~1e-15 (verified over all df in [0, N]
     at sf0.001/0.01/0.1); raw-double ln does NOT hash-match across engines
     (41/501 values differ bitwise) which is why the score is integer. The
-    df table is token-vocabulary-sized — broadcast; keyword output is
-    bounded to doc_id < TFIDF_DOC_LIMIT but both frequency passes see the
-    full corpus, as TF-IDF requires."""
+    df table is VOCABULARY-sized (10^8+ tokens at web scale) so it is NOT
+    broadcast-hinted — AQE broadcasts it at runtime only when it fits;
+    keyword output is bounded to doc_id < TFIDF_DOC_LIMIT but both
+    frequency passes see the full corpus, as TF-IDF requires."""
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", F.explode(F.split(T.normalized_text("text"), " ")).alias("tok")
@@ -2264,7 +2264,7 @@ def _docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     scored = (
         tf.filter(F.col("doc_id") < TFIDF_DOC_LIMIT)
-        .join(F.broadcast(dfreq), "tok")
+        .join(dfreq, "tok")
         .crossJoin(F.broadcast(n))
         .withColumn("tfidf_micro", F.col("tf") * idf_micro)
     )
@@ -2314,10 +2314,7 @@ def _stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string"
-    )
+    schema = events_stream_schema(spark, sf_dir)
 
     def src():
         return (

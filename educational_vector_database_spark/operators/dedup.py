@@ -412,9 +412,13 @@ def ngram_jaccard_pairs(
         F.explode(T.word_ngrams(text_col, n)).alias("g"),
     )
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    # NO forced broadcasts below: `sizes` is one row PER DOCUMENT and the
+    # hot-gram list grows with the corpus — a broadcast hint on either OOMs
+    # executors at 10^9 docs. AQE picks broadcast at runtime when a side
+    # actually fits (plan-asserted in tests/test_plans.py).
     posting_ok = grams.groupBy("g").agg(F.count("*").alias("pn"))
     grams = grams.join(
-        F.broadcast(posting_ok.filter(F.col("pn") > max_posting)), "g", "left_anti"
+        posting_ok.filter(F.col("pn") > max_posting), "g", "left_anti"
     )
     common = (
         grams.alias("a")
@@ -426,8 +430,8 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("c"))
     )
     return (
-        common.join(F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))), "id_a")
-        .join(F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))), "id_b")
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -47,12 +47,49 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one testdata table (TESTDATA.md: one parquet file per table).
 
-    Self-sufficient under any SparkSession: ``events.parquet`` stores
-    TIMESTAMP(NANOS), which vanilla Spark rejects (PARQUET_TYPE_ILLEGAL).
-    ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime SQL conf, so we set
-    it here (not only in :func:`get_spark`) — a user's stock session then
-    reads ``events`` with ``ts`` as int64 nanoseconds, same as ours.
+    Self-sufficient under any SparkSession: some generations of
+    ``events.parquet`` store TIMESTAMP(NANOS), which vanilla Spark rejects
+    (PARQUET_TYPE_ILLEGAL). ``spark.sql.legacy.parquet.nanosAsLong`` is a
+    runtime SQL conf, so we set it here (not only in :func:`get_spark`) — a
+    user's stock session then reads ``events`` with ``ts`` as int64
+    nanoseconds; micro-precision generations read as TIMESTAMP_NTZ.
+    :func:`ts_micros` normalizes either representation.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def ts_micros(df, ts_col: str = "ts"):
+    """Epoch-microseconds Column for an event-time column of EITHER on-disk
+    flavor the testdata has shipped with:
+
+    - int64 TIMESTAMP(NANOS) read via ``nanosAsLong`` → integer ``div 1000``
+      (reproduces DuckDB's nanos→micros truncation bit-exactly);
+    - native TIMESTAMP / TIMESTAMP_NTZ (timestamp[us] parquet) →
+      ``unix_micros``; the session timezone is pinned to UTC (get_spark), so
+      the NTZ→instant cast is the identity mapping DuckDB's ``epoch_us(ts)``
+      uses.
+
+    Keeping the conversion in ONE place means every batch/stream consumer
+    (and its DuckDB oracle) agrees on the instant regardless of which
+    generator produced the files."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(ts_col)
+    if dt == "bigint":
+        return F.expr(f"{ts_col} div 1000")
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def events_stream_schema(spark: SparkSession, sf_dir: str) -> str:
+    """DDL schema string for ``readStream`` over events.parquet, with the
+    ``ts`` type matching what is actually on disk (readStream requires an
+    explicit schema; a bigint/timestamp mismatch is a read error)."""
+    ts_type = (
+        load_table(spark, sf_dir, "events").schema["ts"].dataType.simpleString()
+    )
+    return (
+        f"event_id bigint, ts {ts_type}, user_id bigint, "
+        "event_type string, value double, props string"
+    )

@@ -74,6 +74,33 @@ def load(spark: SparkSession, path: str) -> tuple[DataFrame, StoreConfig]:
     return df, config
 
 
+def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """Make ``saveAsTable(mode="overwrite")`` idempotent ACROSS sessions.
+
+    A fresh SparkSession starts with an empty in-memory catalog, but the
+    warehouse DIRECTORY from a previous session survives on disk; the next
+    managed-table write then fails with LOCATION_ALREADY_EXISTS even though
+    DROP TABLE has nothing to drop. Drop the catalog entry AND delete the
+    orphaned location (via the Hadoop FileSystem API so it works on any
+    supported filesystem, not just file://)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    location = warehouse.rstrip("/") + "/" + table.split(".")[-1].lower()
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(location)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:
+        # last-resort local cleanup (e.g. no JVM gateway in a mock session)
+        import shutil
+        from urllib.parse import urlparse
+
+        local = urlparse(location)
+        if local.scheme in ("", "file"):
+            shutil.rmtree(local.path or location, ignore_errors=True)
+
+
 def save_bucketed(
     df: DataFrame,
     table: str,
@@ -93,6 +120,8 @@ def save_bucketed(
     candidate-verification join in operators/dedup.py into a local join.
     Requires the session catalog (saveAsTable) — plain directory reads of
     the same files still work."""
+    if mode == "overwrite":
+        _drop_table_and_location(df.sparkSession, table)
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         writer = writer.sortBy(sort_col)

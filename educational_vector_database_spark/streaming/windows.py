@@ -26,9 +26,12 @@ SESSION_GAP_US = 1800 * 1_000_000  # 30 min, matches the batch sessionize query
 
 
 def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) read as int64 nanos
-    (session.py nanosAsLong); expose a proper event-time timestamp column."""
-    return events.withColumn("event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    """Expose a proper event-time timestamp column from either on-disk
+    flavor of ``ts`` (int64 nanos via nanosAsLong, or native timestamp —
+    see session.ts_micros)."""
+    from educational_vector_database_spark.session import ts_micros
+
+    return events.withColumn("event_time", F.timestamp_micros(ts_micros(events, ts_col)))
 
 
 def hourly_counts(

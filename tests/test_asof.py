@@ -41,9 +41,10 @@ def test_asof_left_keeps_unmatched(spark):
 def test_asof_matches_bruteforce_on_events(spark, sf_dir):
     """clicks as-of-joined to the user's most recent prior view — compare to
     the O(n*m) brute-force formulation on real event data."""
-    from educational_vector_database_spark.session import load_table
+    from educational_vector_database_spark.session import load_table, ts_micros
 
-    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    _e = load_table(spark, sf_dir, "events")
+    ev = _e.withColumn("ts_us", ts_micros(_e))
     clicks = ev.filter("event_type = 'click'").select("user_id", "ts_us", "event_id")
     views = ev.filter("event_type = 'view'").select(
         "user_id", F.col("ts_us").alias("v_ts"), F.col("event_id").alias("view_id")

@@ -106,12 +106,33 @@ def test_value_tiers_broadcast_nested_loop_no_fact_shuffle(spark):
     assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
 
 
-def test_q3_broadcast_customer_and_take_ordered(spark):
+def test_q3_pushdown_and_take_ordered(spark):
     plan = _plan(spark, "tpch_q3_shipping")
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastHashJoin" in plan
     assert "PushedFilters:" in plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def _n_broadcast_hints(spark, name: str) -> int:
+    df = entry.queries()[name](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint.*broadcast", analyzed, re.I))
+
+
+def test_no_forced_broadcast_of_unbounded_tables(spark):
+    """Regression net for the round-2 verdict: a broadcast HINT on a table
+    that grows with the data (per-document sizes, per-token vocabulary,
+    a 1/5-selectivity customer filter) OOMs every executor at 100 TB.
+    These plans must leave the choice to AQE, which broadcasts at runtime
+    only when the side actually fits."""
+    # ngram dedup: per-doc `sizes` joined twice + hot-gram anti join — zero
+    # forced broadcasts anywhere in the plan
+    assert _n_broadcast_hints(spark, "dedup_ngram") == 0
+    # Q3: filtered customer is unbounded — no hint
+    assert _n_broadcast_hints(spark, "tpch_q3_shipping") == 0
+    # tfidf: vocabulary-sized dfreq must NOT be hinted; the single allowed
+    # hint is the bounded 1-row corpus-count aggregate
+    assert _n_broadcast_hints(spark, "docs_tfidf_keywords") <= 1
 
 
 def test_partitioned_store_prunes_partitions(spark):

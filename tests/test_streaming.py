@@ -164,7 +164,7 @@ def test_hourly_counts_batch_stream_parity(spark, sf_dir):
     """The windowed aggregate is one definition for batch AND stream: running
     it in batch mode over the events table must agree with the plain groupBy
     formulation used by the declared events_hourly query."""
-    from educational_vector_database_spark.session import load_table
+    from educational_vector_database_spark.session import load_table, ts_micros
 
     ev = W.with_event_time(load_table(spark, sf_dir, "events"))
     windowed = {
@@ -193,11 +193,10 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, sf_dir):
         for r in entry.queries()["stream_events_sessionize"](spark, sf_dir).collect()
     }
 
-    from educational_vector_database_spark.session import load_table
+    from educational_vector_database_spark.session import load_table, ts_micros
 
-    e = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    _e = load_table(spark, sf_dir, "events")
+    e = _e.withColumn("ts_us", ts_micros(_e))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap = F.col("ts_us") - F.lag("ts_us").over(w)
     sess = (
