@@ -734,6 +734,114 @@ def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style repetition gate (Rae et al. 2021, "Scaling Language Models",
+# Table A1): discard docs whose most frequent 2-gram covers too much of the
+# text or whose duplicated 3-grams do. Thresholds in integer permille so the
+# keep flag is exact integer arithmetic on both engines.
+REP_TOP_BIGRAM_PMIL = 60
+REP_DUP_TRIGRAM_PMIL = 10
+
+
+def _doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition-quality signals for training-data filtering:
+    occurrence count of the most frequent word bigram, and the number of
+    trigram occurrences belonging to repeated trigrams — the Gopher
+    repetition rules re-expressed over token multiplicities
+    (functions/text.py word_ngrams_all keeps duplicates; the set-based
+    word_ngrams would hide exactly what this measures). Plan shape: two
+    explode → (doc, gram) partial-agg → per-doc agg chains, every shuffle
+    keyed on doc/gram — no global ordering, no driver loop, scales to a
+    10^9-doc corpus. The keep flag compares integer permille products, so
+    the boolean is bit-identical across engines."""
+    d = _docs(spark, sf_dir)
+    bi = d.select("doc_id", F.explode(T.word_ngrams_all("text", 2)).alias("g"))
+    bstats = (
+        bi.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    tri = d.select("doc_id", F.explode(T.word_ngrams_all("text", 3)).alias("g"))
+    tstats = (
+        tri.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+                "dup_trigram_n"
+            ),
+            F.sum("c").alias("n_trigrams"),
+        )
+    )
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(T.normalized_text("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    keep = (
+        F.col("top_bigram_n") * 1000 <= F.lit(REP_TOP_BIGRAM_PMIL) * F.col("n_bigrams")
+    ) & (
+        F.col("dup_trigram_n") * 1000
+        <= F.lit(REP_DUP_TRIGRAM_PMIL) * F.col("n_trigrams")
+    )
+    return (
+        toks.join(bstats, "doc_id")
+        .join(tstats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_bigram_n",
+            "n_bigrams",
+            "dup_trigram_n",
+            "n_trigrams",
+            keep.alias("keep"),
+        )
+    )
+
+
+def _doc_repetition_oracle() -> str:
+    return f"""
+    WITH norm AS (
+        SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, unnest([concat_ws(' ', w[CAST(i+1 AS INT)],
+                               w[CAST(i+2 AS INT)])
+               for i in range(0, greatest(1, len(w) - 1))]) AS g
+        FROM norm
+    ),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+    bs AS (
+        SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+               CAST(sum(c) AS BIGINT) AS n_bigrams
+        FROM bc GROUP BY doc_id
+    ),
+    tri AS (
+        SELECT doc_id, unnest([concat_ws(' ', w[CAST(i+1 AS INT)],
+                               w[CAST(i+2 AS INT)], w[CAST(i+3 AS INT)])
+               for i in range(0, greatest(1, len(w) - 2))]) AS g
+        FROM norm
+    ),
+    tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+    ts AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                   AS dup_trigram_n,
+               CAST(sum(c) AS BIGINT) AS n_trigrams
+        FROM tc GROUP BY doc_id
+    ),
+    toks AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM norm
+    )
+    SELECT doc_id, n_tokens, top_bigram_n, n_bigrams, dup_trigram_n,
+           n_trigrams,
+           (top_bigram_n * 1000 <= {REP_TOP_BIGRAM_PMIL} * n_bigrams
+            AND dup_trigram_n * 1000 <= {REP_DUP_TRIGRAM_PMIL} * n_trigrams)
+               AS keep
+    FROM toks JOIN bs USING (doc_id) JOIN ts USING (doc_id)
+    """
+
+
 def _lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -3141,6 +3249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quality_audit": _events_quality_audit,
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
+        "doc_repetition_stats": _doc_repetition_stats,
         "knn_dot": _knn_query("dot"),
         "docs_stats_by_lang": _docs_stats_by_lang,
         "neardup_embedding": _neardup_embedding,
@@ -3349,6 +3458,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_stats": _DOC_TOKEN_STATS_ORACLE,
         "doc_quality": _doc_quality_oracle(),
+        "doc_repetition_stats": _doc_repetition_oracle(),
         "lang_id_eval": _lang_id_oracle(),
         "ivf_cells": _IVF_CELLS_ORACLE,
         "knn_ivf": _KNN_IVF_ORACLE,

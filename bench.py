@@ -4,16 +4,31 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Each per-query number is the MEDIAN of ``--repeats`` consecutive runs
+(default 3), so one scheduler-contention spike cannot masquerade as a
+regression — the round-2 postmortem traced a 6.9× outlier on a trivial
+one-shuffle aggregate to exactly that. Modes:
+
+- default (warm): one SparkSession; each query runs ``repeats`` times
+  back-to-back (catalog cache cleared between runs) — steady-state
+  throughput, the number the per-round driver comparison uses;
+- ``--cold``: one FRESH SparkSession per repeat, each running the whole
+  suite once — every median then aggregates measurements from distinct
+  JVMs, which bounds the JVM/JIT-warmth bias the warm anchors for
+  iterative jobs (dedup_survivors, docs_kmv_distinct) were found to carry.
+
 The per-query numbers anchor BASELINE.md (the reference publishes no
 benchmark figures — see BASELINE.md). Each query is executed exactly the way
 the driver does: build the DataFrame via __spark_entry__.queries()[name] and
-fully materialize it with a count-style action.
+fully materialize it with a collect.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -73,34 +88,70 @@ HEADLINE = [
     "docs_source_overlap",
     "docs_tfidf_keywords",
     "knn_ivf_recall",
+    # round 3: the MLlib BRP-LSH approximate join (100%-recall-tuned)
+    "neardup_brp_lsh",
 ]
 
 
+def _run_once(spark, qs, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    qs[name](spark, sf_dir).collect()
+    elapsed = time.perf_counter() - t0
+    # Operators that persist() internally (minhash signature cache) can't
+    # unpersist their own lazy result; drop leftover blocks here so one
+    # query's cache residue doesn't distort the next query's timing.
+    spark.catalog.clearCache()
+    return elapsed
+
+
+def _fresh_session():
+    spark = get_spark(app_name="evd-bench")
+    # Warm the JVM + parquet footers once so timings measure the query, not
+    # session startup (the driver compares steady-state throughput).
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    entrymod.queries()["knn_cosine"](spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    return spark
+
+
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    ap.add_argument("--cold", action="store_true",
+                    help="fresh SparkSession per repeat (suite-level runs)")
+    ap.add_argument("--queries", default="",
+                    help="comma-separated subset of HEADLINE to run")
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
         sf = float(sf)
     except ValueError:
         sf = sf_dir
-    spark = get_spark(app_name="evd-bench")
+
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
+    if args.queries:
+        pick = set(args.queries.split(","))
+        names = [n for n in names if n in pick]
 
-    # Warm the JVM + parquet footers once so timings measure the query, not
-    # session startup (the driver compares steady-state throughput).
-    qs["knn_cosine"](spark, sf_dir).collect()
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    if args.cold:
+        for _ in range(args.repeats):
+            spark = _fresh_session()
+            for name in names:
+                samples[name].append(_run_once(spark, qs, name, sf_dir))
+            spark.stop()
+    else:
+        spark = _fresh_session()
+        for name in names:
+            for _ in range(args.repeats):
+                samples[name].append(_run_once(spark, qs, name, sf_dir))
+        spark.stop()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Operators that persist() internally (minhash signature cache) can't
-        # unpersist their own lazy result; drop leftover blocks here so one
-        # query's cache residue doesn't distort the next query's timing.
-        spark.catalog.clearCache()
+    timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -108,8 +159,9 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "repeats": args.repeats,
+        "mode": "cold" if args.cold else "warm",
     }))
-    spark.stop()
     return 0
 
 

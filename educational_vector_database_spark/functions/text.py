@@ -219,6 +219,26 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
     )
 
 
+def word_ngrams_all(text: Column | str, n: int = 2) -> Column:
+    """Array of word n-grams of the normalized text, one entry PER
+    OCCURRENCE (unlike :func:`word_ngrams`, which de-duplicates for
+    set-similarity). Repetition-quality signals (Gopher-style top-n-gram
+    and duplicate-n-gram fractions) need the multiplicities."""
+    return _bind(
+        F.split(normalized_text(text), " "),
+        lambda toks: F.transform(
+            F.sequence(
+                F.lit(0),
+                (F.greatest(F.lit(1), F.size(toks) - F.lit(n - 1)) - 1).cast("int"),
+            ),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        ),
+    )
+
+
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
     """Array of word n-grams (distinct) of the normalized text."""
     return _bind(

@@ -145,3 +145,45 @@ def test_quality_audit_single_scan(spark):
     plan = _plan(spark, "events_quality_audit")
     # all rules in one pass: exactly one scan of events
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_global_order_windows_are_allowlisted():
+    """A ``Window.orderBy(...)`` with no partitionBy moves EVERY row to one
+    partition (WindowExec's "No Partition Defined" warning) — a scale-killer
+    unless the input is provably bounded. Every such site must (a) be on
+    this allowlist and (b) document in its docstring either the bound on
+    the window's input or the no-sort scale twin to use instead
+    (docs_length_deciles names docs_length_quantiles; the hybrid-RRF
+    windows rank 50-row candidate lists). Adding a NEW global-order window
+    fails here until it is justified the same way."""
+    import ast
+    import pathlib
+
+    allowed = {
+        ("__spark_entry__.py", "_docs_length_deciles"): 1,
+        ("__spark_entry__.py", "_search_hybrid_rrf"): 2,
+    }
+    root = pathlib.Path(__file__).resolve().parent.parent
+    found: dict = {}
+    files = [root / "__spark_entry__.py", *sorted(
+        (root / "educational_vector_database_spark").rglob("*.py")
+    )]
+    for path in files:
+        tree = ast.parse(path.read_text())
+        for fn in ast.walk(tree):
+            if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            n = sum(
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "orderBy"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "Window"
+                for node in ast.walk(fn)
+            )
+            if n:
+                found[(path.name, fn.name)] = n
+    assert found == allowed, (
+        f"global-order Window sites changed: {found} != {allowed} — "
+        "document the bound or use a no-sort twin, then update the allowlist"
+    )

@@ -51,6 +51,14 @@ def test_shingles_and_ngrams(spark):
     assert ng == ["a b", "b c", "c d"]
 
 
+def test_word_ngrams_all_keeps_multiplicities(spark):
+    # the repetition-quality signals need every occurrence; the set variant
+    # would collapse "a b" to one entry and hide the repetition
+    ng = _one(spark, "a b a b a", T.word_ngrams_all("text", 2))
+    assert ng == ["a b", "b a", "a b", "b a"]
+    assert sorted(set(ng)) == _one(spark, "a b a b a", T.word_ngrams("text", 2))
+
+
 def test_rolling_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
