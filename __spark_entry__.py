@@ -798,6 +798,56 @@ def _doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_SEQ_LEN = 1024
+PACK_N_SHARDS = 8
+
+
+def _docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing addresses (operators/pack.py): every doc
+    gets (shard, seq_id, seq_offset) for a GPT-style packed layout —
+    concatenate docs per shard in doc_id order, slice every PACK_SEQ_LEN
+    tokens. The running sum partitions by the md5 shard (PACK_N_SHARDS
+    independent streams), so there is NO global window: one shuffle on
+    shard, and at 100 TB shards parallelize the downstream sequence
+    writer. Integer arithmetic end-to-end — the layout is bit-identical
+    across engines, which the DuckDB window-sum oracle asserts."""
+    from educational_vector_database_spark.operators import pack as P
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(T.normalized_text("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return P.pack_sequences(
+        toks, "n_tokens", seq_len=PACK_SEQ_LEN, n_shards=PACK_N_SHARDS
+    ).select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")
+
+
+def _docs_pack_oracle() -> str:
+    shard = f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {PACK_N_SHARDS})"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split({_NORM.format(t='text')}, ' ')) AS BIGINT)
+                   AS n_tokens,
+               CAST({shard} AS INT) AS shard
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n_before
+        FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+           n_before // {PACK_SEQ_LEN} AS seq_id,
+           n_before % {PACK_SEQ_LEN} AS seq_offset
+    FROM packed
+    """
+
+
 def _doc_repetition_oracle() -> str:
     return f"""
     WITH norm AS (
@@ -2345,9 +2395,11 @@ def _ivf_recall_oracle() -> str:
 
 
 # tuned so MLlib BRP-LSH reaches 100% recall at sf0.001/0.01/0.1 (measured:
-# 142/142, 141/141, 2147/2147 pairs) — the parity the oracle asserts
+# 142/142, 141/141, 2147/2147 pairs) — the parity the oracle asserts.
+# 12 tables is the floor: every 10-table config misses one near-threshold
+# pair at sf0.001; bucket_length 2.0 is the fastest of the perfect configs.
 BRP_THRESH = 1.12
-BRP_BUCKET_LEN = 1.0
+BRP_BUCKET_LEN = 2.0
 BRP_N_TABLES = 12
 
 
@@ -2996,6 +3048,53 @@ _JSONL_ROUNDTRIP_ORACLE = """
 """
 
 
+def _store_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange parity for ORC — the other columnar container a lakehouse
+    ingests from. Unlike csv/json (sources/store.py save_as serializes the
+    array column via to_json for those), ORC keeps array<float> NATIVE, so
+    the EMBEDDINGS table round-trips typed: the checksum covers every
+    vector element via the scaled-int sum (exact integer — float-order
+    safe), not just scalar columns."""
+    import tempfile
+
+    from educational_vector_database_spark.sources import store as S
+
+    emb = _emb(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"evdb_orc_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    S.save_as(emb, path, fmt="orc")
+    back = spark.read.orc(path)
+    elem_sum = F.aggregate(
+        F.transform(
+            V.as_double("embedding"),
+            lambda x: F.round(x * 1_000_000).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("vec_id").alias("id_sum"),
+        F.sum(F.size("embedding").cast("long")).alias("dim_sum"),
+        F.sum(elem_sum).alias("elem_micro_sum"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+_ORC_ROUNDTRIP_ORACLE = """
+    SELECT count(*) AS n_rows,
+           CAST(sum(vec_id) AS BIGINT) AS id_sum,
+           CAST(sum(len(embedding)) AS BIGINT) AS dim_sum,
+           CAST(sum(list_sum(list_transform(embedding::DOUBLE[],
+                x -> CAST(round(x * 1000000) AS BIGINT)))) AS BIGINT)
+               AS elem_micro_sum,
+           CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+    FROM embeddings
+"""
+
+
 # --- multimodal -------------------------------------------------------------
 # The synth corpus (multimodal.synth_media) is seeded per media_id, so the
 # expected outputs are precomputable driver-side into VALUES-literal oracles —
@@ -3250,6 +3349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
         "doc_repetition_stats": _doc_repetition_stats,
+        "docs_pack_sequences": _docs_pack_sequences,
+        "store_roundtrip_orc": _store_roundtrip_orc,
         "knn_dot": _knn_query("dot"),
         "docs_stats_by_lang": _docs_stats_by_lang,
         "neardup_embedding": _neardup_embedding,
@@ -3459,6 +3560,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": _DOC_TOKEN_STATS_ORACLE,
         "doc_quality": _doc_quality_oracle(),
         "doc_repetition_stats": _doc_repetition_oracle(),
+        "docs_pack_sequences": _docs_pack_oracle(),
         "lang_id_eval": _lang_id_oracle(),
         "ivf_cells": _IVF_CELLS_ORACLE,
         "knn_ivf": _KNN_IVF_ORACLE,
@@ -3509,4 +3611,5 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_colocated_join": _BUCKETED_JOIN_ORACLE,
         "sql_api_pricing": _SQL_API_ORACLE,
         "store_roundtrip_jsonl": _JSONL_ROUNDTRIP_ORACLE,
+        "store_roundtrip_orc": _ORC_ROUNDTRIP_ORACLE,
     }
