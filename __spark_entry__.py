@@ -798,6 +798,145 @@ def _doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RP_OUT_DIM = 16
+
+
+def _embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction 64→16 with a
+    deterministic Rademacher ±1 matrix (functions/vector.py
+    rademacher_signs/project_micro): the pre-step that shortens vectors for
+    downstream ANN/clustering while preserving neighborhoods w.h.p. The
+    projection is ONE Project over the scan — integer micro units, no
+    shuffle, no UDF, whole-stage codegen — and the md5-derived matrix is
+    regenerated identically by the SQL oracle, so all 16 components of
+    every row are value-checked exactly."""
+    signs = V.rademacher_signs(RP_OUT_DIM, DIM)
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id", F.posexplode(V.project_micro("embedding", signs)).alias("k", "y_micro")
+    ).withColumn("k", F.col("k").cast("int"))
+
+
+def _rp_oracle() -> str:
+    from educational_vector_database_spark.functions.vector import rademacher_signs
+
+    signs = rademacher_signs(RP_OUT_DIM, DIM)
+    exprs, ks = [], []
+    for k, krow in enumerate(signs):
+        lit = "[" + ", ".join(str(s) for s in krow) + "]"
+        exprs.append(
+            "list_sum(list_transform(list_zip(embedding::DOUBLE[], "
+            f"{lit}::BIGINT[]), p -> CAST(round(p[1] * 1000000) AS BIGINT) * p[2]))"
+        )
+        ks.append(str(k))
+    return f"""
+    SELECT vec_id,
+           CAST(unnest([{', '.join(ks)}]) AS INTEGER) AS k,
+           CAST(unnest([{', '.join(exprs)}]) AS BIGINT) AS y_micro
+    FROM embeddings
+    """
+
+
+def _knn_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many of the exact cosine top-10 neighbors survive when the
+    search runs on the 16-dim JL projection instead of the raw 64-dim
+    vectors — the measured version of the JL promise, computed as one join
+    (the knn_ivf_recall pattern: shared pair frame, two rankings, integer
+    hit count; no per-query driver loop). Both rankings use the
+    (score DESC, vec_id ASC) total order and the oracle regenerates the
+    identical md5-derived matrix, so n_hits is deterministic."""
+    signs = V.rademacher_signs(RP_OUT_DIM, DIM)
+    base = _emb(spark, sf_dir).withColumn(
+        "y", V.as_double(V.project_micro("embedding", signs))
+    )
+    queries = base.filter(
+        (F.col("vec_id") >= IVF_RECALL_QLO) & (F.col("vec_id") < IVF_RECALL_QHI)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("y").alias("qy"),
+    )
+    pairs = base.join(F.broadcast(queries)).select(
+        "qid",
+        "vec_id",
+        V.similarity("cosine", V.as_double("embedding"), V.as_double("qv")).alias(
+            "score"
+        ),
+        V.similarity("cosine", "y", "qy").alias("score_rp"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    w_rp = Window.partitionBy("qid").orderBy(F.desc("score_rp"), F.asc("vec_id"))
+    exact = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    rp = (
+        pairs.withColumn("rn", F.row_number().over(w_rp))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    n_q = IVF_RECALL_QHI - IVF_RECALL_QLO
+    return (
+        exact.join(rp, ["qid", "vec_id"])
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.lit(n_q).cast("long").alias("n_queries"),
+            F.lit(TOP_K).cast("long").alias("k"),
+            "n_hits",
+        )
+    )
+
+
+def _rp_recall_oracle() -> str:
+    from educational_vector_database_spark.functions.vector import rademacher_signs
+
+    signs = rademacher_signs(RP_OUT_DIM, DIM)
+    exprs = []
+    for krow in signs:
+        lit = "[" + ", ".join(str(s) for s in krow) + "]"
+        exprs.append(
+            "list_sum(list_transform(list_zip(embedding::DOUBLE[], "
+            f"{lit}::BIGINT[]), p -> CAST(round(p[1] * 1000000) AS BIGINT) * p[2]))"
+        )
+    cos_raw = _COS.format(a="e.embedding::DOUBLE[]", b="q.qv")
+    cos_rp = _COS.format(a="e.y", b="q.qy")
+    return f"""
+    WITH proj AS (
+        SELECT vec_id, embedding,
+               [{', '.join(exprs)}]::DOUBLE[] AS y
+        FROM embeddings
+    ),
+    qs AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, y AS qy
+        FROM proj
+        WHERE vec_id >= {IVF_RECALL_QLO} AND vec_id < {IVF_RECALL_QHI}
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id, {cos_raw} AS score, {cos_rp} AS score_rp
+        FROM proj e CROSS JOIN qs q
+    ),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= {TOP_K}
+    ),
+    rp AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY score_rp DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT CAST({IVF_RECALL_QHI - IVF_RECALL_QLO} AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM exact JOIN rp USING (qid, vec_id)
+    """
+
+
 PACK_SEQ_LEN = 1024
 PACK_N_SHARDS = 8
 
@@ -2204,6 +2343,57 @@ _DOCS_QUANTILES_ORACLE = """
 """
 
 
+#: approx_percentile must land within this many permille of the exact
+#: quantile for the sketch path to count as correct (generous vs the
+#: sketch's own accuracy parameter; the gate is semantic, not bit-level)
+APPROXQ_TOL_PMIL = 50
+
+
+def _docs_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declared 100 TB twin of docs_length_quantiles, GATED instead of
+    merely documented: ``approx_percentile`` (KLL/t-digest-family sketch —
+    partial-aggregable, mergeable, NO per-group sort) runs next to the
+    exact interpolated percentile in ONE aggregate, and the output carries
+    (a) the exact value — bit-comparable to DuckDB quantile_cont — and
+    (b) an integer-permille accuracy verdict for the sketch. The sketch
+    value itself is engine-specific (deliberately NOT in the output), but
+    its CORRECTNESS is: the oracle asserts within_tol for every quantile,
+    so a sketch regression (or an accuracy-parameter typo) turns the row
+    red. Scale: the exact arm is the test harness; production keeps only
+    the sketch arm — same plan shape minus the sort."""
+    d = _docs(spark, sf_dir)
+    qs = d.select(
+        F.expr(
+            "percentile(n_chars, array(0.1D, 0.25D, 0.5D, 0.75D, 0.9D))"
+        ).alias("exact_qv"),
+        F.expr(
+            "approx_percentile(n_chars, array(0.1D, 0.25D, 0.5D, 0.75D, 0.9D), 10000)"
+        ).alias("approx_qv"),
+    )
+    pairs = qs.select(
+        F.posexplode(F.arrays_zip("exact_qv", "approx_qv")).alias("q_idx", "z")
+    ).select(
+        F.col("q_idx").cast("int"),
+        F.col("z.exact_qv").alias("n_chars_q"),
+        (
+            F.abs(F.col("z.approx_qv") - F.col("z.exact_qv")) * 1000
+            <= F.lit(APPROXQ_TOL_PMIL) * F.abs(F.col("z.exact_qv"))
+        ).alias("within_tol"),
+    )
+    return pairs
+
+
+_DOCS_QUANTILES_APPROX_ORACLE = """
+    WITH q AS (
+        SELECT quantile_cont(n_chars, [0.1, 0.25, 0.5, 0.75, 0.9]) AS ql
+        FROM documents
+    )
+    SELECT CAST(idx.i AS INTEGER) AS q_idx, q.ql[idx.i + 1] AS n_chars_q,
+           TRUE AS within_tol
+    FROM q, (SELECT unnest(range(5)) AS i) idx
+"""
+
+
 _VALUE_TIERS = [
     ("bronze", 0.0, 50.0),
     ("silver", 50.0, 150.0),
@@ -3351,6 +3541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": _doc_repetition_stats,
         "docs_pack_sequences": _docs_pack_sequences,
         "store_roundtrip_orc": _store_roundtrip_orc,
+        "docs_length_quantiles_approx": _docs_length_quantiles_approx,
+        "embeddings_random_projection": _embeddings_random_projection,
+        "knn_rp_recall": _knn_rp_recall,
         "knn_dot": _knn_query("dot"),
         "docs_stats_by_lang": _docs_stats_by_lang,
         "neardup_embedding": _neardup_embedding,
@@ -3612,4 +3805,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_api_pricing": _SQL_API_ORACLE,
         "store_roundtrip_jsonl": _JSONL_ROUNDTRIP_ORACLE,
         "store_roundtrip_orc": _ORC_ROUNDTRIP_ORACLE,
+        "docs_length_quantiles_approx": _DOCS_QUANTILES_APPROX_ORACLE,
+        "embeddings_random_projection": _rp_oracle(),
+        "knn_rp_recall": _rp_recall_oracle(),
     }

@@ -121,3 +121,51 @@ def vector_literal(values) -> Column:
     """A constant ``array<double>`` Column from a Python sequence (the query
     vector of a single kNN lookup, reference api.py:105)."""
     return F.array(*[F.lit(float(x)) for x in values])
+
+
+# --- random projection (Johnson–Lindenstrauss, Rademacher signs) ------------
+
+def rademacher_signs(out_dim: int, in_dim: int, salt: str = "rp") -> list[list[int]]:
+    """Deterministic ±1 projection matrix, derived from md5 so ANY engine
+    (or a SQL oracle) can regenerate it: sign[k][i] = +1 iff the low bit of
+    the 60-bit md5 integer of "{salt}_{k}_{i}" is 0. Rademacher entries
+    satisfy the JL lemma the same as Gaussians (Achlioptas 2001) and keep
+    the arithmetic EXACT: ±1 times scaled-int components needs no float
+    product at all."""
+    import hashlib
+
+    def bit(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) & 1
+
+    return [
+        [1 if bit(f"{salt}_{k}_{i}") == 0 else -1 for i in range(in_dim)]
+        for k in range(out_dim)
+    ]
+
+
+def project_micro(vector_col: Column | str, signs: list[list[int]]) -> Column:
+    """``array<long>`` of JL projections in micro units:
+    ``y[k] = Σ_i sign[k][i] * round(x[i] * 1e6)``.
+
+    All-integer: round-to-micros once, then ±1 sums — associative and
+    commutative EXACTLY, so any execution order (Spark codegen, DuckDB
+    list_sum, a GPU) produces the identical int64s. One Project over the
+    scan; no shuffle, no UDF — at 100 TB this runs inside whole-stage
+    codegen at scan speed. Dimensionality reduction is the standard
+    pre-step that makes downstream ANN/clustering cheaper (shorter
+    vectors, same neighborhoods w.h.p.)."""
+    xm = F.transform(
+        as_double(vector_col), lambda x: F.round(x * 1_000_000).cast("long")
+    )
+    def y(krow: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                xm,
+                F.array(*[F.lit(s) for s in krow]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    return F.array(*[y(krow) for krow in signs])

@@ -62,3 +62,13 @@ def test_cosine_matches_float64_formula(spark):
     df = spark.createDataFrame([([3.0, 4.0],)], "v: array<double>")
     s = df.select(V.cosine_similarity("v", V.vector_literal([4.0, 3.0])).alias("s")).head().s
     assert s == (3.0 * 4.0 + 4.0 * 3.0) / (5.0 * 5.0)
+
+
+def test_rademacher_projection_exact_and_deterministic(spark):
+    signs = V.rademacher_signs(4, 3, salt="t")
+    assert signs == V.rademacher_signs(4, 3, salt="t")
+    assert all(s in (-1, 1) for row in signs for s in row)
+    # basis vector e1 scaled: projection k picks out signs[k][0] * 1e6 exactly
+    df = spark.createDataFrame([([1.0, 0.0, 0.0],)], "v array<double>")
+    out = df.select(V.project_micro("v", signs).alias("y")).head().y
+    assert out == [row[0] * 1_000_000 for row in signs]
