@@ -1189,6 +1189,68 @@ _IVF_CELLS_ORACLE = f"""
     SELECT vec_id, centroid_id FROM assign
 """
 
+
+def _ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Lloyd iteration of IVF/k-means index training as pure DataFrame
+    ops — the distributed version of what MLlib's KMeans.fit loop does per
+    pass (operators/ann.py train_ivf_centroids wraps the library; this
+    query gates the algorithmic step itself). Assignment is the scan-side
+    argmin (no shuffle, same expression as ivf_cells); the update is 64
+    scaled-integer column sums + count per cell (partial-aggregable: only
+    K×65 longs cross the ONE Exchange — the label_centroids pattern), and
+    the new centroid components are exact integer division sum_micro div n.
+    At 100 TB each Lloyd pass is one scan + one K-row shuffle; iterate by
+    re-running with the updated centroids. Deterministic init (first K
+    vectors) keeps every number oracle-checkable."""
+    cents = _ivf_centroids(spark, sf_dir)
+    assigned = _emb(spark, sf_dir).withColumn(
+        "centroid_id", _cell_expr(cents, "embedding")
+    )
+    sums = [
+        F.sum(
+            F.floor(F.col("embedding")[i].cast("double") * F.lit(1e6)).cast("long")
+        ).alias(f"s{i}")
+        for i in range(DIM)
+    ]
+    g = assigned.groupBy("centroid_id").agg(F.count("*").alias("n"), *sums)
+    mean_micro = F.array(*[F.expr(f"s{i} div n") for i in range(DIM)])
+    return (
+        g.select(
+            "centroid_id",
+            "n",
+            F.posexplode(mean_micro).alias("dim_idx", "mean_micro"),
+        )
+        .select(
+            "centroid_id", "n", F.col("dim_idx").cast("int").alias("dim_idx"),
+            "mean_micro",
+        )
+    )
+
+
+def _ivf_train_step_oracle() -> str:
+    sums = ", ".join(
+        f"sum(CAST(floor(e.embedding[{i + 1}]::DOUBLE * 1000000.0) AS BIGINT)) AS s{i}"
+        for i in range(DIM)
+    )
+    means = ", ".join(f"s{i} // n" for i in range(DIM))
+    return f"""
+    WITH {_IVF_ASSIGN_CTE},
+    g AS (
+        SELECT a.centroid_id, count(*) AS n, {sums}
+        FROM embeddings e JOIN assign a USING (vec_id)
+        GROUP BY a.centroid_id
+    ),
+    m AS (
+        SELECT centroid_id, CAST(n AS BIGINT) AS n,
+               [{means}]::BIGINT[] AS mm
+        FROM g
+    )
+    SELECT centroid_id, n,
+           CAST(u.i AS INTEGER) AS dim_idx,
+           mm[u.i + 1] AS mean_micro
+    FROM m, (SELECT unnest(range({DIM})) AS i) u
+    """
+
 _KNN_IVF_ORACLE = f"""
     WITH {_IVF_ASSIGN_CTE},
     q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {IVF_QUERY_ID}),
@@ -3544,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_quantiles_approx": _docs_length_quantiles_approx,
         "embeddings_random_projection": _embeddings_random_projection,
         "knn_rp_recall": _knn_rp_recall,
+        "ivf_train_step": _ivf_train_step,
         "knn_dot": _knn_query("dot"),
         "docs_stats_by_lang": _docs_stats_by_lang,
         "neardup_embedding": _neardup_embedding,
@@ -3808,4 +3871,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_quantiles_approx": _DOCS_QUANTILES_APPROX_ORACLE,
         "embeddings_random_projection": _rp_oracle(),
         "knn_rp_recall": _rp_recall_oracle(),
+        "ivf_train_step": _ivf_train_step_oracle(),
     }
