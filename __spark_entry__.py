@@ -1190,6 +1190,134 @@ _IVF_CELLS_ORACLE = f"""
 """
 
 
+def _events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier counts (|z| > 3, population σ) with EXACT
+    integer moments: value→millis int64, per-type n/Σx/Σx² via an
+    unordered window over event_type — ONE Exchange, which the per-type
+    re-aggregation reuses (the events_funnel same-key pattern). The z test
+    runs on the algebraic identity z² > 9 ⟺ (n·x−S)² > 9·(nQ−S²): both
+    sides are doubles CONVERTED FROM the same exact int64s in the same
+    expression shape, so the boolean — and the anomaly count — is
+    deterministic across engines (no mean/stddev floats ever hashed;
+    explicit d*d, no pow, since pow may take a transcendental path).
+    Degenerate guard: a type with zero variance flags nothing."""
+    e = _events(spark, sf_dir)
+    xm = F.round(F.col("value") * 1000).cast("long")
+    w = Window.partitionBy("event_type")
+    rows = e.select("event_type", xm.alias("xm")).select(
+        "event_type",
+        "xm",
+        F.count("*").over(w).alias("n"),
+        F.sum("xm").over(w).alias("s"),
+        F.sum(F.col("xm") * F.col("xm")).over(w).alias("q"),
+    )
+    dn = (F.col("n") * F.col("xm") - F.col("s")).cast("double")
+    dq = (
+        F.col("n").cast("double") * F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    )
+    anom = (dq > F.lit(0.0)) & (dn * dn > F.lit(9.0) * dq)
+    return (
+        rows.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("s").alias("s_milli"),
+            F.max("q").alias("q_milli"),
+            F.sum(anom.cast("long")).alias("n_anomalies"),
+        )
+    )
+
+
+_EVENTS_ANOMALY_ORACLE = """
+    WITH x AS (
+        SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS xm
+        FROM events
+    ),
+    st AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xm) AS BIGINT) AS s,
+               CAST(sum(xm * xm) AS BIGINT) AS q
+        FROM x GROUP BY event_type
+    )
+    SELECT st.event_type, st.n, st.s AS s_milli, st.q AS q_milli,
+           CAST(sum(CASE WHEN
+                    (CAST(st.n AS DOUBLE) * CAST(st.q AS DOUBLE)
+                     - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) > 0.0
+                AND (CAST(st.n * x.xm - st.s AS DOUBLE)
+                     * CAST(st.n * x.xm - st.s AS DOUBLE))
+                    > 9.0 * (CAST(st.n AS DOUBLE) * CAST(st.q AS DOUBLE)
+                             - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM x JOIN st USING (event_type)
+    GROUP BY st.event_type, st.n, st.s, st.q
+"""
+
+
+def _tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the 6-table join — lineitem
+    × orders × customer × supplier × nation × region — with the 'local'
+    equi-condition c_nationkey = s_nationkey. Join strategy at scale:
+    region→nation collapses to a BOUNDED (≤25-row) broadcast dim before
+    touching any fact table; orders is date-filtered at the scan
+    (PushedFilters); the three fact-side joins are left to AQE (customer
+    and supplier are unbounded — no forced hints, per the round-2 lesson).
+    Revenue in exact cents; output one row per nation, value-ordered with
+    a name tie-break."""
+    cut0 = F.lit("1996-01-01").cast("timestamp")
+    cut1 = F.lit("1997-01-01").cast("timestamp")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= cut0) & (F.col("o_orderdate") < cut1))
+        .select("o_orderkey", "o_custkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (l.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev_cents).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("n_name"))
+    )
+
+
+_Q5_ORACLE = """
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue_cents DESC, n.n_name ASC
+"""
+
+
 def _ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE Lloyd iteration of IVF/k-means index training as pure DataFrame
     ops — the distributed version of what MLlib's KMeans.fit loop does per
@@ -3607,6 +3735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_random_projection": _embeddings_random_projection,
         "knn_rp_recall": _knn_rp_recall,
         "ivf_train_step": _ivf_train_step,
+        "tpch_q5_local_volume": _tpch_q5_local_volume,
+        "events_anomaly_zscore": _events_anomaly_zscore,
         "knn_dot": _knn_query("dot"),
         "docs_stats_by_lang": _docs_stats_by_lang,
         "neardup_embedding": _neardup_embedding,
@@ -3872,4 +4002,6 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_random_projection": _rp_oracle(),
         "knn_rp_recall": _rp_recall_oracle(),
         "ivf_train_step": _ivf_train_step_oracle(),
+        "tpch_q5_local_volume": _Q5_ORACLE,
+        "events_anomaly_zscore": _EVENTS_ANOMALY_ORACLE,
     }

@@ -187,3 +187,21 @@ def test_global_order_windows_are_allowlisted():
         f"global-order Window sites changed: {found} != {allowed} — "
         "document the bound or use a no-sort twin, then update the allowlist"
     )
+
+
+def test_q5_pushdown_and_bounded_broadcast_only(spark):
+    plan = _plan(spark, "tpch_q5_local_volume")
+    # date range pushed to the orders scan
+    assert "PushedFilters:" in plan and "GreaterThanOrEqual(o_orderdate" in plan
+    # exactly two forced broadcasts, both BOUNDED dims (region 5 rows into
+    # nation, region-filtered nation ≤25 rows into the fact join);
+    # customer/supplier/orders joins are AQE's call
+    assert _n_broadcast_hints(spark, "tpch_q5_local_volume") == 2
+
+
+def test_anomaly_single_exchange_reused(spark):
+    plan = _plan(spark, "events_anomaly_zscore")
+    # the unordered window and the per-type re-aggregation share ONE hash
+    # partitioning on event_type: exactly one Exchange in the plan
+    import re as _re
+    assert len(_re.findall(r"^\(\d+\) Exchange$", plan, _re.M)) == 1
