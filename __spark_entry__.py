@@ -1190,6 +1190,99 @@ _IVF_CELLS_ORACLE = f"""
 """
 
 
+def _events_purchasers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join breadth (the one join flavor §2.5 lacked a declared
+    query for): all events by users who have ever purchased, reduced per
+    type. The semi join carries NO payload from the build side — at scale
+    the purchaser keyset is the perfect bloom/broadcast candidate and AQE
+    picks that; the probe side never duplicates rows (semi semantics), so
+    counts are join-multiplicity-safe by construction."""
+    e = _events(spark, sf_dir)
+    purchasers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        e.join(purchasers, "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+    )
+
+
+_EVENTS_SEMI_ORACLE = """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events
+    WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+    GROUP BY event_type
+"""
+
+
+def _docs_source_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set operation (completes §2.8 next to union/intersect):
+    content fingerprints present in source src0 but NOT in src1 — the
+    'what is unique to this crawl' curation question. Distinct-on-8-byte
+    fingerprints before the except keeps every shuffle narrow."""
+    d = _docs(spark, sf_dir)
+    fp = T.fingerprint64("text").alias("fp")
+    a = d.filter(F.col("source") == "src0").select(fp)
+    b = d.filter(F.col("source") == "src1").select(fp)
+    only_a = a.exceptAll(b.distinct()).distinct()
+    return only_a.agg(
+        F.count("*").alias("n_unique"),
+        F.sum(F.col("fp") % F.lit(1_000_000_007)).alias("fp_checksum"),
+    )
+
+
+_DOCS_EXCEPT_ORACLE = """
+    WITH a AS (
+        SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+        FROM documents WHERE source = 'src0'
+    ),
+    b AS (
+        SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+        FROM documents WHERE source = 'src1'
+    ),
+    only_a AS (SELECT fp FROM a EXCEPT SELECT fp FROM b)
+    SELECT count(*) AS n_unique,
+           CAST(sum(fp % 1000000007) AS BIGINT) AS fp_checksum
+    FROM only_a
+"""
+
+
+def _docs_length_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED exact percentiles (the partition-friendly variant of the
+    global docs_length_quantiles): per-language length quantiles in one
+    hash-partitioned aggregate — the sort is per-group, the shuffle is one
+    Exchange on lang, and there is no global ordering anywhere. Spark's
+    interpolated percentile matches DuckDB quantile_cont bit-exact."""
+    d = _docs(spark, sf_dir)
+    qs = d.groupBy("lang").agg(
+        F.expr(
+            "percentile(n_chars, array(0.1D, 0.25D, 0.5D, 0.75D, 0.9D))"
+        ).alias("qv")
+    )
+    return qs.select(
+        "lang", F.posexplode("qv").alias("q_idx", "n_chars_q")
+    ).withColumn("q_idx", F.col("q_idx").cast("int"))
+
+
+_DOCS_QUANTILES_BY_LANG_ORACLE = """
+    WITH q AS (
+        SELECT lang, quantile_cont(n_chars, [0.1, 0.25, 0.5, 0.75, 0.9]) AS ql
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, CAST(idx.i AS INTEGER) AS q_idx, q.ql[idx.i + 1] AS n_chars_q
+    FROM q, (SELECT unnest(range(5)) AS i) idx
+"""
+
+
 def _events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outlier counts (|z| > 3, population σ) with EXACT
     integer moments: value→millis int64, per-type n/Σx/Σx² via an
@@ -3737,6 +3830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_train_step": _ivf_train_step,
         "tpch_q5_local_volume": _tpch_q5_local_volume,
         "events_anomaly_zscore": _events_anomaly_zscore,
+        "events_purchasers_semi": _events_purchasers_semi,
+        "docs_source_except": _docs_source_except,
+        "docs_length_quantiles_by_lang": _docs_length_quantiles_by_lang,
         "knn_dot": _knn_query("dot"),
         "docs_stats_by_lang": _docs_stats_by_lang,
         "neardup_embedding": _neardup_embedding,
@@ -4004,4 +4100,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_train_step": _ivf_train_step_oracle(),
         "tpch_q5_local_volume": _Q5_ORACLE,
         "events_anomaly_zscore": _EVENTS_ANOMALY_ORACLE,
+        "events_purchasers_semi": _EVENTS_SEMI_ORACLE,
+        "docs_source_except": _DOCS_EXCEPT_ORACLE,
+        "docs_length_quantiles_by_lang": _DOCS_QUANTILES_BY_LANG_ORACLE,
     }
