@@ -90,6 +90,25 @@ HEADLINE = [
     "knn_ivf_recall",
     # round 3: the MLlib BRP-LSH approximate join (100%-recall-tuned)
     "neardup_brp_lsh",
+    # round 3, second wave: training-pipeline + relational breadth
+    "doc_repetition_stats",
+    "docs_pack_sequences",
+    "embeddings_random_projection",
+    "knn_rp_recall",
+    "ivf_train_step",
+    "tpch_q5_local_volume",
+    "events_anomaly_zscore",
+    "docs_length_quantiles_approx",
+    "docs_length_quantiles_by_lang",
+    "store_roundtrip_orc",
+    "events_purchasers_semi",
+    "docs_source_except",
+    # round-2 flagships that joined the correctness window but not yet the bench
+    "search_hybrid_rrf",
+    "store_upsert_merge",
+    "store_partitioned_by_lang",
+    "bucketed_colocated_join",
+    "embeddings_quantize_error",
 ]
 
 
