@@ -1190,6 +1190,58 @@ _IVF_CELLS_ORACLE = f"""
 """
 
 
+PR_ITERS = 3
+PR_DAMPING_PCT = 85
+
+
+def _docs_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub scores over the near-dup graph (operators/graph.py
+    integer_pagerank): which document is the CENTER of its duplication
+    neighborhood — the canonical-copy / template-farm signal that min-id
+    survivorship can't express. Three fixed rounds of the integer power
+    iteration (micro-unit ranks, integer-division contributions) — every
+    rank is a pure int64 function of the graph, so the oracle's three
+    unrolled SQL rounds must reproduce all of them exactly. Per round: one
+    join + one groupBy keyed on the 8-byte id; the edge list is the
+    near-dup output, never the corpus."""
+    from educational_vector_database_spark.operators import graph as G
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_near_dup(docs)
+    return G.integer_pagerank(pairs, iterations=PR_ITERS, damping_pct=PR_DAMPING_PCT)
+
+
+def _pagerank_oracle() -> str:
+    base = (100 - PR_DAMPING_PCT) * 1_000_000 // 100
+    rounds = []
+    for k in range(PR_ITERS):
+        rounds.append(f"""
+    c{k} AS (
+        SELECT r{k}.src, (r{k}.r * {PR_DAMPING_PCT} // 100) // d.deg AS c
+        FROM r{k} JOIN deg d USING (src)
+    ),
+    i{k} AS (
+        SELECT u.dst, CAST(sum(c.c) AS BIGINT) AS inc
+        FROM und u JOIN c{k} c ON u.src = c.src
+        GROUP BY u.dst
+    ),
+    r{k + 1} AS (
+        SELECT d.src, CAST({base} + coalesce(i.inc, 0) AS BIGINT) AS r
+        FROM deg d LEFT JOIN i{k} i ON d.src = i.dst
+    )""")
+    return f"""
+    WITH pairs AS (SELECT id_a, id_b FROM ({_MINHASH_ORACLE})),
+    und AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+    r0 AS (SELECT src, CAST(1000000 AS BIGINT) AS r FROM deg),{','.join(rounds)}
+    SELECT src AS id, r AS rank_micro FROM r{PR_ITERS}
+    """
+
+
 def _events_purchasers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI join breadth (the one join flavor §2.5 lacked a declared
     query for): all events by users who have ever purchased, reduced per
@@ -3833,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_purchasers_semi": _events_purchasers_semi,
         "docs_source_except": _docs_source_except,
         "docs_length_quantiles_by_lang": _docs_length_quantiles_by_lang,
+        "docs_pagerank_neardup": _docs_pagerank_neardup,
         "knn_dot": _knn_query("dot"),
         "docs_stats_by_lang": _docs_stats_by_lang,
         "neardup_embedding": _neardup_embedding,
@@ -4103,4 +4156,5 @@ def oracle_sql() -> dict[str, str]:
         "events_purchasers_semi": _EVENTS_SEMI_ORACLE,
         "docs_source_except": _DOCS_EXCEPT_ORACLE,
         "docs_length_quantiles_by_lang": _DOCS_QUANTILES_BY_LANG_ORACLE,
+        "docs_pagerank_neardup": _pagerank_oracle(),
     }
