@@ -57,6 +57,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ts_micros maps TIMESTAMP_NTZ -> epoch micros through the session
+        # timezone; pin it to UTC (DuckDB's epoch_us treats naive values as
+        # UTC) so the mapping is right under a stock session too, not just
+        # ours (get_spark already sets it).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
