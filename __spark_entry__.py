@@ -651,6 +651,34 @@ _EVENTS_PIVOT_ORACLE = f"""
 """
 
 
+def _events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the reshape inverse of events_pivot): the wide per-hour
+    × per-type count matrix back to long (hour, event_type, n) rows via
+    ``stack`` — a zero-shuffle Generate over the already-aggregated wide
+    frame, so the whole round trip costs exactly the pivot's one Exchange.
+    Zero cells are dropped on both sides (a melt that materializes absent
+    combinations would grow output ×|domain| for no information)."""
+    wide = _events_pivot(spark, sf_dir)
+    n = len(_EVENT_TYPES)
+    stack_expr = ", ".join(f"'{t}', {t}" for t in _EVENT_TYPES)
+    return (
+        wide.select(
+            "hour",
+            F.expr(f"stack({n}, {stack_expr}) AS (event_type, n)"),
+        )
+        .filter(F.col("n") > 0)
+        .select("hour", "event_type", F.col("n").cast("long").alias("n"))
+    )
+
+
+_EVENTS_UNPIVOT_ORACLE = """
+    SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+           count(*) AS n
+    FROM events
+    GROUP BY hour, event_type
+"""
+
+
 def _top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -3886,6 +3914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_except": _docs_source_except,
         "docs_length_quantiles_by_lang": _docs_length_quantiles_by_lang,
         "docs_pagerank_neardup": _docs_pagerank_neardup,
+        "events_unpivot": _events_unpivot,
         "knn_dot": _knn_query("dot"),
         "docs_stats_by_lang": _docs_stats_by_lang,
         "neardup_embedding": _neardup_embedding,
@@ -4157,4 +4186,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_source_except": _DOCS_EXCEPT_ORACLE,
         "docs_length_quantiles_by_lang": _DOCS_QUANTILES_BY_LANG_ORACLE,
         "docs_pagerank_neardup": _pagerank_oracle(),
+        "events_unpivot": _EVENTS_UNPIVOT_ORACLE,
     }
