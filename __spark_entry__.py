@@ -651,6 +651,48 @@ _EVENTS_PIVOT_ORACLE = f"""
 """
 
 
+def _docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling (the DCLM/FineWeb-style
+    curation move: inclusion probability proportional to the quality
+    score, not uniform): doc survives iff
+    ``md5_bucket(doc_id) < round(quality * 500000)`` — i.e. p = quality/2.
+    Both sides of the compare are integers derived from bit-identical
+    doubles (doc_quality hash-matches DuckDB), so membership is
+    reproducible on any engine — a re-run of the pipeline anywhere selects
+    the SAME corpus, which is what makes ablations comparable. One scan,
+    conditional aggregates per lang, no filter-then-rescan."""
+    d = _docs(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    thresh = F.round(T.quality_score("text") * F.lit(500_000.0)).cast("long")
+    keep = bucket < thresh
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum(F.when(keep, F.col("doc_id")).otherwise(0)).alias("kept_id_sum"),
+    )
+
+
+def _quality_weighted_oracle() -> str:
+    alpha, stop, len_ok = _quality_sql_fragments()
+    quality = f"((({alpha} + {stop}) + {len_ok}) / 3.0)"
+    bucket = _HASH_BUCKET_SQL.format(k="doc_id")
+    keep = f"({bucket} < CAST(round({quality} * 500000.0) AS BIGINT))"
+    return f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN {keep} THEN doc_id ELSE 0 END) AS BIGINT)
+               AS kept_id_sum
+    FROM documents
+    GROUP BY lang
+    """
+
+
 def _events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (the reshape inverse of events_pivot): the wide per-hour
     × per-type count matrix back to long (hour, event_type, n) rows via
@@ -3915,6 +3957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_quantiles_by_lang": _docs_length_quantiles_by_lang,
         "docs_pagerank_neardup": _docs_pagerank_neardup,
         "events_unpivot": _events_unpivot,
+        "docs_quality_weighted_sample": _docs_quality_weighted_sample,
         "knn_dot": _knn_query("dot"),
         "docs_stats_by_lang": _docs_stats_by_lang,
         "neardup_embedding": _neardup_embedding,
@@ -4187,4 +4230,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_quantiles_by_lang": _DOCS_QUANTILES_BY_LANG_ORACLE,
         "docs_pagerank_neardup": _pagerank_oracle(),
         "events_unpivot": _EVENTS_UNPIVOT_ORACLE,
+        "docs_quality_weighted_sample": _quality_weighted_oracle(),
     }
