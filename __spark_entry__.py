@@ -3925,29 +3925,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _doc_quality,
         "lang_id_eval": _lang_id_eval,
         "docs_tfidf_keywords": _docs_tfidf_keywords,
-        "docs_vocab_topk": _docs_vocab_topk,
+        "docs_pack_sequences": _docs_pack_sequences,
         "doc_fingerprint": _doc_fingerprint,
         "docs_kmv_distinct": _docs_kmv_distinct,
         "docs_sample_stratified": _docs_sample_stratified,
         "embeddings_quantize_error": _embeddings_quantize_error,
         "media_image_features": _media_image_features,
-        "media_stats": _media_stats,
+        "doc_repetition_stats": _doc_repetition_stats,
         "lineitem_q6_forecast": _lineitem_q6_forecast,
         "tpch_q3_shipping": _tpch_q3_shipping,
         "tpch_q9_profit": _tpch_q9_profit,
         "top_customers_per_nation": _top_customers_per_nation,
-        "customers_without_orders": _customers_without_orders,
+        "embeddings_random_projection": _embeddings_random_projection,
         "stream_events_tumbling": _stream_events_tumbling,
         "stream_events_sessionize": _stream_events_sessionize,
         "stream_events_dedup": _stream_events_dedup,
         "events_quality_audit": _events_quality_audit,
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
-        "doc_repetition_stats": _doc_repetition_stats,
-        "docs_pack_sequences": _docs_pack_sequences,
+        "media_stats": _media_stats,
+        "docs_vocab_topk": _docs_vocab_topk,
+        "customers_without_orders": _customers_without_orders,
         "store_roundtrip_orc": _store_roundtrip_orc,
         "docs_length_quantiles_approx": _docs_length_quantiles_approx,
-        "embeddings_random_projection": _embeddings_random_projection,
         "knn_rp_recall": _knn_rp_recall,
         "ivf_train_step": _ivf_train_step,
         "tpch_q5_local_volume": _tpch_q5_local_volume,
