@@ -651,6 +651,44 @@ _EVENTS_PIVOT_ORACLE = f"""
 """
 
 
+def _events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    grouped by first-seen day (cohort), counted per day-offset they came
+    back. Two aggregates, both partial-aggregable: min(day) per user (one
+    Exchange on user_id), then distinct users per (cohort_day, offset) —
+    day arithmetic is integer epoch-days, so every cell is exact. The
+    fact table is scanned once; the cohort frame joining back is
+    user-cardinality (AQE broadcasts it only when it fits — no hint)."""
+    e = _events(spark, sf_dir)
+    days = e.select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_EVENTS_RETENTION_ORACLE = """
+    WITH days AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ),
+    fs AS (
+        SELECT user_id, CAST(min(day) AS BIGINT) AS cohort_day
+        FROM days GROUP BY user_id
+    )
+    SELECT f.cohort_day, CAST(d.day - f.cohort_day AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+    FROM days d JOIN fs f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+"""
+
+
 def _docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-WEIGHTED deterministic sampling (the DCLM/FineWeb-style
     curation move: inclusion probability proportional to the quality
@@ -3958,6 +3996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pagerank_neardup": _docs_pagerank_neardup,
         "events_unpivot": _events_unpivot,
         "docs_quality_weighted_sample": _docs_quality_weighted_sample,
+        "events_retention_cohorts": _events_retention_cohorts,
         "knn_dot": _knn_query("dot"),
         "docs_stats_by_lang": _docs_stats_by_lang,
         "neardup_embedding": _neardup_embedding,
@@ -4231,4 +4270,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_pagerank_neardup": _pagerank_oracle(),
         "events_unpivot": _EVENTS_UNPIVOT_ORACLE,
         "docs_quality_weighted_sample": _quality_weighted_oracle(),
+        "events_retention_cohorts": _EVENTS_RETENTION_ORACLE,
     }
