@@ -651,6 +651,193 @@ _EVENTS_PIVOT_ORACLE = f"""
 """
 
 
+def _tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item customer ranking): which customers
+    returned the most revenue in a quarter — returnflag + date filters
+    pushed to both fact scans, customer joined AFTER the fact-side
+    aggregation (aggregate-then-join: the per-customer revenue frame is
+    customer-cardinality, far smaller than the join-then-aggregate
+    alternative at 100 TB), nation broadcast (bounded), top-20 via
+    TakeOrderedAndProject with an exact-cents value order."""
+    cut0 = F.lit("1996-01-01").cast("timestamp")
+    cut1 = F.lit("1996-04-01").cast("timestamp")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= cut0) & (F.col("o_orderdate") < cut1))
+        .select("o_orderkey", "o_custkey")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_cust = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev_cents).alias("revenue_cents"))
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_mktsegment",
+            "n_name",
+            "revenue_cents",
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+_Q10_ORACLE = """
+    WITH per_cust AS (
+        SELECT o.o_custkey,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey AS custkey, c.c_mktsegment, n.n_name, p.revenue_cents
+    FROM per_cust p
+    JOIN customer c ON p.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY p.revenue_cents DESC, custkey ASC
+    LIMIT 20
+"""
+
+
+def _orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative revenue — the classic ordered running-sum
+    window, PARTITIONED by customer (the unpartitioned variant is the
+    global-window scale-killer the lint test forbids): one Exchange on
+    o_custkey, per-partition sort, exact integer cents, (date, orderkey)
+    total order for deterministic ties."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents).over(w).alias("running_cents"),
+    )
+
+
+_ORDERS_RUNNING_ORACLE = """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_cents
+    FROM orders
+"""
+
+
+def _knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH ANN join — the scale form of many-query search: every query
+    joins ONLY the vectors of its own IVF cell (equi-join on centroid_id,
+    nprobe=1), then per-query cosine top-5. Versus the exact batch join
+    (knn_join_topk: each query scores the whole corpus), the candidate set
+    shrinks to ~1/n_cells of the data, and because the join key is the
+    cell id, the corpus can be pre-partitioned/bucketed by cell so the
+    probe side co-locates without a corpus shuffle. The same (score DESC,
+    vec_id ASC) total order keeps results deterministic."""
+    cents = _ivf_centroids(spark, sf_dir)
+    cells = _emb(spark, sf_dir).withColumn(
+        "centroid_id", _cell_expr(cents, "embedding")
+    )
+    queries = cells.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("centroid_id").alias("qcell"),
+    )
+    score = V.similarity("cosine", V.as_double("embedding"), V.as_double("query_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        cells.join(queries, cells.centroid_id == queries.qcell)
+        .select("query_id", "vec_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
+def _knn_join_ivf_oracle() -> str:
+    cos = _COS.format(a="e.embedding::DOUBLE[]", b="q.qv")
+    return f"""
+    WITH {_IVF_ASSIGN_CTE},
+    qs AS (
+        SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv,
+               a.centroid_id AS qcell
+        FROM embeddings e JOIN assign a USING (vec_id)
+        WHERE e.vec_id < 8
+    )
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id, score
+    FROM (
+        SELECT q.query_id, e.vec_id, {cos} AS score,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {cos} DESC, e.vec_id ASC) AS rn
+        FROM embeddings e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN qs q ON a.centroid_id = q.qcell
+    ) WHERE rn <= 5
+    """
+
+
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt/quotation detection (operators/dedup.py
+    ngram_containment_pairs): |A∩B| / min(|A|,|B|) ≥ 0.8 over trigram sets
+    — the asymmetric near-dup signal Jaccard structurally misses (a short
+    quote inside a long article). Same inverted-index join as dedup_ngram;
+    the containment double is one division of exact ints, bit-identical
+    across engines."""
+    return D.ngram_containment_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+_CONTAINMENT_ORACLE = f"""
+    WITH norm AS (
+        SELECT doc_id AS id, string_split({_NORM.format(t='text')}, ' ') AS w
+        FROM documents
+    ),
+    ngl AS (
+        SELECT id, list_distinct([concat_ws(' ', w[CAST(i+1 AS INT)],
+                                  w[CAST(i+2 AS INT)], w[CAST(i+3 AS INT)])
+                   for i in range(0, greatest(1, len(w) - 2))]) AS gs
+        FROM norm
+    ),
+    grams AS (SELECT id, unnest(gs) AS g FROM ngl),
+    sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+        FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+               AS containment
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(c AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.8
+"""
+
+
 def _events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix — the product-analytics staple: users
     grouped by first-seen day (cohort), counted per day-offset they came
@@ -3997,6 +4184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": _events_unpivot,
         "docs_quality_weighted_sample": _docs_quality_weighted_sample,
         "events_retention_cohorts": _events_retention_cohorts,
+        "dedup_containment": _dedup_containment,
+        "knn_join_ivf": _knn_join_ivf,
+        "orders_running_total": _orders_running_total,
+        "tpch_q10_returns": _tpch_q10_returns,
         "knn_dot": _knn_query("dot"),
         "docs_stats_by_lang": _docs_stats_by_lang,
         "neardup_embedding": _neardup_embedding,
@@ -4271,4 +4462,8 @@ def oracle_sql() -> dict[str, str]:
         "events_unpivot": _EVENTS_UNPIVOT_ORACLE,
         "docs_quality_weighted_sample": _quality_weighted_oracle(),
         "events_retention_cohorts": _EVENTS_RETENTION_ORACLE,
+        "dedup_containment": _CONTAINMENT_ORACLE,
+        "knn_join_ivf": _knn_join_ivf_oracle(),
+        "orders_running_total": _ORDERS_RUNNING_ORACLE,
+        "tpch_q10_returns": _Q10_ORACLE,
     }

@@ -444,6 +444,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """EXCERPT/QUOTATION detection: pairs where the smaller document's
+    n-gram set is mostly CONTAINED in the other — ``|A∩B| / min(|A|,|B|)``
+    ≥ threshold. Jaccard misses these on purpose (a 50-gram quote inside a
+    5000-gram article has Jaccard ≈ 0.01 but containment ≈ 1.0), and
+    training-data curation needs exactly this asymmetric signal to catch
+    boilerplate inclusion and wholesale quoting. Same inverted-index shape
+    (and the same no-forced-broadcast rule) as :func:`ngram_jaccard_pairs`
+    — one posting equi-join, never a cross join."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(T.word_ngrams(text_col, n)).alias("g"),
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    posting_ok = grams.groupBy("g").agg(F.count("*").alias("pn"))
+    grams = grams.join(
+        posting_ok.filter(F.col("pn") > max_posting), "g", "left_anti"
+    )
+    common = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("c").cast("double")
+                / F.least("sz_a", "sz_b").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -806,6 +855,9 @@ def embedding_near_dup_blocked(
             try:
                 total += os.path.getsize(p)
             except OSError:
+                # unreadable/remote path: skip its bytes — the estimate only
+                # sizes blocks, and the partition-count fallback below covers
+                # the all-unreadable case
                 pass
         if total > 0:
             n_blocks = max(1, math.ceil(total / bytes_per_block))
