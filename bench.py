@@ -109,6 +109,15 @@ HEADLINE = [
     "store_partitioned_by_lang",
     "bucketed_colocated_join",
     "embeddings_quantize_error",
+    # round 3, third wave: asymmetric dedup, batch ANN join, graph, analytics
+    "dedup_containment",
+    "knn_join_ivf",
+    "docs_pagerank_neardup",
+    "orders_running_total",
+    "tpch_q10_returns",
+    "events_retention_cohorts",
+    "events_unpivot",
+    "docs_quality_weighted_sample",
 ]
 
 
