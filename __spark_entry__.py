@@ -651,6 +651,74 @@ _EVENTS_PIVOT_ORACLE = f"""
 """
 
 
+def _stream_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE sink — incremental store maintenance via
+    ``foreachBatch``: the update feed (same mods+news as the batch
+    store_upsert_merge) arrives as a stream, and each micro-batch is
+    MERGEd into the persistent store (read current → upsert → write
+    staging → atomic swap), the pattern every CDC/upsert pipeline runs
+    where a table format's MERGE INTO isn't available. The drained store's
+    checksum must equal the one-shot batch merge — so the streaming path
+    shares the batch oracle verbatim, proving exactly-once apply. State
+    held by the query is zero (foreachBatch is stateless; the store IS the
+    state)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from educational_vector_database_spark.sources import store as S
+
+    run = uuid.uuid4().hex[:8]
+    store_dir = os.path.join(tempfile.gettempdir(), f"evdb_stream_merge_{run}")
+    docs = _docs(spark, sf_dir)
+    docs.write.mode("overwrite").parquet(store_dir)
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    feed = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    mods = (
+        feed.filter(F.col("doc_id") < UPSERT_MOD_N)
+        .withColumn("text", F.concat(F.lit("UPDATED "), F.col("text")))
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    news = (
+        feed.filter(F.col("doc_id") < UPSERT_NEW_N)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        .withColumn("source", F.lit("upsert"))
+    )
+    updates = mods.unionByName(news)
+
+    def apply_batch(bdf, batch_id: int) -> None:
+        cur = bdf.sparkSession.read.parquet(store_dir)
+        merged = S.upsert(cur, bdf, key="doc_id")
+        staging = f"{store_dir}_stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(store_dir)
+        os.rename(staging, store_dir)
+
+    q = (
+        updates.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = spark.read.parquet(store_dir)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("n_chars_sum"),
+        F.sum(T.fingerprint64("text") % F.lit(1000000007)).alias("text_fp_sum"),
+        F.sum(F.when(F.col("text").startswith("UPDATED "), 1).otherwise(0)).alias(
+            "n_updated"
+        ),
+        F.sum(F.when(F.col("source") == "upsert", 1).otherwise(0)).alias("n_new"),
+    )
+
+
 def _tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape (returned-item customer ranking): which customers
     returned the most revenue in a quarter — returnflag + date filters
@@ -4188,6 +4256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_ivf": _knn_join_ivf,
         "orders_running_total": _orders_running_total,
         "tpch_q10_returns": _tpch_q10_returns,
+        "stream_store_upsert": _stream_store_upsert,
         "knn_dot": _knn_query("dot"),
         "docs_stats_by_lang": _docs_stats_by_lang,
         "neardup_embedding": _neardup_embedding,
@@ -4445,6 +4514,9 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_quantize_error": _QUANT_ORACLE,
         "search_hybrid_rrf": _hybrid_oracle(),
         "store_upsert_merge": _UPSERT_ORACLE,
+        # the streaming MERGE must land the IDENTICAL store as the one-shot
+        # batch merge — shared oracle is the exactly-once-apply proof
+        "stream_store_upsert": _UPSERT_ORACLE,
         "bucketed_colocated_join": _BUCKETED_JOIN_ORACLE,
         "sql_api_pricing": _SQL_API_ORACLE,
         "store_roundtrip_jsonl": _JSONL_ROUNDTRIP_ORACLE,
