@@ -651,6 +651,94 @@ _EVENTS_PIVOT_ORACLE = f"""
 """
 
 
+BLOOM_WORDS = 64
+BLOOM_HASHES = 3
+BLOOM_SPLIT = 900_000  # train = md5 bucket < this, probe = the rest
+SK_BITS = 63  # usable bits per word (operators/sketch.py BITS_PER_WORD)
+
+
+def _docs_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit (operators/sketch.py): build the
+    filter over the TRAIN split's content fingerprints as one ``bit_or``
+    aggregation (map-side partial OR → at most BLOOM_WORDS 8-byte rows
+    cross the Exchange, for ANY corpus size), then probe the holdout
+    split — the 'was this seen in training?' primitive at membership-query
+    cost O(words), not O(corpus). Everything is md5 integer arithmetic, so
+    the verdicts (true members + deterministic false positives) are
+    bit-identical in the SQL oracle. Summary row: filter population,
+    probes, flagged count."""
+    from educational_vector_database_spark.operators import sketch as SK
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", T.fingerprint64("text").alias("fp")
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    d = d.withColumn("is_train", bucket < F.lit(BLOOM_SPLIT))
+    train = d.filter("is_train").select("fp")
+    probe = d.filter(~F.col("is_train")).select("doc_id", "fp")
+    bloom = SK.bloom_build(train, "fp", n_words=BLOOM_WORDS, n_hashes=BLOOM_HASHES)
+    probed = SK.bloom_probe(
+        probe, bloom, "fp", n_words=BLOOM_WORDS, n_hashes=BLOOM_HASHES
+    )
+    n_set_bits = bloom.agg(
+        F.sum(F.bit_count("word")).cast("long").alias("b")
+    )
+    return probed.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.col("maybe_member").cast("long")).alias("n_flagged"),
+    ).crossJoin(F.broadcast(n_set_bits))
+
+
+def _bloom_oracle() -> str:
+    n_bits = BLOOM_WORDS * SK_BITS
+    pos = (
+        "(('0x' || substr(md5('bloom' || i || '_' || CAST(fp AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {n_bits})"
+    )
+    return f"""
+    WITH fps AS (
+        SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 1000000) < {BLOOM_SPLIT} AS is_train
+        FROM documents
+    ),
+    train_pos AS (
+        SELECT {pos} AS p
+        FROM fps, (SELECT unnest(range({BLOOM_HASHES})) AS i)
+        WHERE is_train
+    ),
+    bloom AS (
+        SELECT CAST(p // {SK_BITS} AS INTEGER) AS word_idx,
+               bit_or(1::BIGINT << CAST(p % {SK_BITS} AS INTEGER)) AS word
+        FROM train_pos GROUP BY word_idx
+    ),
+    probe_pos AS (
+        SELECT doc_id, {pos} AS p
+        FROM fps, (SELECT unnest(range({BLOOM_HASHES})) AS i)
+        WHERE NOT is_train
+    ),
+    verdicts AS (
+        SELECT pp.doc_id,
+               min(CASE WHEN (coalesce(b.word, 0) &
+                              (1::BIGINT << CAST(pp.p % {SK_BITS} AS INTEGER)))
+                         = (1::BIGINT << CAST(pp.p % {SK_BITS} AS INTEGER))
+                   THEN 1 ELSE 0 END) AS m
+        FROM probe_pos pp
+        LEFT JOIN bloom b ON b.word_idx = CAST(pp.p // {SK_BITS} AS INTEGER)
+        GROUP BY pp.doc_id
+    )
+    SELECT count(*) AS n_probes,
+           CAST(sum(m) AS BIGINT) AS n_flagged,
+           (SELECT CAST(sum(bit_count(word)) AS BIGINT) FROM bloom) AS b
+    FROM verdicts
+    """
+
+
 def _stream_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MERGE sink — incremental store maintenance via
     ``foreachBatch``: the update feed (same mods+news as the batch
@@ -4257,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_running_total": _orders_running_total,
         "tpch_q10_returns": _tpch_q10_returns,
         "stream_store_upsert": _stream_store_upsert,
+        "docs_bloom_membership": _docs_bloom_membership,
         "knn_dot": _knn_query("dot"),
         "docs_stats_by_lang": _docs_stats_by_lang,
         "neardup_embedding": _neardup_embedding,
@@ -4538,4 +4627,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_join_ivf": _knn_join_ivf_oracle(),
         "orders_running_total": _ORDERS_RUNNING_ORACLE,
         "tpch_q10_returns": _Q10_ORACLE,
+        "docs_bloom_membership": _bloom_oracle(),
     }
