@@ -651,6 +651,84 @@ _EVENTS_PIVOT_ORACLE = f"""
 """
 
 
+HIST_WIDTH = 25.0  # value-histogram bucket width
+HIST_MAX_BUCKET = 13  # values ≥ 14*25 clamp into the last bucket
+
+
+def _events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram — the distribution-profiling scan every
+    data-quality report starts with: bucket = min(floor(value/width), cap)
+    computed portably (no width_bucket dependency — floor of the same
+    double division is bit-identical in any IEEE engine), counts and exact
+    cents per bucket, ONE partial-aggregable pass."""
+    e = _events(spark, sf_dir)
+    bucket = F.least(
+        F.floor(F.col("value") / F.lit(HIST_WIDTH)), F.lit(HIST_MAX_BUCKET)
+    ).cast("int")
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+
+
+_EVENTS_HIST_ORACLE = f"""
+    SELECT CAST(least(floor(value / {HIST_WIDTH}), {HIST_MAX_BUCKET}) AS INTEGER)
+               AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY bucket
+"""
+
+
+def _events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregate: clip values at the exact p01/p99 before
+    averaging — the robust-stats move that stops a handful of outliers from
+    dragging a pipeline metric. The percentile bounds come from ONE 1-row
+    aggregate cross-joined back (broadcast, bounded); the clipped mean is
+    exact integer cents div count, so no float aggregation order can leak
+    into the hash. Scale note: swap `percentile` for approx_percentile at
+    100 TB — same shape minus the sort (the docs_length_quantiles_approx
+    pattern, gated there)."""
+    e = _events(spark, sf_dir)
+    bounds = e.agg(
+        F.expr("percentile(value, 0.01D)").alias("lo"),
+        F.expr("percentile(value, 0.99D)").alias("hi"),
+    )
+    clipped = e.crossJoin(F.broadcast(bounds)).select(
+        F.round(
+            F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value"))) * 100
+        ).cast("long").alias("cents"),
+        (F.col("value") < F.col("lo")).cast("long").alias("clip_lo"),
+        (F.col("value") > F.col("hi")).cast("long").alias("clip_hi"),
+    )
+    return clipped.agg(
+        F.count("*").alias("n"),
+        F.expr("sum(cents) div count(*)").alias("winsor_mean_cents"),
+        F.sum("clip_lo").alias("n_clipped_lo"),
+        F.sum("clip_hi").alias("n_clipped_hi"),
+    )
+
+
+_EVENTS_WINSOR_ORACLE = """
+    WITH b AS (
+        SELECT quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+        FROM events
+    )
+    SELECT count(*) AS n,
+           CAST(sum(CAST(round(greatest(b.lo, least(b.hi, value)) * 100)
+                    AS BIGINT)) // count(*) AS BIGINT) AS winsor_mean_cents,
+           CAST(sum(CASE WHEN value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_lo,
+           CAST(sum(CASE WHEN value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_hi
+    FROM events, b
+"""
+
+
 BLOOM_WORDS = 64
 BLOOM_HASHES = 3
 BLOOM_SPLIT = 900_000  # train = md5 bucket < this, probe = the rest
@@ -4346,6 +4424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returns": _tpch_q10_returns,
         "stream_store_upsert": _stream_store_upsert,
         "docs_bloom_membership": _docs_bloom_membership,
+        "events_value_histogram": _events_value_histogram,
+        "events_value_winsorized": _events_value_winsorized,
         "knn_dot": _knn_query("dot"),
         "docs_stats_by_lang": _docs_stats_by_lang,
         "neardup_embedding": _neardup_embedding,
@@ -4628,4 +4708,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_running_total": _ORDERS_RUNNING_ORACLE,
         "tpch_q10_returns": _Q10_ORACLE,
         "docs_bloom_membership": _bloom_oracle(),
+        "events_value_histogram": _EVENTS_HIST_ORACLE,
+        "events_value_winsorized": _EVENTS_WINSOR_ORACLE,
     }
