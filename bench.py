@@ -118,6 +118,9 @@ HEADLINE = [
     "events_retention_cohorts",
     "events_unpivot",
     "docs_quality_weighted_sample",
+    "docs_bloom_membership",
+    "events_value_histogram",
+    "events_value_winsorized",
 ]
 
 
