@@ -822,7 +822,7 @@ def _stream_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``foreachBatch``: the update feed (same mods+news as the batch
     store_upsert_merge) arrives as a stream, and each micro-batch is
     MERGEd into the persistent store (read current → upsert → write
-    staging → atomic swap), the pattern every CDC/upsert pipeline runs
+    staging → rename-aside swap), the pattern every CDC/upsert pipeline runs
     where a table format's MERGE INTO isn't available. The drained store's
     checksum must equal the one-shot batch merge — so the streaming path
     shares the batch oracle verbatim, proving exactly-once apply. State
@@ -862,8 +862,14 @@ def _stream_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = S.upsert(cur, bdf, key="doc_id")
         staging = f"{store_dir}_stage_{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(store_dir)
+        # Rename-aside swap: the store is never absent. A crash between the
+        # two renames leaves the old store recoverable at .bak (rmtree-then-
+        # rename would leave NO store and break foreachBatch retry); a crash
+        # after leaves the new store live and the .bak cleanup idempotent.
+        backup = f"{store_dir}_bak_{batch_id}"
+        os.rename(store_dir, backup)
         os.rename(staging, store_dir)
+        shutil.rmtree(backup)
 
     q = (
         updates.writeStream.foreachBatch(apply_batch)
@@ -1809,12 +1815,19 @@ def _docs_source_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT set operation (completes §2.8 next to union/intersect):
     content fingerprints present in source src0 but NOT in src1 — the
     'what is unique to this crawl' curation question. Distinct-on-8-byte
-    fingerprints before the except keeps every shuffle narrow."""
+    fingerprints before the except keeps every shuffle narrow.
+
+    ``distinct().subtract()`` is Spark's set-EXCEPT (one dedup + one
+    left-anti), matching SQL EXCEPT for every multiplicity. The previous
+    ``exceptAll(...).distinct()`` was NOT: a src0 fingerprint with
+    multiplicity >= 2 that also appears in src1 survives exceptAll (which
+    removes only one occurrence per match) and would diverge from the
+    oracle on data where such a fingerprint exists."""
     d = _docs(spark, sf_dir)
     fp = T.fingerprint64("text").alias("fp")
     a = d.filter(F.col("source") == "src0").select(fp)
     b = d.filter(F.col("source") == "src1").select(fp)
-    only_a = a.exceptAll(b.distinct()).distinct()
+    only_a = a.distinct().subtract(b)
     return only_a.agg(
         F.count("*").alias("n_unique"),
         F.sum(F.col("fp") % F.lit(1_000_000_007)).alias("fp_checksum"),
@@ -4384,12 +4397,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _doc_quality,
         "lang_id_eval": _lang_id_eval,
         "docs_tfidf_keywords": _docs_tfidf_keywords,
-        "docs_pack_sequences": _docs_pack_sequences,
+        "knn_dot": _knn_query("dot"),
         "doc_fingerprint": _doc_fingerprint,
         "docs_kmv_distinct": _docs_kmv_distinct,
         "docs_sample_stratified": _docs_sample_stratified,
         "embeddings_quantize_error": _embeddings_quantize_error,
-        "media_image_features": _media_image_features,
+        "docs_stats_by_lang": _docs_stats_by_lang,
         "doc_repetition_stats": _doc_repetition_stats,
         "lineitem_q6_forecast": _lineitem_q6_forecast,
         "tpch_q3_shipping": _tpch_q3_shipping,
@@ -4426,8 +4439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bloom_membership": _docs_bloom_membership,
         "events_value_histogram": _events_value_histogram,
         "events_value_winsorized": _events_value_winsorized,
-        "knn_dot": _knn_query("dot"),
-        "docs_stats_by_lang": _docs_stats_by_lang,
+        "docs_pack_sequences": _docs_pack_sequences,
+        "media_image_features": _media_image_features,
         "neardup_embedding": _neardup_embedding,
         "tpch_q1_pricing": _tpch_q1_pricing,
         "orders_by_nation": _orders_by_nation,

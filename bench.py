@@ -32,8 +32,22 @@ import statistics
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+# Silence Spark's log4j2 BEFORE the driver JVM launches (setLogLevel is too
+# late for session-start WARNs). Round-3 postmortem: WARN noise pushed the
+# head of the final JSON line out of the driver's tail capture, leaving
+# BENCH_r03.json unparseable. SPARK_SUBMIT_OPTS is read by the pyspark
+# java_gateway when it spawns the JVM, so the override must be installed at
+# import time, ahead of any SparkSession construction.
+_LOG4J = os.path.join(_REPO, "tools", "log4j2-quiet.properties")
+if os.path.exists(_LOG4J):
+    _opt = f"-Dlog4j2.configurationFile=file:{_LOG4J}"
+    if _opt not in os.environ.get("SPARK_SUBMIT_OPTS", ""):
+        os.environ["SPARK_SUBMIT_OPTS"] = (
+            os.environ.get("SPARK_SUBMIT_OPTS", "") + " " + _opt).strip()
 
 import __spark_entry__ as entrymod  # noqa: E402
 from educational_vector_database_spark.session import get_spark  # noqa: E402
@@ -184,7 +198,7 @@ def main() -> int:
 
     timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -192,7 +206,18 @@ def main() -> int:
         "sf": sf,
         "repeats": args.repeats,
         "mode": "cold" if args.cold else "warm",
-    }))
+    }, separators=(",", ":"))
+    # Durable copy the judge can read even if the driver's stdout capture is
+    # lossy (BENCH_r03 postmortem) — full-suite runs only, so a --queries
+    # subset run can't overwrite the round artifact.
+    if not args.queries:
+        with open(os.path.join(_REPO, "BENCH_LOCAL.json"), "w") as f:
+            f.write(payload + "\n")
+    # The JSON must be the absolute last stdout line: flush stderr first so a
+    # buffered JVM/py4j straggler can't land after (or inside) it.
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(payload, flush=True)
     return 0
 
 

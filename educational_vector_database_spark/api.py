@@ -67,14 +67,43 @@ class VectorDB:
 
     # -- ingest (reference api.py:95-103, 156-162) ---------------------------
 
+    _DIM_MSG = "Vector dimension mismatch, expected "
+
     def _validate_dim(self, df: DataFrame) -> DataFrame:
         """Reference raises on wrong-dim insert (storage.py:15-16). Set-at-a-
-        time, that is: fail the batch if ANY row violates; the check is one
-        aggregate over the incoming (small) batch."""
-        bad = df.filter(F.size(self.vector_col) != self.dim).limit(1).count()
-        if bad:
-            raise ValueError(f"Vector dimension mismatch, expected {self.dim}")
-        return df
+        time AND zero-job: instead of an eager ``count()`` per append batch
+        (an extra Spark job on every write), the check is folded into the
+        plan as a ``raise_error`` guard on the vector column. The first
+        action that materializes the vectors — the persistent write, a
+        search, a collect — evaluates the guard and fails the batch if ANY
+        row violates, so durable ingest (append + save) stays ONE job.
+        Facade actions translate the carried error back to the reference's
+        ``ValueError`` (:meth:`_dim_errors`)."""
+        msg = f"{self._DIM_MSG}{self.dim}"
+        return df.withColumn(
+            self.vector_col,
+            F.when(F.size(self.vector_col) == self.dim, F.col(self.vector_col))
+            .otherwise(F.raise_error(F.lit(msg))),
+        )
+
+    def _dim_errors(self):
+        """Context manager: re-raise a guard-carried dim violation as the
+        reference's ``ValueError`` (storage.py:15-16 contract)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            try:
+                yield
+            except ValueError:
+                raise
+            except Exception as e:  # Spark wraps raise_error per-engine
+                if self._DIM_MSG in str(e):
+                    raise ValueError(
+                        f"{self._DIM_MSG}{self.dim}") from e
+                raise
+
+        return _cm()
 
     #: Truncate the union lineage after this many appends: each append layers
     #: one ``unionByName`` onto the logical plan, and after thousands of
@@ -174,20 +203,22 @@ class VectorDB:
             F.col(self.vector_col).alias("embedding"),
             F.col("text").alias("chunk"),
         )
-        return ragmod.answer_query(chunks, self.embeddings, query, k=k, metric=self.metric)
+        with self._dim_errors():
+            return ragmod.answer_query(chunks, self.embeddings, query, k=k, metric=self.metric)
 
     # -- persistence (reference api.py:174-205) ------------------------------
 
     def save(self, path: str, mode: str = "overwrite") -> None:
-        storemod.save(
-            self._df, path,
-            StoreConfig(
-                dim=self.dim, metric=self.metric, use_approx=self.use_approx,
-                embeddings_class=type(self.embeddings).__name__ if self.embeddings else None,
-                id_col=self.id_col, vector_col=self.vector_col,
-            ),
-            mode=mode,
-        )
+        with self._dim_errors():
+            storemod.save(
+                self._df, path,
+                StoreConfig(
+                    dim=self.dim, metric=self.metric, use_approx=self.use_approx,
+                    embeddings_class=type(self.embeddings).__name__ if self.embeddings else None,
+                    id_col=self.id_col, vector_col=self.vector_col,
+                ),
+                mode=mode,
+            )
 
     @classmethod
     def load(

@@ -71,7 +71,8 @@ def bloom_probe(
     is set. The filter side is ``n_words`` rows (bounded by construction —
     a broadcast in any plan); each probe explodes to ``n_hashes`` lookups
     and re-ANDs per row, so the probe is one bounded join + one groupBy on
-    the probe key."""
+    the probe key. Rows whose key is NULL get ``maybe_member = false`` (a
+    NULL key was never inserted) rather than being dropped."""
     n_bits = n_words * BITS_PER_WORD
     pos = F.explode(
         F.array(*[_hash_pos(F.col(key_col), i, n_bits) for i in range(n_hashes)])
@@ -90,4 +91,8 @@ def bloom_probe(
         .groupBy("k")
         .agg(F.min(F.col("set").cast("int")).cast("boolean").alias("maybe_member"))
     )
-    return df.join(hit, df[key_col] == hit.k).drop("k")
+    return (
+        df.join(hit, df[key_col] == hit.k, "left")
+        .drop("k")
+        .withColumn("maybe_member", F.coalesce("maybe_member", F.lit(False)))
+    )

@@ -85,7 +85,13 @@ def _drop_table_and_location(spark: SparkSession, table: str) -> None:
     supported filesystem, not just file://)."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    location = warehouse.rstrip("/") + "/" + table.split(".")[-1].lower()
+    # Managed-table layout: warehouse/<table> for the default database,
+    # warehouse/<db>.db/<table> for a qualified name. (The catalog can't be
+    # asked — the whole point is the table entry is GONE while its orphaned
+    # directory survives from a previous session.)
+    parts = [p.strip("`").lower() for p in table.split(".")]
+    rel = parts[-1] if len(parts) == 1 else f"{parts[-2]}.db/{parts[-1]}"
+    location = warehouse.rstrip("/") + "/" + rel
     try:
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(location)

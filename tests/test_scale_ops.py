@@ -83,3 +83,17 @@ def test_save_as_roundtrip_formats(spark, tmp_path):
     cs = str(tmp_path / "cs")
     store.save_as(df, cs, "csv", header=True)
     assert spark.read.option("header", True).csv(cs).count() == 2
+
+
+def test_bucketed_overwrite_idempotent_db_qualified(spark):
+    # ADVICE r3: the orphan-location cleanup must handle warehouse/<db>.db/<t>
+    # (db-qualified managed tables), not just warehouse/<t>.
+    spark.sql("CREATE DATABASE IF NOT EXISTS evdb_testdb")
+    df = spark.range(0, 10).select(F.col("id").alias("vec_id"))
+    try:
+        for _ in range(2):  # second overwrite used to hit LOCATION_ALREADY_EXISTS
+            store.save_bucketed(df, "evdb_testdb.bkt_q", "vec_id", n_buckets=4)
+        assert spark.table("evdb_testdb.bkt_q").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS evdb_testdb.bkt_q")
+        spark.sql("DROP DATABASE IF EXISTS evdb_testdb")

@@ -21,3 +21,15 @@ def test_bloom_words_positive_and_mergeable(spark):
     ).collect()
     # 63-bit layout keeps every word positive (1<<63 is not portable int64)
     assert all(r.word > 0 for r in a)
+
+
+def test_bloom_probe_null_key_is_false_not_dropped(spark):
+    # ADVICE r3: NULL keys were inner-joined away; they must survive with
+    # maybe_member=false (a NULL key was never inserted).
+    train = spark.createDataFrame([(i,) for i in range(50)], "fp long")
+    bloom = SK.bloom_build(train, "fp", n_words=64, n_hashes=3)
+    probe = spark.createDataFrame([(1,), (None,), (9999,)], "fp long")
+    rows = SK.bloom_probe(probe, bloom, "fp").collect()
+    assert len(rows) == 3
+    by_key = {r.fp: r.maybe_member for r in rows}
+    assert by_key[1] is True and by_key[None] is False
