@@ -126,6 +126,9 @@ HEADLINE = [
     # round 3, third wave: asymmetric dedup, batch ANN join, graph, analytics
     "dedup_containment",
     "knn_join_ivf",
+    # round 4: multi-probe IVF (the batch ef_search analog) + its recall eval
+    "knn_join_ivf_nprobe",
+    "knn_ivf_recall_nprobe",
     "docs_pagerank_neardup",
     "orders_running_total",
     "tpch_q10_returns",
