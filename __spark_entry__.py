@@ -4532,6 +4532,365 @@ def _media_stats_oracle() -> str:
     """
 
 
+# --- round 4 additions: boilerplate removal, PII-style redaction, SCD2,
+#     graph triangles, stream-stream attribution, CSV interchange ------------
+
+BP_CHUNK_TOKENS = 3  # window width; real corpora use 8-32 token windows
+BP_MIN_DOCS = 3  # a chunk seen in >= this many distinct docs is boilerplate
+
+
+def _docs_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the CCNet/Gopher repeated-line
+    filter re-expressed for line-less text): cut each normalized doc into
+    non-overlapping BP_CHUNK_TOKENS-token windows, call a window boilerplate
+    when it appears in >= BP_MIN_DOCS distinct docs, report the per-source
+    boilerplate fraction in ppm. Two keyed aggregates on the chunk string
+    (both map-side combined) + one equi-join; the chunk-frequency table is
+    vocabulary-sized at web scale so it is NOT broadcast-hinted — AQE
+    decides at runtime. Production keys the join on a 64-bit chunk hash
+    instead of the string; the string keeps the oracle engine-neutral."""
+    d = _docs(spark, sf_dir)
+    norm = T.normalized_text("text")
+    toks = F.split(norm, " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(BP_CHUNK_TOKENS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * BP_CHUNK_TOKENS + 1, BP_CHUNK_TOKENS), " "
+        ),
+    )
+    ch = (
+        d.withColumn("_norm", norm)
+        .filter(F.col("_norm") != "")
+        .select("doc_id", "source", F.explode(chunks).alias("chunk"))
+    )
+    bp = (
+        ch.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BP_MIN_DOCS)
+        .select("chunk", F.lit(1).alias("is_bp"))
+    )
+    return (
+        ch.join(bp, "chunk", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("is_bp"), F.lit(0)).cast("long")).alias(
+                "n_bp_chunks"
+            ),
+        )
+        .withColumn(
+            "bp_ppm", F.expr("(n_bp_chunks * CAST(1000000 AS BIGINT)) div n_chunks")
+        )
+    )
+
+
+_BOILERPLATE_ORACLE = f"""
+    WITH norm AS (
+        SELECT doc_id, source, string_split({_NORM.format(t='text')}, ' ') AS w
+        FROM documents
+        WHERE {_NORM.format(t='text')} <> ''
+    ),
+    ch AS (
+        SELECT doc_id, source,
+               array_to_string(
+                   w[(CAST(t.i AS INT)*{BP_CHUNK_TOKENS}+1):
+                     (CAST(t.i AS INT)*{BP_CHUNK_TOKENS}+{BP_CHUNK_TOKENS})],
+                   ' ') AS chunk
+        FROM norm,
+             unnest(range(0, CAST(ceil(len(w)/{BP_CHUNK_TOKENS}.0) AS BIGINT))) AS t(i)
+    ),
+    bp AS (
+        SELECT chunk FROM ch GROUP BY chunk
+        HAVING count(DISTINCT doc_id) >= {BP_MIN_DOCS}
+    ),
+    per AS (
+        SELECT source, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN chunk IN (SELECT chunk FROM bp)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bp_chunks
+        FROM ch GROUP BY source
+    )
+    SELECT source, n_chunks, n_bp_chunks,
+           (n_bp_chunks * CAST(1000000 AS BIGINT)) // n_chunks AS bp_ppm
+    FROM per
+"""
+
+# word-boundary denylist; 'secret' never occurs in the corpus, proving the
+# absent-term path. Non-capturing group: Java and RE2 split/extract agree.
+_REDACT_PATTERN = r"\b(?:customer|merge|secret)\b"
+
+
+def _docs_term_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based redaction (the PII/denylist scrub every shipped
+    corpus runs): count and remove denylisted terms, report per-source hit
+    totals and the byte delta after replacing each hit with ``[X]``. Pure
+    column expressions over one scan — regexp_count/regexp_replace are
+    codegen'd JVM ops, no UDF; at 100 TB this is a map-only pass that
+    rewrites the text column in place."""
+    d = _docs(spark, sf_dir)
+    hits = F.regexp_count(F.col("text"), F.lit(_REDACT_PATTERN))
+    redacted = F.regexp_replace("text", _REDACT_PATTERN, "[X]")
+    return (
+        d.select(
+            "source",
+            hits.cast("long").alias("hits"),
+            (F.length("text") - F.length(redacted)).cast("long").alias("delta"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("hits") > 0).cast("long")).alias("n_docs_touched"),
+            F.sum("hits").alias("n_redactions"),
+            F.sum("delta").alias("chars_removed"),
+        )
+    )
+
+
+_REDACTION_ORACLE = rf"""
+    WITH per AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{_REDACT_PATTERN}')) AS hits,
+               length(text) - length(regexp_replace(text, '{_REDACT_PATTERN}',
+                                                    '[X]', 'g')) AS delta
+        FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_touched,
+           CAST(sum(hits) AS BIGINT) AS n_redactions,
+           CAST(sum(delta) AS BIGINT) AS chars_removed
+    FROM per GROUP BY source
+"""
+
+
+def _events_user_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event log: collapse
+    each user's event stream into validity intervals of their value tier
+    (low/mid/high), ``valid_to`` = next interval's start, NULL while
+    current. The standard lag-compare + running-sum run-id idiom: two
+    windows over the SAME (user_id, ts) partitioning — one Exchange + one
+    sort total, then a keyed aggregate that reuses the partitioning. At
+    scale this is the incremental-dimension pattern: partition-local
+    windows, no global sort, output keyed by (user, run)."""
+    e = _events(spark, sf_dir)
+    tier = (
+        F.when(F.col("value") < 250, "low")
+        .when(F.col("value") < 750, "mid")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn("tier", tier).withColumn(
+        "chg",
+        F.when(
+            F.lag("tier").over(w).isNull() | (F.col("tier") != F.lag("tier").over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(
+        F.first("tier").alias("tier"),
+        F.min("ts_us").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return per_run.withColumn("valid_to_us", F.lead("valid_from_us").over(w2)).select(
+        "user_id", "run_id", "tier", "valid_from_us", "valid_to_us", "n_events"
+    )
+
+
+_SCD2_ORACLE = """
+    WITH base AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN value < 250 THEN 'low'
+                    WHEN value < 750 THEN 'mid' ELSE 'high' END AS tier
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN lag(tier) OVER w IS NULL
+                         OR tier <> lag(tier) OVER w THEN 1 ELSE 0 END AS chg
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    runs AS (
+        SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        FROM flagged
+    ),
+    per_run AS (
+        SELECT user_id, run_id, min(tier) AS tier,
+               CAST(min(ts_us) AS BIGINT) AS valid_from_us,
+               count(*) AS n_events
+        FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, run_id, tier, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+               AS valid_to_us,
+           n_events
+    FROM per_run
+"""
+
+
+def _neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the simhash near-dup graph — the
+    cluster-density signal (a doc in many triangles sits inside a tight
+    template clique, not a chance pairwise collision). Edge list is
+    id_a < id_b by construction, so each triangle (a<b<c) is enumerated
+    exactly once by the standard two-join pattern: e1(a,b) ⋈ e2(b,c) ⋈
+    e3(a,c). Joins key on the 8-byte node id over the NEAR-DUP OUTPUT
+    (edges ~ duplicates, tiny vs corpus) — never the corpus itself.
+    The edge list is persisted first: a triple self-join otherwise
+    re-derives the whole simhash pipeline once per alias (Catalyst has no
+    cross-alias subplan dedup), tripling the dominant cost."""
+    pairs = (
+        D.simhash_near_dup(_docs(spark, sf_dir), max_hamming=3)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a")).join(
+        e3,
+        (F.col("e3.id_a") == F.col("e1.id_a")) & (F.col("e3.id_b") == F.col("e2.id_b")),
+    )
+    nodes = tri.select(
+        F.explode(
+            F.array(F.col("e1.id_a"), F.col("e1.id_b"), F.col("e2.id_b"))
+        ).alias("doc_id")
+    )
+    return nodes.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+
+
+def _neardup_triangles_oracle() -> str:
+    return f"""
+    WITH p AS (SELECT id_a, id_b FROM ({_SIMHASH_ORACLE})),
+    tri AS (
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM p e1
+        JOIN p e2 ON e1.id_b = e2.id_a
+        JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    nodes AS (
+        SELECT unnest([a, b, c]) AS doc_id FROM tri
+    )
+    SELECT doc_id, count(*) AS n_triangles FROM nodes GROUP BY doc_id
+    """
+
+
+def _stream_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time interval join (streaming/joins.py): every
+    purchase paired with each same-user view in the preceding 30 minutes,
+    drained availableNow in append mode, then rolled up per purchase as a
+    batch finalization over the pair sink. Inner-join pairs emit as soon as
+    both rows arrive; the watermark on both sides bounds the buffered state
+    to the interval plus slack — the state contract that makes this run
+    forever on an unbounded stream. The oracle is the same interval join in
+    batch SQL, so streaming semantics == batch semantics is what's gated."""
+    import uuid
+
+    from educational_vector_database_spark.streaming import joins as J
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = events_stream_schema(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pairs = J.attribution_pairs(
+        stream, conversion_type="purchase", touch_type="view", max_delay="30 minutes"
+    )
+    table = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(table)
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count("*").alias("n_prior_views"),
+            F.max("view_id").alias("max_view_id"),
+            F.min("gap_us").alias("min_gap_us"),
+        )
+    )
+
+
+_STREAM_ATTRIBUTION_ORACLE = """
+    WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    p AS (SELECT event_id AS purchase_id, user_id, ts_us FROM e
+          WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_id, user_id, ts_us FROM e
+          WHERE event_type = 'view')
+    SELECT p.purchase_id, p.user_id,
+           count(*) AS n_prior_views,
+           CAST(max(v.view_id) AS BIGINT) AS max_view_id,
+           CAST(min(p.ts_us - v.ts_us) AS BIGINT) AS min_gap_us
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts_us >= p.ts_us - 1800000000
+     AND v.ts_us < p.ts_us
+    GROUP BY p.purchase_id, p.user_id
+"""
+
+
+def _store_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange parity for CSV, the format with no array type at all:
+    sources/store.py save_as serializes the vector column via to_json; the
+    read path parses it back with from_json. Vectors are cast to DOUBLE
+    before the write so the JSON text is the shortest round-trip repr of
+    the double — parse-back is bit-exact and the scaled-int element
+    checksum must equal the oracle's, computed straight off the parquet.
+    (Writing raw FLOAT then parsing as double would shift values by up to
+    ~6e-8 relative and break the checksum — the cast is the contract.)"""
+    import tempfile
+
+    from educational_vector_database_spark.sources import store as S
+
+    emb = _emb(spark, sf_dir).withColumn("embedding", V.as_double("embedding"))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"evdb_csv_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    S.save_as(emb, path, fmt="csv", header=True)
+    back = (
+        spark.read.option("header", True)
+        .schema("vec_id bigint, embedding string, label int")
+        .csv(path)
+        .withColumn("embedding", F.from_json("embedding", "array<double>"))
+    )
+    elem_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: F.round(x * 1_000_000).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("vec_id").alias("id_sum"),
+        F.sum(F.size("embedding").cast("long")).alias("dim_sum"),
+        F.sum(elem_sum).alias("elem_micro_sum"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+_CSV_ROUNDTRIP_ORACLE = """
+    SELECT count(*) AS n_rows,
+           CAST(sum(vec_id) AS BIGINT) AS id_sum,
+           CAST(sum(len(embedding)) AS BIGINT) AS dim_sum,
+           CAST(sum(list_sum(list_transform(embedding::DOUBLE[],
+                x -> CAST(round(x * 1000000) AS BIGINT)))) AS BIGINT)
+               AS elem_micro_sum,
+           CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+    FROM embeddings
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-10 over the sf0.001 vector store."""
     return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
@@ -4651,6 +5010,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_burst": _events_user_burst,
         "sql_api_pricing": _sql_api_pricing,
         "store_roundtrip_jsonl": _store_roundtrip_jsonl,
+        # round 4: boilerplate filter, redaction, SCD2, triangles,
+        # stream-stream attribution, CSV interchange
+        "docs_boilerplate_chunks": _docs_boilerplate_chunks,
+        "docs_term_redaction": _docs_term_redaction,
+        "events_user_tier_scd2": _events_user_tier_scd2,
+        "neardup_triangles": _neardup_triangles,
+        "stream_events_attribution": _stream_events_attribution,
+        "store_roundtrip_csv": _store_roundtrip_csv,
     }
 
 
@@ -4907,4 +5274,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_bloom_membership": _bloom_oracle(),
         "events_value_histogram": _EVENTS_HIST_ORACLE,
         "events_value_winsorized": _EVENTS_WINSOR_ORACLE,
+        "docs_boilerplate_chunks": _BOILERPLATE_ORACLE,
+        "docs_term_redaction": _REDACTION_ORACLE,
+        "events_user_tier_scd2": _SCD2_ORACLE,
+        "neardup_triangles": _neardup_triangles_oracle(),
+        "stream_events_attribution": _STREAM_ATTRIBUTION_ORACLE,
+        "store_roundtrip_csv": _CSV_ROUNDTRIP_ORACLE,
     }

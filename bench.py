@@ -138,6 +138,12 @@ HEADLINE = [
     "docs_bloom_membership",
     "events_value_histogram",
     "events_value_winsorized",
+    # round 4: boilerplate filter, redaction, SCD2, graph triangles, CSV
+    "docs_boilerplate_chunks",
+    "docs_term_redaction",
+    "events_user_tier_scd2",
+    "neardup_triangles",
+    "store_roundtrip_csv",
 ]
 
 
