@@ -4548,21 +4548,22 @@ def _docs_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both map-side combined) + one equi-join; the chunk-frequency table is
     vocabulary-sized at web scale so it is NOT broadcast-hinted — AQE
     decides at runtime. Production keys the join on a 64-bit chunk hash
-    instead of the string; the string keeps the oracle engine-neutral."""
+    instead of the string; the string keeps the oracle engine-neutral.
+
+    Chunking is one greedy non-overlapping regexp (each match eats up to
+    BP_CHUNK_TOKENS tokens left-to-right) rather than the obvious
+    ``transform(sequence, i -> slice(tokens, ...))``: nested higher-order
+    functions fall out of whole-stage codegen into interpreted eval and
+    measured ~15x slower at sf0.1 (7.6s vs 0.5s for the chunk explode).
+    An empty normalized text yields zero matches, so explode drops those
+    rows for free — no separate (norm-re-evaluating) filter."""
     d = _docs(spark, sf_dir)
     norm = T.normalized_text("text")
-    toks = F.split(norm, " ")
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(BP_CHUNK_TOKENS))).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * BP_CHUNK_TOKENS + 1, BP_CHUNK_TOKENS), " "
-        ),
-    )
-    ch = (
-        d.withColumn("_norm", norm)
-        .filter(F.col("_norm") != "")
-        .select("doc_id", "source", F.explode(chunks).alias("chunk"))
+    pat = r"\S+( \S+){0,%d}" % (BP_CHUNK_TOKENS - 1)
+    ch = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.regexp_extract_all(norm, F.lit(pat), 0)).alias("chunk"),
     )
     bp = (
         ch.groupBy("chunk")
