@@ -4892,6 +4892,91 @@ _CSV_ROUNDTRIP_ORACLE = """
 """
 
 
+INC_QUERY_ID = 12  # 12 % 7 == 5 -> a vector in the INCREMENTAL batch
+
+
+def _knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN insert, end-to-end (≙ reference ann.py:78-91
+    add_items + api.py:63-79 orchestration; operators/ann.py
+    IVFIndex.add_items is the cached-index form, pytest-covered): the index
+    is FROZEN on the base corpus (centroid fixture), the held-out batch
+    (vec_id % 7 == 5) is assigned to those existing centroids — an
+    O(|batch|) scan-side argmin, no retrain, base assignments untouched —
+    and a probe for a NEW vector's cell must find that new vector (its
+    self-score 1.0 tops the result). The oracle assigns every vector
+    against the same frozen centroids, so "new rows join the index without
+    a rebuild and are immediately searchable" is what the value hash
+    gates."""
+    cents = _ivf_centroids(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    base = e.filter(F.col("vec_id") % 7 != 5).withColumn(
+        "centroid_id", _cell_expr(cents, "embedding")
+    )
+    newbatch = e.filter(F.col("vec_id") % 7 == 5).withColumn(
+        "centroid_id", _cell_expr(cents, "embedding")
+    )
+    index = base.unionByName(newbatch)
+    qv = _query_vector(spark, sf_dir, vec_id=INC_QUERY_ID)
+    probe = index.filter(F.col("vec_id") == INC_QUERY_ID).head().centroid_id
+    return K.knn(index.filter(F.col("centroid_id") == probe), qv, k=TOP_K)
+
+
+_KNN_IVF_INCREMENTAL_ORACLE = f"""
+    WITH {_IVF_ASSIGN_CTE},
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {INC_QUERY_ID}),
+    probe AS (SELECT centroid_id FROM assign WHERE vec_id = {INC_QUERY_ID})
+    SELECT e.vec_id AS vec_id,
+           {_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS score
+    FROM embeddings e
+    JOIN assign s ON e.vec_id = s.vec_id
+    CROSS JOIN q CROSS JOIN probe
+    WHERE s.centroid_id = probe.centroid_id
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+"""
+
+
+def _neardup_brp_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN distance→similarity (≙ reference api.py:81-91, the euclidean
+    branch 1/(1+d); operators/ann.py ann_distance_to_similarity is the
+    float Column form): the BRP-LSH join's distances converted to
+    similarity scores. The gated score is integer: sim_ppm derived from
+    the micro-rounded distance (1e12 div (1e6 + dist_micros)), because
+    MLlib's float distance and the oracle's agree only post-rounding —
+    the conversion itself is what this query adds to the gate."""
+    pairs = A.brp_lsh_join(
+        _emb(spark, sf_dir),
+        BRP_THRESH,
+        bucket_length=BRP_BUCKET_LEN,
+        num_hash_tables=BRP_N_TABLES,
+    )
+    dist_micros = F.round(F.col("dist") * 1e6).cast("long")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        dist_micros.alias("dist_micros"),
+    ).withColumn(
+        "sim_ppm",
+        F.expr("CAST(1000000000000 AS BIGINT) div (CAST(1000000 AS BIGINT) + dist_micros)"),
+    )
+
+
+_BRP_SIMILARITY_ORACLE = f"""
+    WITH sub AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(round(list_distance(a.v, b.v) * 1e6) AS BIGINT) AS dist_micros
+        FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+        WHERE list_distance(a.v, b.v) < {BRP_THRESH}
+    )
+    SELECT id_a, id_b, dist_micros,
+           CAST(1000000000000 AS BIGINT) // (CAST(1000000 AS BIGINT) + dist_micros)
+               AS sim_ppm
+    FROM pairs
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-10 over the sf0.001 vector store."""
     return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
@@ -5019,6 +5104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_triangles": _neardup_triangles,
         "stream_events_attribution": _stream_events_attribution,
         "store_roundtrip_csv": _store_roundtrip_csv,
+        "knn_ivf_incremental": _knn_ivf_incremental,
+        "neardup_brp_similarity": _neardup_brp_similarity,
     }
 
 
@@ -5281,4 +5368,6 @@ def oracle_sql() -> dict[str, str]:
         "neardup_triangles": _neardup_triangles_oracle(),
         "stream_events_attribution": _STREAM_ATTRIBUTION_ORACLE,
         "store_roundtrip_csv": _CSV_ROUNDTRIP_ORACLE,
+        "knn_ivf_incremental": _KNN_IVF_INCREMENTAL_ORACLE,
+        "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
     }

@@ -203,6 +203,31 @@ class IVFIndex:
         self._assigned = assigned
         return self
 
+    def add_items(self, new_df: DataFrame) -> "IVFIndex":
+        """Incremental ANN insert (≙ reference src/vectordb/ann.py:78-91
+        ``add_items``/``resize_index``): assign ONLY the new batch to the
+        EXISTING centroids — a scan-side argmin over the new rows, no
+        retrain, no full-corpus pass — and append it to the cached
+        assignment. Centroids stay frozen, exactly as an HNSW insert grows
+        the graph without moving entry points; the standard IVF maintenance
+        trade-off (cells drift as the distribution moves) is answered by
+        the rebuild path: ``ensure()`` still retrains when invalidated.
+        Cost is O(|new batch|) — the reference's resize+add is O(new) too,
+        while its initial build is O(corpus), same asymmetry."""
+        if self._assigned is None or self._centroids is None:
+            return self.build(new_df)
+        spark = new_df.sparkSession
+        cents_df = spark.createDataFrame(
+            self._centroids, "centroid_id: int, centroid: array<double>"
+        )
+        assigned_new = ivf_assign(new_df, cents_df, vector_col=self.vector_col)
+        old = self._assigned
+        merged = old.unionByName(assigned_new).persist()
+        self._indexed_rows = merged.count()
+        old.unpersist()
+        self._assigned = merged
+        return self
+
     def invalidate(self) -> None:
         """Explicit cache invalidation: the next ensure()/query() rebuilds."""
         if self._assigned is not None:
@@ -258,6 +283,20 @@ class IVFIndex:
             vector_col=self.vector_col,
             id_col=self.id_col,
         )
+
+
+def ann_distance_to_similarity(dist: Column, metric: str = "euclidean") -> Column:
+    """Distance→similarity conversion for ANN results (≙ reference
+    src/vectordb/api.py:81-91 ``_convert_ann_distances_to_similarity``):
+    cosine-space indexes return ``1 - d``; everything else ``1/(1+d)``.
+    A pure Column expression — applied to an ANN join/probe output it stays
+    inside codegen. The gated query (``neardup_brp_similarity``) derives the
+    score from the micro-ROUNDED integer distance instead, because MLlib's
+    float distance and the oracle's agree only to ~1 ulp — the float form
+    here is the runtime API, the integer form is the cross-engine gate."""
+    if metric == "cosine":
+        return F.lit(1.0) - dist
+    return F.lit(1.0) / (F.lit(1.0) + dist)
 
 
 def brp_lsh_join(

@@ -196,3 +196,40 @@ def test_ivf_nprobe_recall_monotone_and_superset(spark, sf_dir):
     assert len(s1) == len(sn) == 40
     for key, v in s1.items():
         assert sn[key] >= v
+
+
+def test_ivf_add_items_incremental_no_retrain(spark, sf_dir):
+    # I3: add_items assigns ONLY the new batch to frozen centroids; base
+    # assignments and centroids are untouched, and new vectors are
+    # immediately searchable without a rebuild.
+    from educational_vector_database_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter("vec_id % 7 != 5")
+    newb = e.filter("vec_id % 7 == 5")
+    idx = A.IVFIndex(n_cells=4).build(base)
+    cents_before = [tuple(c) for _, c in idx._centroids]
+    rows_before = idx._indexed_rows
+
+    idx.add_items(newb)
+    # centroids frozen (no retrain), size grew by exactly the batch
+    assert [tuple(c) for _, c in idx._centroids] == cents_before
+    assert idx._indexed_rows == rows_before + newb.count()
+    # a new vector is searchable and tops its own query (score 1.0)
+    target = newb.select("vec_id", "embedding").head()
+    got = idx.query(
+        base.unionByName(newb), [float(x) for x in target.embedding], k=3
+    ).collect()
+    assert got[0].vec_id == target.vec_id
+    idx.invalidate()
+
+
+def test_ann_distance_to_similarity_dispatch(spark):
+    # F7 (reference api.py:81-91): cosine -> 1 - d, euclidean -> 1/(1+d)
+    df = spark.createDataFrame([(0.0,), (1.0,), (3.0,)], "d double")
+    cos = [r.s for r in df.select(
+        A.ann_distance_to_similarity(F.col("d"), "cosine").alias("s")).collect()]
+    euc = [r.s for r in df.select(
+        A.ann_distance_to_similarity(F.col("d"), "euclidean").alias("s")).collect()]
+    assert cos == [1.0, 0.0, -2.0]
+    assert euc == [1.0, 0.5, 0.25]
