@@ -205,3 +205,36 @@ def test_anomaly_single_exchange_reused(spark):
     # partitioning on event_type: exactly one Exchange in the plan
     import re as _re
     assert len(_re.findall(r"^\(\d+\) Exchange$", plan, _re.M)) == 1
+
+
+def test_scd2_single_exchange_reused(spark):
+    plan = _plan(spark, "events_user_tier_scd2")
+    # lag-flag window, running-sum window, per-run aggregate, and the lead
+    # window all share ONE hash partitioning on user_id
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_pruned_scan_no_cartesian(spark):
+    plan = _plan(spark, "docs_boilerplate_chunks")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both branches scan only the three needed columns
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert cols <= {"doc_id", "source", "text"}
+
+
+def test_redaction_single_scan_single_exchange(spark):
+    plan = _plan(spark, "docs_term_redaction")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"source", "text"}
+
+
+def test_triangles_equi_joins_only(spark):
+    plan = _plan(spark, "neardup_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
