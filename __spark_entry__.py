@@ -4977,6 +4977,169 @@ _BRP_SIMILARITY_ORACLE = f"""
 """
 
 
+def _tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), per ship month: what share of revenue
+    came from PROMO parts. Fact scans once, the part dimension broadcasts
+    (O(parts) ≪ O(lineitem) — the standard star shape), revenue in exact
+    integer cent×percent units (the Q1 idiom), the share as integer ppm so
+    the division is engine-stable. One broadcast join + one keyed aggregate
+    = one fact shuffle on the month key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_cp = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    g = j.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month")).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev_cp).otherwise(0)).alias(
+            "promo_rev_cp"
+        ),
+        F.sum(rev_cp).alias("total_rev_cp"),
+    )
+    return g.withColumn(
+        "promo_ppm",
+        F.expr("(promo_rev_cp * CAST(1000000 AS BIGINT)) div total_rev_cp"),
+    )
+
+
+_Q14_ORACLE = """
+    WITH j AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS month,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cp,
+               p.p_type
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT month,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cp ELSE 0 END)
+                AS BIGINT) AS promo_rev_cp,
+           CAST(sum(rev_cp) AS BIGINT) AS total_rev_cp,
+           (CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cp ELSE 0 END)
+                 AS BIGINT) * 1000000)
+               // CAST(sum(rev_cp) AS BIGINT) AS promo_ppm
+    FROM j GROUP BY month
+"""
+
+
+def _events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix
+    P(next | prev) across all user streams — the sequence prior behind
+    next-action prediction and funnel anomaly detection. One lag window
+    per user (one Exchange on user_id), then a keyed count; the
+    conditional probability is integer ppm over the per-prev total via a
+    window over the 5×5 transition table (trivially bounded)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return pairs.withColumn("prev_total", total).withColumn(
+        "p_ppm", F.expr("(n * CAST(1000000 AS BIGINT)) div prev_total")
+    )
+
+
+_MARKOV_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prev_total,
+           (n * CAST(1000000 AS BIGINT))
+               // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+    FROM pairs
+"""
+
+
+CURATION_MIN_TOKENS = 20
+CURATION_MAX_TOKENS = 1000
+CURATION_HOLDOUT_FRAC = 0.1
+
+
+def _docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE plan — the flagship composition of
+    the training-data operators: exact dedup (min-id survivor per content
+    fingerprint) → length/quality gate (token budget) → deterministic
+    contamination-free train/holdout split (md5 bucket) → per-(lang, split)
+    manifest with doc and token totals. Every stage is a scan-side
+    predicate or one keyed aggregate; the whole pipeline is two shuffles
+    (fingerprint groupBy, final groupBy) regardless of corpus size. The
+    oracle chains the same stages in SQL, so the COMPOSITION is what the
+    value hash gates — stage interactions included, not just each operator
+    alone."""
+    from educational_vector_database_spark.operators import sample as SM
+
+    d = _docs(spark, sf_dir)
+    fp = d.withColumn("fp", T.fingerprint64("text"))
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
+    surv = fp.withColumn("rn", F.row_number().over(wfp)).filter(
+        F.col("rn") == 1
+    )
+    toks = surv.withColumn("n_tok", T.token_count("text").cast("long"))
+    q = toks.filter(
+        (F.col("n_tok") >= CURATION_MIN_TOKENS)
+        & (F.col("n_tok") <= CURATION_MAX_TOKENS)
+    )
+    # split as a COLUMN (sample.split_label): a train/holdout frame pair +
+    # union would evaluate the dedup pipeline once per branch; the label
+    # keeps the whole pipeline one linear plan with exactly two Exchanges
+    return (
+        q.withColumn(
+            "split", SM.split_label("doc_id", CURATION_HOLDOUT_FRAC)
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
+_CURATION_ORACLE = f"""
+    WITH fp AS (
+        SELECT *, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+        FROM documents
+    ),
+    surv AS (
+        SELECT * FROM fp
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ),
+    tok AS (
+        SELECT *, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS BIGINT) AS n_tok
+        FROM surv
+    ),
+    q AS (
+        SELECT * FROM tok
+        WHERE n_tok BETWEEN {CURATION_MIN_TOKENS} AND {CURATION_MAX_TOKENS}
+    ),
+    s AS (
+        SELECT *, CASE WHEN {_HASH_BUCKET_SQL.format(k="doc_id")}
+                            < {int(CURATION_HOLDOUT_FRAC * 1_000_000)}
+                       THEN 'holdout' ELSE 'train' END AS split
+        FROM q
+    )
+    SELECT lang, split, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM s GROUP BY lang, split
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-10 over the sf0.001 vector store."""
     return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
@@ -5106,6 +5269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_roundtrip_csv": _store_roundtrip_csv,
         "knn_ivf_incremental": _knn_ivf_incremental,
         "neardup_brp_similarity": _neardup_brp_similarity,
+        "tpch_q14_promo": _tpch_q14_promo,
+        "events_markov_transitions": _events_markov_transitions,
+        "docs_curation_pipeline": _docs_curation_pipeline,
     }
 
 
@@ -5370,4 +5536,7 @@ def oracle_sql() -> dict[str, str]:
         "store_roundtrip_csv": _CSV_ROUNDTRIP_ORACLE,
         "knn_ivf_incremental": _KNN_IVF_INCREMENTAL_ORACLE,
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
+        "tpch_q14_promo": _Q14_ORACLE,
+        "events_markov_transitions": _MARKOV_ORACLE,
+        "docs_curation_pipeline": _CURATION_ORACLE,
     }

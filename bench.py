@@ -144,6 +144,12 @@ HEADLINE = [
     "events_user_tier_scd2",
     "neardup_triangles",
     "store_roundtrip_csv",
+    # round 4, second wave: Q14, markov transitions, curation flagship,
+    # incremental IVF
+    "tpch_q14_promo",
+    "events_markov_transitions",
+    "docs_curation_pipeline",
+    "knn_ivf_incremental",
 ]
 
 

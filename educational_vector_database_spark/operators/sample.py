@@ -73,6 +73,19 @@ def stratified_sample(
     )
 
 
+def split_label(
+    key_col: Column | str, holdout_fraction: float, salt: str = ""
+) -> Column:
+    """The train/holdout verdict as a COLUMN ('train' / 'holdout') — same
+    hash ranges as :func:`split_train_holdout`, for pipelines that tag and
+    aggregate in one pass instead of materializing two frames (a
+    two-frame union evaluates the upstream pipeline once per branch)."""
+    thresh = int(round(float(holdout_fraction) * DENOM))
+    return F.when(
+        _hash_bucket(key_col, salt) < thresh, F.lit("holdout")
+    ).otherwise(F.lit("train"))
+
+
 def split_train_holdout(
     df: DataFrame, key_col: str, holdout_fraction: float, salt: str = ""
 ) -> tuple[DataFrame, DataFrame]:

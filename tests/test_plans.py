@@ -238,3 +238,21 @@ def test_triangles_equi_joins_only(spark):
     plan = _plan(spark, "neardup_triangles")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q14_broadcast_part_single_fact_shuffle(spark):
+    plan = _plan(spark, "tpch_q14_promo")
+    assert "BroadcastHashJoin" in plan
+    # the only real Exchange is the month aggregation; part broadcasts
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_partkey", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_curation_pipeline_two_exchanges_linear(spark):
+    plan = _plan(spark, "docs_curation_pipeline")
+    # dedup window (fp) + final (lang, split) aggregate — nothing else;
+    # the split-label column keeps the plan union-free (one scan)
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
