@@ -5140,6 +5140,104 @@ _CURATION_ORACLE = f"""
 """
 
 
+LATE_WM_US = 3_600_000_000  # 1 h watermark delay
+LATE_WIN_US = 1_800_000_000  # 30 min tumbling windows
+
+
+def _stream_events_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics, demonstrated and gated — the
+    guarantee Spark actually makes: once a window is emitted and its state
+    evicted, a late row targeting it is DROPPED (anything weaker would
+    make append mode re-emit a key, corrupting every downstream consumer).
+    Two checkpointed availableNow runs of a periodic ingest job:
+
+    - run 1 drains the full event log → the parquet sink holds every
+      window whose end the watermark (max event_time − 1 h) passed; the
+      trailing windows stay in state, unemitted;
+    - run 2 delivers DUPLICATES of the oldest half of the log — all late,
+      all targeting evicted windows. The engine must drop them: run 2
+      appends nothing (verified by `numRowsDroppedByWatermark` > 0 in the
+      unit test).
+
+    The result is the sink's contents after both runs; the oracle is the
+    batch tumbling aggregate of the ORIGINAL events cut at window_end ≤
+    max − 1 h, duplicates excluded — so both the drop and the emission
+    cut are what the value hash gates. (A single availableNow run cannot
+    show this: eviction happens at run end, so in-run late rows for
+    never-seen windows are admitted — Spark's documented one-sided
+    guarantee. The checkpoint persists the watermark across runs, which
+    is exactly how a periodic ingest job hits the guaranteed path.)"""
+    import shutil
+    import tempfile
+
+    e = _events(spark, sf_dir).select("ts_us", "event_type")
+    b = e.agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx")).head()
+    mid = (int(b.mn) + int(b.mx)) // 2
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"evdb_late_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    in_dir, out_dir, ck = (
+        os.path.join(root, "in"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ck"),
+    )
+    e.write.parquet(os.path.join(in_dir, "full"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("ts_us long, event_type string")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+        )
+        agg = (
+            stream.withColumn("event_time", F.timestamp_micros("ts_us"))
+            .withWatermark("event_time", "1 hour")
+            .groupBy(F.window("event_time", "30 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                "event_type",
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # late delivery: duplicates of the oldest half, every window long closed
+    e.filter(F.col("ts_us") < mid).write.parquet(os.path.join(in_dir, "late"))
+    run_once()
+    return spark.read.schema(
+        "window_start_us long, event_type string, n_events long"
+    ).parquet(out_dir)
+
+
+_STREAM_LATE_DROP_ORACLE = f"""
+    WITH b AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+    bounds AS (SELECT max(us) AS mx FROM b),
+    win AS (
+        SELECT (us // {LATE_WIN_US}) * {LATE_WIN_US} AS window_start_us,
+               event_type
+        FROM b
+    )
+    SELECT CAST(window_start_us AS BIGINT) AS window_start_us,
+           event_type, count(*) AS n_events
+    FROM win, bounds
+    WHERE window_start_us + {LATE_WIN_US} <= mx - {LATE_WM_US}
+    GROUP BY window_start_us, event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-10 over the sf0.001 vector store."""
     return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
@@ -5272,6 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo": _tpch_q14_promo,
         "events_markov_transitions": _events_markov_transitions,
         "docs_curation_pipeline": _docs_curation_pipeline,
+        "stream_events_late_drop": _stream_events_late_drop,
     }
 
 
@@ -5539,4 +5638,5 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,
         "docs_curation_pipeline": _CURATION_ORACLE,
+        "stream_events_late_drop": _STREAM_LATE_DROP_ORACLE,
     }

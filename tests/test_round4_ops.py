@@ -171,3 +171,64 @@ def test_csv_roundtrip_is_lossless(spark):
     )
     direct = src.agg(F.sum(elem).alias("s")).head().s
     assert row.elem_micro_sum == direct
+
+
+def test_late_rows_for_evicted_windows_are_dropped(spark, tmp_path):
+    # the guarantee stream_events_late_drop gates: once a window was
+    # emitted (state evicted, watermark checkpointed), late rows targeting
+    # it are dropped — run 2 appends nothing and reports watermark drops
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir, ck = tmp_path / "in", str(tmp_path / "ck")
+    in_dir.mkdir()
+    out = []
+
+    def write(name, hours):
+        t = pa.table(
+            {
+                "ts_us": pa.array(
+                    [int(h * 3600 * 1_000_000) for h in hours], pa.int64()
+                ),
+                "event_type": pa.array(["x"] * len(hours), pa.string()),
+            }
+        )
+        pq.write_table(t, str(in_dir / name))
+
+    def run():
+        stream = (
+            spark.readStream.schema("ts_us long, event_type string")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(in_dir))
+        )
+        agg = (
+            stream.withColumn("event_time", F.timestamp_micros("ts_us"))
+            .withWatermark("event_time", "1 hour")
+            .groupBy(F.window("event_time", "30 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, bid: out.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    write("a.parquet", [10, 5])  # watermark lands at 09:00; 05:00 window emits
+    run()
+    assert [(r.w.start.hour, r.n) for r in out] == [(5, 1)]
+
+    write("b.parquet", [5, 5])  # late duplicates for the evicted window
+    q2 = run()
+    assert [(r.w.start.hour, r.n) for r in out] == [(5, 1)]  # nothing re-emitted
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q2.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped >= 1
