@@ -241,11 +241,26 @@ class IVFIndex:
         return self._assigned is None or df.count() != self._indexed_rows
 
     def ensure(self, df: DataFrame) -> "IVFIndex":
-        """Lazy rebuild orchestration (reference rebuilds on access, not on
-        write): cheap no-op when fresh, full rebuild when the corpus moved."""
-        if self.is_stale(df):
-            self.build(df)
-        return self
+        """Lazy maintenance orchestration (reference rebuilds on access, not
+        on write — api.py:42-62 — and inserts incrementally when the index
+        already exists — api.py:63-79 via ann.add_items): cheap no-op when
+        fresh; when the corpus GREW by pure appends (every indexed id still
+        present, only new ids added) the delta is folded in via
+        :meth:`add_items` — O(|delta|), centroids frozen, no retrain; any
+        other drift (updates, deletes) forces the full rebuild. The
+        append-vs-drift test is an anti-join on the id column + two counts,
+        paid by the SEARCH path, keeping writes zero-job."""
+        if self._assigned is None or self._centroids is None:
+            return self.build(df)
+        n = df.count()
+        if n == self._indexed_rows:
+            return self
+        delta = df.join(
+            self._assigned.select(self.id_col), self.id_col, "left_anti"
+        )
+        if self._indexed_rows + delta.count() == n:
+            return self.add_items(delta)
+        return self.build(df)
 
     # -- read path ------------------------------------------------------------
 

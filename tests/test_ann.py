@@ -233,3 +233,25 @@ def test_ann_distance_to_similarity_dispatch(spark):
         A.ann_distance_to_similarity(F.col("d"), "euclidean").alias("s")).collect()]
     assert cos == [1.0, 0.0, -2.0]
     assert euc == [1.0, 0.5, 0.25]
+
+
+def test_ensure_folds_pure_appends_incrementally(spark, sf_dir):
+    # reference api.py:63-79: with a live index, inserts go through
+    # add_items; ensure() must detect the pure-append case and keep the
+    # centroids frozen, and fall back to a full rebuild on any other drift
+    from educational_vector_database_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter("vec_id < 150")
+    idx = A.IVFIndex(n_cells=4).build(base)
+    cents = [tuple(c) for _, c in idx._centroids]
+
+    grown = e.filter("vec_id < 180")  # pure append of 30 rows
+    idx.ensure(grown)
+    assert [tuple(c) for _, c in idx._centroids] == cents  # no retrain
+    assert idx._indexed_rows == grown.count()
+
+    shrunk = e.filter("vec_id < 100")  # deletes -> counts can't reconcile
+    idx.ensure(shrunk)
+    assert idx._indexed_rows == shrunk.count()  # full rebuild happened
+    idx.invalidate()
