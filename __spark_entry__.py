@@ -5238,6 +5238,63 @@ _STREAM_LATE_DROP_ORACLE = f"""
 """
 
 
+def _store_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (sources/store.py compact — the OPTIMIZE
+    maintenance op): fragment the store into per-batch micro-files the way
+    a streaming ingest would (8 appends × 8 partitions), compact to 4
+    files with the rename-aside swap, and checksum the result. Equal to
+    the source checksums iff compaction is lossless; the shrink itself
+    (64 → 4 data files) and sidecar preservation are pytest-asserted
+    (file counts aren't SQL-derivable)."""
+    import shutil
+    import tempfile
+
+    from educational_vector_database_spark.sources import store as S
+
+    emb = _emb(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"evdb_compact_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for i in range(8):  # micro-batch appends -> many small files
+        S.save(
+            emb.filter(F.col("vec_id") % 8 == i).repartition(8),
+            path,
+            S.StoreConfig(dim=DIM, metric="cosine"),
+            mode="append" if i else "overwrite",
+        )
+    S.compact(spark, path, target_files=4)
+    back, cfg = S.load(spark, path)
+    elem_micro = F.aggregate(
+        F.transform(
+            V.as_double("embedding"),
+            lambda x: F.round(x * 1_000_000).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("vec_id").alias("id_sum"),
+        F.sum(elem_micro).alias("elem_micro_sum"),
+        F.lit(int(cfg.dim)).alias("cfg_dim"),
+        F.lit(cfg.metric).alias("cfg_metric"),
+    )
+
+
+_COMPACT_ORACLE = f"""
+    SELECT count(*) AS n_rows,
+           CAST(sum(vec_id) AS BIGINT) AS id_sum,
+           CAST(sum(list_sum(list_transform(embedding::DOUBLE[],
+                x -> CAST(round(x * 1000000) AS BIGINT)))) AS BIGINT)
+               AS elem_micro_sum,
+           {DIM} AS cfg_dim,
+           'cosine' AS cfg_metric
+    FROM embeddings
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-10 over the sf0.001 vector store."""
     return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
@@ -5371,6 +5428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": _events_markov_transitions,
         "docs_curation_pipeline": _docs_curation_pipeline,
         "stream_events_late_drop": _stream_events_late_drop,
+        "store_compact_roundtrip": _store_compact_roundtrip,
     }
 
 
@@ -5639,4 +5697,5 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_transitions": _MARKOV_ORACLE,
         "docs_curation_pipeline": _CURATION_ORACLE,
         "stream_events_late_drop": _STREAM_LATE_DROP_ORACLE,
+        "store_compact_roundtrip": _COMPACT_ORACLE,
     }

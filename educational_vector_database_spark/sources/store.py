@@ -146,6 +146,44 @@ def save_as(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwri
     out.write.mode(mode).options(**options).format(fmt).save(path)
 
 
+def compact(spark: SparkSession, path: str, target_files: int = 8) -> int:
+    """Small-files maintenance (the OPTIMIZE of every lakehouse): rewrite
+    the store's parquet directory into ``target_files`` files, atomically
+    enough for a single writer — stage the compacted copy next to the
+    store, rename the old directory aside, rename the staging in, delete
+    the old. A crash between the renames leaves either the original or a
+    recoverable ``.old`` — never no store (the same swap discipline as the
+    streaming MERGE sink).
+
+    Why it matters at scale: micro-batch appends (S7/I1) accrete one file
+    per batch; a million 100 KB files turn every scan's file listing and
+    task scheduling into the bottleneck long before I/O does. Compaction
+    is a single repartition job — O(data) once, amortized over every
+    subsequent read. Returns the number of data files after compaction.
+    The config sidecar is preserved verbatim."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    cfg_file = _config_path(path)
+    cfg_raw = None
+    if os.path.exists(cfg_file):
+        with open(cfg_file, encoding="utf-8") as f:
+            cfg_raw = f.read()
+    staging, old = path.rstrip("/") + ".compact", path.rstrip("/") + ".old"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df.repartition(target_files).write.mode("overwrite").parquet(staging)
+    if cfg_raw is not None:
+        with open(os.path.join(staging, CONFIG_NAME), "w", encoding="utf-8") as f:
+            f.write(cfg_raw)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return sum(
+        1 for n in os.listdir(path) if n.endswith(".parquet")
+    )
+
+
 def upsert(existing: DataFrame, updates: DataFrame, key: str = "doc_id") -> DataFrame:
     """MERGE semantics (whole-row upsert): rows from ``updates`` replace
     same-key rows in ``existing``; new keys append. The reference's

@@ -232,3 +232,27 @@ def test_late_rows_for_evicted_windows_are_dropped(spark, tmp_path):
         for op in p["stateOperators"]
     )
     assert dropped >= 1
+
+
+def test_compact_shrinks_files_and_preserves_sidecar(spark, tmp_path):
+    import os
+
+    from educational_vector_database_spark.sources import store as S
+
+    emb = E._emb(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "store")
+    for i in range(4):
+        S.save(
+            emb.filter(F.col("vec_id") % 4 == i).repartition(4),
+            path,
+            S.StoreConfig(dim=64, metric="dot"),
+            mode="append" if i else "overwrite",
+        )
+    n_before = sum(1 for n in os.listdir(path) if n.endswith(".parquet"))
+    rows_before = spark.read.parquet(path).count()
+    n_after = S.compact(spark, path, target_files=2)
+    assert n_after == 2 < n_before
+    back, cfg = S.load(spark, path)
+    assert back.count() == rows_before
+    assert (cfg.dim, cfg.metric) == (64, "dot")  # sidecar preserved verbatim
+    assert not os.path.exists(path + ".old")  # swap completed cleanly
