@@ -5295,6 +5295,102 @@ _COMPACT_ORACLE = f"""
 """
 
 
+BIGRAM_V = 37  # smoothing vocabulary: a-z, 0-9, space
+
+
+def _docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language-model quality score — the perplexity-style
+    filter (CCNet's LM gate, shrunk to an in-corpus char bigram model so it
+    needs no external artifact): train add-1-smoothed bigram probabilities
+    on the WHOLE corpus in one pass, score every doc by its total bigram
+    log-probability. Gibberish (rare transitions) scores far below fluent
+    text.
+
+    Numerics contract: the only transcendental is ln(p) where
+    p = (c+1)/(ctx+V) — computed per DISTINCT bigram (≤ 37² values), as
+    round(ln·1e6) MICRO units. The double division is the same IEEE op on
+    both engines; JVM vs libm ln may differ in the last ulp, so the
+    rounding boundary margin is asserted by a pytest over every reachable
+    (c, ctx) pair (same discipline as docs_tfidf_keywords' integer idf).
+    Per-doc totals are then exact integer sums of (count × micro-logprob).
+
+    Plan: one explode pass → (doc, bigram) counts (map-side combined);
+    the bigram model is a ≤1369-row aggregate joined back broadcast; one
+    final per-doc sum. Three keyed shuffles, none carrying text."""
+    d = _docs(spark, sf_dir)
+    norm = T.normalized_text("text")
+    pos = d.select(
+        F.col("doc_id"), norm.alias("t")
+    ).filter(F.length("t") >= 2).select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"),
+    )
+    bg = pos.select(
+        "doc_id", F.expr("substring(t, i, 2)").alias("bg")
+    )
+    # persisted: the (doc, bigram) counts feed BOTH the model aggregation
+    # and the final scoring join — without the persist Catalyst evaluates
+    # the explode pipeline once per consumer (measured 3 scans)
+    doc_counts = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("n")).persist()
+    model = (
+        doc_counts.groupBy("bg")
+        .agg(F.sum("n").alias("c"))
+        .withColumn("ctx", F.substring("bg", 1, 1))
+    )
+    # context totals as a window over the <= 37^2-row model frame: no third
+    # evaluation of the counts, no extra join
+    ctx_total = F.sum("c").over(Window.partitionBy("ctx"))
+    logp = model.withColumn(
+        "logp_micro",
+        F.round(
+            F.log(
+                (F.col("c") + F.lit(1)).cast("double")
+                / (ctx_total + F.lit(BIGRAM_V)).cast("double")
+            )
+            * 1e6
+        ).cast("long"),
+    ).select("bg", "logp_micro")
+    # no derived avg column: logprob_micro is negative, and Spark's `div`
+    # truncates toward zero while DuckDB's `//` floors — the per-doc
+    # (n_bigrams, logprob_micro) pair carries the same information exactly
+    return doc_counts.join(F.broadcast(logp), "bg").groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.sum(F.col("n") * F.col("logp_micro")).alias("logprob_micro"),
+    )
+
+
+_BIGRAM_LM_ORACLE = f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM.format(t='text')} AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, substr(t, CAST(t2.i AS INT), 2) AS bg
+        FROM norm, unnest(range(1, length(t))) AS t2(i)
+        WHERE length(t) >= 2
+    ),
+    doc_counts AS (
+        SELECT doc_id, bg, count(*) AS n FROM pos GROUP BY doc_id, bg
+    ),
+    model AS (
+        SELECT bg, CAST(sum(n) AS BIGINT) AS c, substr(bg, 1, 1) AS ctx
+        FROM doc_counts GROUP BY bg
+    ),
+    ctx_totals AS (
+        SELECT ctx, CAST(sum(c) AS BIGINT) AS ctx_total FROM model GROUP BY ctx
+    ),
+    logp AS (
+        SELECT bg, CAST(round(ln((c + 1)::DOUBLE / (ctx_total + {BIGRAM_V})::DOUBLE)
+                              * 1000000) AS BIGINT) AS logp_micro
+        FROM model JOIN ctx_totals USING (ctx)
+    )
+    SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_bigrams,
+           CAST(sum(d.n * l.logp_micro) AS BIGINT) AS logprob_micro
+    FROM doc_counts d JOIN logp l USING (bg)
+    GROUP BY d.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-10 over the sf0.001 vector store."""
     return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
@@ -5429,6 +5525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curation_pipeline": _docs_curation_pipeline,
         "stream_events_late_drop": _stream_events_late_drop,
         "store_compact_roundtrip": _store_compact_roundtrip,
+        "docs_bigram_logprob": _docs_bigram_logprob,
     }
 
 
@@ -5698,4 +5795,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_curation_pipeline": _CURATION_ORACLE,
         "stream_events_late_drop": _STREAM_LATE_DROP_ORACLE,
         "store_compact_roundtrip": _COMPACT_ORACLE,
+        "docs_bigram_logprob": _BIGRAM_LM_ORACLE,
     }

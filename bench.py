@@ -150,6 +150,8 @@ HEADLINE = [
     "events_markov_transitions",
     "docs_curation_pipeline",
     "knn_ivf_incremental",
+    # round 4, third wave: char-bigram LM quality gate
+    "docs_bigram_logprob",
 ]
 
 

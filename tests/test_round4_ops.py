@@ -256,3 +256,38 @@ def test_compact_shrinks_files_and_preserves_sidecar(spark, tmp_path):
     assert back.count() == rows_before
     assert (cfg.dim, cfg.metric) == (64, "dot")  # sidecar preserved verbatim
     assert not os.path.exists(path + ".old")  # swap completed cleanly
+
+
+def test_bigram_logp_rounding_margin():
+    # docs_bigram_logprob's only transcendental: round(ln((c+1)/(ctx+37))
+    # * 1e6) per distinct bigram. JVM and libm ln may differ in the last
+    # ulp, so every reachable value must sit far from a rounding boundary
+    # relative to that drift (same discipline as the TF-IDF integer idf).
+    import math
+
+    import duckdb
+
+    worst = 1.0
+    for sf in ("0.001", "0.01", "0.1"):
+        pairs = duckdb.sql(f"""
+            WITH norm AS (
+                SELECT trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+                FROM '/root/testdata/sf{sf}/documents.parquet'
+            ),
+            pos AS (
+                SELECT substr(t, CAST(t2.i AS INT), 2) AS bg
+                FROM norm, unnest(range(1, length(t))) AS t2(i)
+                WHERE length(t) >= 2
+            ),
+            model AS (SELECT bg, count(*) AS c, substr(bg,1,1) AS ctx
+                      FROM pos GROUP BY bg),
+            ctx_totals AS (SELECT ctx, sum(c) AS ct FROM model GROUP BY ctx)
+            SELECT DISTINCT m.c, t.ct FROM model m JOIN ctx_totals t USING (ctx)
+        """).fetchall()
+        for c, ct in pairs:
+            v = math.log((int(c) + 1) / (int(ct) + 37)) * 1e6
+            dist = abs(v - math.floor(v) - 0.5)  # distance from the .5 boundary
+            worst = min(worst, dist)
+    # ulp drift of ln at this magnitude is ~1e-10; require 4 orders margin
+    assert worst > 1e-6, worst
