@@ -5391,6 +5391,47 @@ _BIGRAM_LM_ORACLE = f"""
 """
 
 
+def _media_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the synthetic video corpus
+    (multimodal.scene_changes): consecutive-frame absolute-difference sums
+    in exact int64, cut flag via integer milli-threshold compare. Oracle:
+    the same arithmetic on the seeded generator output, precomputed as a
+    VALUES table (the multimodal pattern)."""
+    from educational_vector_database_spark import multimodal as M
+
+    return M.scene_changes(M.synth_media(spark))
+
+
+def _media_scene_changes_oracle() -> str:
+    import numpy as np
+
+    fb = _MEDIA_W * _MEDIA_H * _MEDIA_C
+    rows = []
+    for mid in range(
+        _MEDIA_N_IMAGES + _MEDIA_N_AUDIO,
+        _MEDIA_N_IMAGES + _MEDIA_N_AUDIO + _MEDIA_N_VIDEOS,
+    ):
+        rng = np.random.RandomState(mid % (2**31))
+        arr = (
+            rng.randint(0, 256, fb * _MEDIA_NFRAMES, dtype=np.uint8)
+            .reshape(_MEDIA_NFRAMES, fb)
+            .astype(np.int64)
+        )
+        diffs = np.abs(arr[1:] - arr[:-1]).sum(axis=1)
+        for i, sd in enumerate(diffs):
+            cut = 1 if int(sd) * 1000 > 85330 * fb else 0
+            rows.append(f"({mid}, {i + 1}, {int(sd)}, {fb}, {cut})")
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(frame_index AS INT) AS frame_index,
+               CAST(sum_abs_diff AS BIGINT) AS sum_abs_diff,
+               CAST(n_pixels AS INT) AS n_pixels,
+               CAST(is_cut AS INT) AS is_cut
+        FROM (VALUES {", ".join(rows)})
+             AS t(media_id, frame_index, sum_abs_diff, n_pixels, is_cut)
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-10 over the sf0.001 vector store."""
     return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
@@ -5526,6 +5567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_late_drop": _stream_events_late_drop,
         "store_compact_roundtrip": _store_compact_roundtrip,
         "docs_bigram_logprob": _docs_bigram_logprob,
+        "media_scene_changes": _media_scene_changes,
     }
 
 
@@ -5796,4 +5838,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_events_late_drop": _STREAM_LATE_DROP_ORACLE,
         "store_compact_roundtrip": _COMPACT_ORACLE,
         "docs_bigram_logprob": _BIGRAM_LM_ORACLE,
+        "media_scene_changes": _media_scene_changes_oracle(),
     }
