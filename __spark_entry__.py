@@ -2579,12 +2579,28 @@ def _docs_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Keyed on 5-char shingles (the minhash shingle space), not tokens: the
     synthetic corpus has a ~31-word vocabulary, which would leave the sketch
-    degenerate (k > distinct)."""
+    degenerate (k > distinct).
+
+    Shingling is posexplode(sequence) + substring — flat JVM expressions in
+    whole-stage codegen — rather than exploding the char_shingles
+    higher-order-function array (nested HOFs evaluate interpreted; same
+    finding as docs_boilerplate_chunks). The global ``distinct`` subsumes
+    char_shingles' per-doc dedup, so the token SET is identical; the frame
+    is persisted because both the k-minimum heap and the exact count
+    consume it (unpersisted, the scan+explode would run twice)."""
+    norm = T.normalized_text("text")
+    base = _docs(spark, sf_dir).select(norm.alias("t")).filter(F.length("t") > 0)
+    pos = base.select(
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - F.lit(4), F.lit(1)))
+        ).alias("i"),
+    )
     toks = (
-        _docs(spark, sf_dir)
-        .select(F.explode(T.char_shingles("text")).alias("tok"))
+        pos.select(F.expr("substring(t, i, 5)").alias("tok"))
         .filter(F.col("tok") != "")
         .distinct()
+        .persist()
     )
     hs = toks.select(T.fingerprint64("tok").alias("h")).distinct()
     kth = hs.orderBy("h").limit(_KMV_K).agg(
