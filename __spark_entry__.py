@@ -5448,6 +5448,189 @@ def _media_scene_changes_oracle() -> str:
     """
 
 
+def _tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT join so
+    zero-order customers land in the c_count=0 bucket — the join flavor
+    that breaks if someone "optimizes" it to inner. The priority filter
+    stands in for Q13's comment NOT LIKE (no comment column in testdata).
+    Two keyed aggregates; the first reuses the join's partitioning on
+    c_custkey, so one extra Exchange total for the histogram."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey)
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    counts = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q13_ORACLE = """
+    WITH counts AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist FROM counts GROUP BY c_count
+"""
+
+
+def _tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, return the
+    max-revenue supplier(s) — the scalar-subquery-against-own-aggregate
+    shape. Revenue in exact integer cent-percent units; the 1-row max
+    broadcasts (crossJoin of a bounded aggregate, the allowlisted
+    pattern), so ties return deterministically and the revenue frame is
+    computed once per consumer side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s_ = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev_cp = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_cp).alias("total_rev_cp"))
+    )
+    mx = rev.agg(F.max("total_rev_cp").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_cp") == F.col("mx"))
+        .join(s_, rev.l_suppkey == s_.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "total_rev_cp",
+        )
+    )
+
+
+_Q15_ORACLE = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS total_rev_cp
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, r.total_rev_cp
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev_cp = (SELECT max(total_rev_cp) FROM rev)
+"""
+
+
+def _tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue from lineitems
+    whose quantity is below 20% of their part's average — the correlated
+    per-group-average shape, expressed as ONE window over the joined scan
+    (no second pass, no self-join): threshold = 0.2 * (Σqty / n) over the
+    part partition. The brand filter broadcasts into the join. The
+    window's doubles are the same division/product on both engines, so
+    the comparison is bit-deterministic; quantities are integer-valued."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    thr = (
+        F.lit(0.2)
+        * (
+            F.sum(F.col("l_quantity").cast("long")).over(w).cast("double")
+            / F.count("*").over(w).cast("double")
+        )
+    )
+    small = j.withColumn("thr", thr).filter(F.col("l_quantity") < F.col("thr"))
+    return small.agg(
+        F.count("*").alias("n_small"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "rev_cents"
+        ),
+    )
+
+
+_Q17_ORACLE = """
+    WITH j AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#23'
+    ),
+    t AS (
+        SELECT *, 0.2 * (CAST(sum(CAST(l_quantity AS BIGINT))
+                                  OVER (PARTITION BY l_partkey) AS DOUBLE)
+                         / CAST(count(*) OVER (PARTITION BY l_partkey)
+                                AS DOUBLE)) AS thr
+        FROM j
+    )
+    SELECT count(*) AS n_small,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM t WHERE l_quantity < thr
+"""
+
+
+Q18_QTY_THRESHOLD = 150
+
+
+def _tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): orders whose total lineitem
+    quantity exceeds the threshold, with their customer — the
+    aggregate-then-HAVING-then-join shape. The per-order sums reduce
+    600k lineitems to ~3k qualifying orders BEFORE any join touches
+    orders/customer, so the joins run on the thinned side (AQE
+    broadcasts it at runtime; no forced hint on unbounded tables)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "o_totalprice_cents"
+            ),
+            "total_qty",
+        )
+    )
+
+
+_Q18_ORACLE = f"""
+    WITH big AS (
+        SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING total_qty > {Q18_QTY_THRESHOLD}
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
+           b.total_qty
+    FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-10 over the sf0.001 vector store."""
     return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
@@ -5584,6 +5767,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_compact_roundtrip": _store_compact_roundtrip,
         "docs_bigram_logprob": _docs_bigram_logprob,
         "media_scene_changes": _media_scene_changes,
+        "tpch_q13_custdist": _tpch_q13_custdist,
+        "tpch_q15_top_supplier": _tpch_q15_top_supplier,
+        "tpch_q17_small_qty": _tpch_q17_small_qty,
+        "tpch_q18_large_orders": _tpch_q18_large_orders,
     }
 
 
@@ -5855,4 +6042,8 @@ def oracle_sql() -> dict[str, str]:
         "store_compact_roundtrip": _COMPACT_ORACLE,
         "docs_bigram_logprob": _BIGRAM_LM_ORACLE,
         "media_scene_changes": _media_scene_changes_oracle(),
+        "tpch_q13_custdist": _Q13_ORACLE,
+        "tpch_q15_top_supplier": _Q15_ORACLE,
+        "tpch_q17_small_qty": _Q17_ORACLE,
+        "tpch_q18_large_orders": _Q18_ORACLE,
     }

@@ -152,6 +152,12 @@ HEADLINE = [
     "knn_ivf_incremental",
     # round 4, third wave: char-bigram LM quality gate
     "docs_bigram_logprob",
+    # round 4, fourth wave: TPC-H plan-shape breadth (left-join histogram,
+    # scalar-subquery max, correlated per-group average, agg-then-having)
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
 ]
 
 
