@@ -236,11 +236,43 @@ def main() -> int:
     if not args.queries:
         with open(os.path.join(_REPO, "BENCH_LOCAL.json"), "w") as f:
             f.write(payload + "\n")
+
+    # The driver's stdout tail capture is 2,000 chars; an 87-query JSON line
+    # is ~3 KB, so its head falls off and BENCH_r{3,4}.json recorded
+    # parsed=null no matter how quiet the logs were. The LAST line must
+    # therefore be a COMPACT summary (<500 chars): totals, the worst
+    # per-query ratio vs the BASELINE.md cold anchors (tools/anchors.json,
+    # machine-readable mirror), any rows over the 2x gate, and only the
+    # slowest few per-query timings. Full per-query detail lives in
+    # BENCH_LOCAL.json (committed each round).
+    anchors = {}
+    anchors_path = os.path.join(_REPO, "tools", "anchors.json")
+    if os.path.exists(anchors_path):
+        with open(anchors_path) as f:
+            anchors = json.load(f)
+    ratios = {n: timings[n] / anchors[n] for n in timings
+              if n in anchors and anchors[n] > 0}
+    worst = max(ratios.items(), key=lambda kv: kv[1]) if ratios else None
+    anchored_total = round(sum(anchors[n] for n in ratios), 2)
+    summary = json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "mode": "cold" if args.cold else "warm",
+        "n_queries": len(timings),
+        "agg_vs_anchor": round(sum(timings[n] for n in ratios)
+                               / anchored_total, 3) if ratios else None,
+        "worst_vs_anchor": {worst[0]: round(worst[1], 2)} if worst else None,
+        "over_2x": sorted(n for n, r in ratios.items() if r > 2.0)[:10],
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:6]),
+        "detail": "BENCH_LOCAL.json",
+    }, separators=(",", ":"))
     # The JSON must be the absolute last stdout line: flush stderr first so a
     # buffered JVM/py4j straggler can't land after (or inside) it.
     sys.stderr.flush()
     sys.stdout.flush()
-    print(payload, flush=True)
+    print(summary, flush=True)
     return 0
 
 
