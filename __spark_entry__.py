@@ -33,6 +33,28 @@ from educational_vector_database_spark.session import (
 
 DIM = 64
 TOP_K = 10
+
+# Queries that persist() an intermediate consumed by the lazy result they
+# return cannot unpersist it themselves (the caller's collect would
+# recompute), so they register it here and the NEXT queries() invocation
+# releases it — a long-lived harness session (bench warm mode, the driver's
+# 50-query correctness sweep) no longer accrues cached blocks across the
+# suite. Harnesses may also call release_persists() directly after a run.
+_LIVE_PERSISTS: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_PERSISTS.append(df)
+    return df
+
+
+def release_persists() -> None:
+    while _LIVE_PERSISTS:
+        try:
+            _LIVE_PERSISTS.pop().unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
 DUMMY_DIM = 16  # reference server.py:32 fallback dim
 CHUNK_SIZE = 300  # reference rag.py:31
 RAG_QUERY = "spark filter join window"  # deterministic fixture query string
@@ -2596,11 +2618,10 @@ def _docs_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.greatest(F.length("t") - F.lit(4), F.lit(1)))
         ).alias("i"),
     )
-    toks = (
+    toks = _track_persist(
         pos.select(F.expr("substring(t, i, 5)").alias("tok"))
         .filter(F.col("tok") != "")
         .distinct()
-        .persist()
     )
     hs = toks.select(T.fingerprint64("tok").alias("h")).distinct()
     kth = hs.orderBy("h").limit(_KMV_K).agg(
@@ -4760,10 +4781,9 @@ def _neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The edge list is persisted first: a triple self-join otherwise
     re-derives the whole simhash pipeline once per alias (Catalyst has no
     cross-alias subplan dedup), tripling the dominant cost."""
-    pairs = (
+    pairs = _track_persist(
         D.simhash_near_dup(_docs(spark, sf_dir), max_hamming=3)
         .select("id_a", "id_b")
-        .persist()
     )
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tri = e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a")).join(
@@ -5348,7 +5368,8 @@ def _docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the (doc, bigram) counts feed BOTH the model aggregation
     # and the final scoring join — without the persist Catalyst evaluates
     # the explode pipeline once per consumer (measured 3 scans)
-    doc_counts = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("n")).persist()
+    doc_counts = _track_persist(
+        bg.groupBy("doc_id", "bg").agg(F.count("*").alias("n")))
     model = (
         doc_counts.groupBy("bg")
         .agg(F.sum("n").alias("c"))
@@ -5636,8 +5657,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
 
 
+def _releasing(fn: Callable[[SparkSession, str], DataFrame]):
+    """Release the PREVIOUS query's tracked persists before building this
+    one — the current query's own persists stay live through the caller's
+    collect()."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_persists()
+        return fn(spark, sf_dir)
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    qs = {
         # --- the driver's correctness gate checks the FIRST 50 entries ---
         # ordered so the operators that define this engine's pitch (dedup,
         # ANN+recall evals, text analysis, storage layouts, streaming, the
@@ -5772,6 +5805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_qty": _tpch_q17_small_qty,
         "tpch_q18_large_orders": _tpch_q18_large_orders,
     }
+    return {name: _releasing(fn) for name, fn in qs.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -240,16 +240,34 @@ class IVFIndex:
         """≙ reference ``ann_index is None or _ann_index_size != n_vectors``."""
         return self._assigned is None or df.count() != self._indexed_rows
 
+    def _content_fingerprint(self, df: DataFrame) -> int:
+        """Order-independent (id, vector) digest: bit_xor of per-row
+        xxhash64 (xor commutes and cannot overflow under ANSI mode; ids are
+        unique so cancellation needs a full hash collision). One aggregate
+        job; on the cached assignment it reads in-memory blocks only."""
+        row = df.select(
+            F.xxhash64(F.col(self.id_col), F.col(self.vector_col)).alias("_h")
+        ).agg(F.expr("bit_xor(_h)").alias("h")).collect()[0]
+        return int(row.h) if row.h is not None else 0
+
     def ensure(self, df: DataFrame) -> "IVFIndex":
         """Lazy maintenance orchestration (reference rebuilds on access, not
         on write — api.py:42-62 — and inserts incrementally when the index
         already exists — api.py:63-79 via ann.add_items): cheap no-op when
         fresh; when the corpus GREW by pure appends (every indexed id still
-        present, only new ids added) the delta is folded in via
-        :meth:`add_items` — O(|delta|), centroids frozen, no retrain; any
-        other drift (updates, deletes) forces the full rebuild. The
-        append-vs-drift test is an anti-join on the id column + two counts,
-        paid by the SEARCH path, keeping writes zero-job."""
+        present with UNCHANGED content, only new ids added) the delta is
+        folded in via :meth:`add_items` — O(|delta|), centroids frozen, no
+        retrain; any other drift (updates, deletes) forces the full
+        rebuild. The append-vs-drift test is an anti-join on the id column
+        + two counts, and — before committing to the incremental path — an
+        (id, vector) fingerprint over the overlapping rows: without it, a
+        corpus whose existing vectors were updated in place AND new ids
+        appended would reconcile as a pure append and leave stale cached
+        assignments serving queries. All of it is paid by the SEARCH path,
+        keeping writes zero-job. Contract bound (same as the reference's
+        size-only check, src/vectordb/api.py:63-79): count-preserving pure
+        in-place updates with NO appends are not detected — call
+        :meth:`invalidate` after such a rewrite."""
         if self._assigned is None or self._centroids is None:
             return self.build(df)
         n = df.count()
@@ -259,7 +277,12 @@ class IVFIndex:
             self._assigned.select(self.id_col), self.id_col, "left_anti"
         )
         if self._indexed_rows + delta.count() == n:
-            return self.add_items(delta)
+            overlap_unchanged = self._content_fingerprint(
+                df.join(self._assigned.select(self.id_col), self.id_col,
+                        "left_semi")
+            ) == self._content_fingerprint(self._assigned)
+            if overlap_unchanged:
+                return self.add_items(delta)
         return self.build(df)
 
     # -- read path ------------------------------------------------------------

@@ -160,8 +160,19 @@ def compact(spark: SparkSession, path: str, target_files: int = 8) -> int:
     task scheduling into the bottleneck long before I/O does. Compaction
     is a single repartition job — O(data) once, amortized over every
     subsequent read. Returns the number of data files after compaction.
-    The config sidecar is preserved verbatim."""
+    The config sidecar is preserved verbatim.
+
+    Single-writer, no-concurrent-reader contract: the swap is two renames,
+    and a reader racing the window between them sees a missing directory.
+    Crash recovery is automatic: on entry, if ``path`` is gone but the
+    renamed-aside ``path + ".old"`` survives (a crash landed between the
+    two renames), it is renamed back before proceeding — so a follow-up
+    load()/compact() self-heals instead of failing with ENOENT."""
     import shutil
+
+    old = path.rstrip("/") + ".old"
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)
 
     df = spark.read.parquet(path)
     cfg_file = _config_path(path)
@@ -169,7 +180,7 @@ def compact(spark: SparkSession, path: str, target_files: int = 8) -> int:
     if os.path.exists(cfg_file):
         with open(cfg_file, encoding="utf-8") as f:
             cfg_raw = f.read()
-    staging, old = path.rstrip("/") + ".compact", path.rstrip("/") + ".old"
+    staging = path.rstrip("/") + ".compact"
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     df.repartition(target_files).write.mode("overwrite").parquet(staging)

@@ -8,8 +8,10 @@ interval join every attribution / impression-to-conversion pipeline needs.
 Semantics and state contract (the 100 TB design points):
 
 - Both sides carry a watermark; the join condition bounds the other side's
-  event time relative to this side's (``left.ts BETWEEN right.ts - maxDelay
-  AND right.ts``). Spark derives a state-eviction horizon from BOTH bounds,
+  event time relative to this side's (``left.ts >= right.ts - maxDelay AND
+  left.ts < right.ts`` — the upper bound is STRICT: a touch at exactly the
+  conversion instant is not a prior touch, matching the oracle and unit
+  test). Spark derives a state-eviction horizon from BOTH bounds,
   so each side's buffered state is O(rows within the interval + watermark
   slack) — never the whole stream.
 - The join key (``user_id``) hashes both streams to the same shuffle

@@ -255,3 +255,37 @@ def test_ensure_folds_pure_appends_incrementally(spark, sf_dir):
     idx.ensure(shrunk)
     assert idx._indexed_rows == shrunk.count()  # full rebuild happened
     idx.invalidate()
+
+
+def test_ensure_update_plus_append_forces_rebuild(spark, sf_dir):
+    # the id-presence + row-count reconciliation alone would classify
+    # "existing vectors rewritten in place AND new ids appended" as a pure
+    # append and serve stale assignments; the overlap content fingerprint
+    # must force the full rebuild instead
+    from educational_vector_database_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter("vec_id < 150")
+    idx = A.IVFIndex(n_cells=4).build(base)
+    cents = [tuple(c) for _, c in idx._centroids]
+
+    mutated = e.filter("vec_id < 180").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (x * F.lit(-1.0)).cast("float")),
+    )
+    idx.ensure(mutated)  # same 150 overlapping ids, 30 appended, content moved
+    assert idx._indexed_rows == mutated.count()
+    assert [tuple(c) for _, c in idx._centroids] != cents  # retrained
+    # and the cached assignment now reflects the mutated vectors
+    got = {
+        (r.vec_id, round(float(r.embedding[0]), 5))
+        for r in idx._assigned.select("vec_id", "embedding")
+        .filter("vec_id < 3").collect()
+    }
+    want = {
+        (r.vec_id, round(float(r.embedding[0]), 5))
+        for r in mutated.select("vec_id", "embedding")
+        .filter("vec_id < 3").collect()
+    }
+    assert got == want
+    idx.invalidate()

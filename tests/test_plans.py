@@ -272,10 +272,12 @@ def test_q17_single_window_broadcast_part(spark):
 
 def test_q18_aggregates_before_join(spark):
     plan = _plan(spark, "tpch_q18_large_orders")
-    # the per-order HAVING reduction must sit BELOW the orders join: the
-    # first aggregate's node id precedes the join's in the detail section
+    # the per-order HAVING reduction must sit BELOW the orders join: in
+    # formatted explain, node ids number leaf-first, so the reducing
+    # aggregate's id must be SMALLER than the first join's
     agg = re.search(r"^\((\d+)\) HashAggregate", plan, re.M)
-    join = re.search(r"^\((\d+)\) (?:Broadcast|SortMerge|ShuffledHash)HashJoin|"
-                     r"^\((\d+)\) SortMergeJoin", plan, re.M)
+    join = re.search(
+        r"^\((\d+)\) (?:BroadcastHash|SortMerge|ShuffledHash)Join", plan, re.M)
     assert agg is not None and join is not None
+    assert int(agg.group(1)) < int(join.group(1))
     assert "CartesianProduct" not in plan

@@ -291,3 +291,25 @@ def test_bigram_logp_rounding_margin():
             worst = min(worst, dist)
     # ulp drift of ln at this magnitude is ~1e-10; require 4 orders margin
     assert worst > 1e-6, worst
+
+
+def test_compact_recovers_from_crash_between_renames(spark, tmp_path):
+    # a crash after `rename(path, path+".old")` but before
+    # `rename(staging, path)` leaves the data only in .old; compact() and
+    # load() must self-heal by renaming it back on entry
+    import os
+
+    from educational_vector_database_spark.sources import store as S
+
+    emb = E._emb(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "store")
+    S.save(emb.repartition(4), path, S.StoreConfig(dim=64, metric="dot"))
+    rows = spark.read.parquet(path).count()
+    os.rename(path, path + ".old")  # simulate the mid-swap crash state
+
+    n_after = S.compact(spark, path, target_files=2)
+    assert n_after == 2
+    back, cfg = S.load(spark, path)
+    assert back.count() == rows
+    assert (cfg.dim, cfg.metric) == (64, "dot")
+    assert not os.path.exists(path + ".old")
