@@ -2093,6 +2093,118 @@ def _ivf_train_step_oracle() -> str:
     FROM m, (SELECT unnest(range({DIM})) AS i) u
     """
 
+IVF_TRAIN_ROUNDS = 4
+
+
+def _ivf_train_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd iteration TO CONVERGENCE as a bounded DataFrame loop — the
+    fully hash-checked index-build parity with the reference's
+    ``HNSWIndex.build`` (src/vectordb/ann.py:67-76 builds the whole index
+    in one call; ``_ivf_train_step`` gated one iteration, this gates the
+    loop). Round 0 is EXACTLY the gated step (deterministic first-K init);
+    each later round re-assigns against the previous round's
+    integer-micro means. Per round the gate records (centroid_id, n,
+    inertia_micro) — cell populations plus the summed micro-rounded
+    squared distance to the assigned centroid — so any divergence in any
+    round's assignment or update breaks the hash; per-round TOTAL inertia
+    decreasing is asserted in pytest (Lloyd's monotonicity).
+
+    Scale: each round is ONE corpus scan (cached across rounds) with a
+    scan-side argmin assignment and one K-row partial-aggregable shuffle
+    (count + 64 scaled-int sums + inertia); only K x 66 longs cross the
+    wire per round, and only K centroids come to the driver (they must —
+    they are inlined as next round's literals, the same O(cells) contract
+    as ivf_assign). Driver-side state is O(K x dim); rounds are a fixed
+    budget, the connected-components localCheckpoint pattern's analog for
+    a collect-per-round loop."""
+    e = _track_persist(_emb(spark, sf_dir).select("vec_id", "embedding"))
+    cents = list(enumerate(_ivf_centroids(spark, sf_dir)))
+    sums = [
+        F.sum(
+            F.floor(F.col("embedding")[i].cast("double") * F.lit(1e6))
+            .cast("long")
+        ).alias(f"s{i}")
+        for i in range(DIM)
+    ]
+    out: list[tuple[int, int, int, int]] = []
+    for rnd in range(IVF_TRAIN_ROUNDS):
+        v = V.as_double("embedding")
+        best = F.array_min(F.array(*[
+            F.struct(
+                V.euclidean_distance(v, V.vector_literal(cv)).alias("d"),
+                F.lit(int(cid)).cast("int").alias("cid"),
+            )
+            for cid, cv in cents
+        ]))
+        g = (
+            e.select(
+                "embedding",
+                best["cid"].alias("centroid_id"),
+                F.floor(best["d"] * best["d"] * F.lit(1e6)).cast("long")
+                .alias("d2_micro"),
+            )
+            .groupBy("centroid_id")
+            .agg(F.count("*").alias("n"),
+                 F.sum("d2_micro").alias("inertia_micro"), *sums)
+        )
+        mean_micro = F.array(*[F.expr(f"s{i} div n") for i in range(DIM)])
+        rows = g.select(
+            "centroid_id", "n", "inertia_micro", mean_micro.alias("mm")
+        ).collect()
+        out.extend(
+            (rnd, int(r.centroid_id), int(r.n), int(r.inertia_micro))
+            for r in rows
+        )
+        cents = sorted(
+            (int(r.centroid_id), [int(x) / 1e6 for x in r.mm]) for r in rows
+        )
+    return spark.createDataFrame(
+        out, "round: int, centroid_id: int, n: bigint, inertia_micro: bigint"
+    )
+
+
+def _ivf_train_converged_oracle() -> str:
+    sums = ", ".join(
+        f"sum(CAST(floor(e.embedding[{i + 1}]::DOUBLE * 1000000.0) AS BIGINT)) AS s{i}"
+        for i in range(DIM)
+    )
+    next_cv = ", ".join(f"s{i} // n / 1000000.0" for i in range(DIM))
+    ctes = [f"""
+    c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < {N_IVF_CELLS})"""]
+    for r in range(IVF_TRAIN_ROUNDS):
+        ctes.append(f"""
+    d{r} AS (
+        SELECT e.vec_id, c.cid,
+               list_distance(e.embedding::DOUBLE[], c.cv) AS dist,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC,
+                            c.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN c{r} c
+    ),
+    a{r} AS (SELECT vec_id, CAST(cid AS INT) AS centroid_id, dist
+             FROM d{r} WHERE rn = 1),
+    g{r} AS (
+        SELECT a.centroid_id, count(*) AS n,
+               CAST(sum(CAST(floor(a.dist * a.dist * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS inertia_micro, {sums}
+        FROM embeddings e JOIN a{r} a USING (vec_id)
+        GROUP BY a.centroid_id
+    )""")
+        if r + 1 < IVF_TRAIN_ROUNDS:
+            ctes.append(f"""
+    c{r + 1} AS (SELECT centroid_id AS cid, [{next_cv}]::DOUBLE[] AS cv
+                 FROM g{r})""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, centroid_id, CAST(n AS BIGINT) AS n, "
+        f"inertia_micro FROM g{r}"
+        for r in range(IVF_TRAIN_ROUNDS)
+    )
+    return "WITH " + ",".join(ctes) + "\n    " + unions
+
+
 _KNN_IVF_ORACLE = f"""
     WITH {_IVF_ASSIGN_CTE},
     q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {IVF_QUERY_ID}),
@@ -4973,6 +5085,49 @@ _KNN_IVF_INCREMENTAL_ORACLE = f"""
 """
 
 
+def _knn_ivf_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell split/rebalance, end-to-end (≙ reference ann.py:78-91
+    ``resize_index`` — grow capacity in place so inserts never force a
+    rebuild; operators/ann.py IVFIndex.rebalance is the cached-index
+    form): build on the even ids, fold the odd ids in via add_items
+    (centroids FROZEN — the realistic path that creates hot cells), then
+    rebalance to a ceil(n/6) bound by splitting oversized cells in place
+    (k=2 seeded retrain INSIDE each hot cell only; untouched cells keep
+    their assignments). The gate checks two things: (a) an exhaustive
+    probe over the finer post-split cells still equals exact brute-force
+    top-k — splitting moves no row out of the index — and (b)
+    ``cells_bounded``, computed from the actual post-rebalance census, is
+    TRUE. Centroid coordinates themselves stay out of the hash (MLlib
+    KMeans floats are not cross-engine reproducible); the invariants are."""
+    import math
+
+    e = _emb(spark, sf_dir)
+    n = e.count()
+    idx = A.IVFIndex(n_cells=2).build(e.filter(F.col("vec_id") % 2 == 0))
+    idx.add_items(e.filter(F.col("vec_id") % 2 == 1))
+    bound = math.ceil(n / 6)
+    idx.rebalance(bound)
+    sizes = idx.cell_sizes()
+    _LIVE_PERSISTS.append(idx._assigned)
+    qv = _query_vector(spark, sf_dir, vec_id=INC_QUERY_ID)
+    res = idx.query(e, qv, k=TOP_K, nprobe=len(idx._centroids))
+    return res.withColumn(
+        "cells_bounded", F.lit(bool(max(sizes.values()) <= bound))
+    )
+
+
+_KNN_IVF_REBALANCED_ORACLE = f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = {INC_QUERY_ID})
+    SELECT e.vec_id AS vec_id,
+           {_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS score,
+           TRUE AS cells_bounded
+    FROM embeddings e CROSS JOIN q
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+"""
+
+
 def _neardup_brp_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN distance→similarity (≙ reference api.py:81-91, the euclidean
     branch 1/(1+d); operators/ann.py ann_distance_to_similarity is the
@@ -5734,6 +5889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_quantiles_approx": _docs_length_quantiles_approx,
         "knn_rp_recall": _knn_rp_recall,
         "ivf_train_step": _ivf_train_step,
+        "ivf_train_converged": _ivf_train_converged,
         "tpch_q5_local_volume": _tpch_q5_local_volume,
         "events_anomaly_zscore": _events_anomaly_zscore,
         "events_purchasers_semi": _events_purchasers_semi,
@@ -5792,6 +5948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_attribution": _stream_events_attribution,
         "store_roundtrip_csv": _store_roundtrip_csv,
         "knn_ivf_incremental": _knn_ivf_incremental,
+        "knn_ivf_rebalanced": _knn_ivf_rebalanced,
         "neardup_brp_similarity": _neardup_brp_similarity,
         "tpch_q14_promo": _tpch_q14_promo,
         "events_markov_transitions": _events_markov_transitions,
@@ -6043,6 +6200,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_random_projection": _rp_oracle(),
         "knn_rp_recall": _rp_recall_oracle(),
         "ivf_train_step": _ivf_train_step_oracle(),
+        "ivf_train_converged": _ivf_train_converged_oracle(),
         "tpch_q5_local_volume": _Q5_ORACLE,
         "events_anomaly_zscore": _EVENTS_ANOMALY_ORACLE,
         "events_purchasers_semi": _EVENTS_SEMI_ORACLE,
@@ -6068,6 +6226,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_events_attribution": _STREAM_ATTRIBUTION_ORACLE,
         "store_roundtrip_csv": _CSV_ROUNDTRIP_ORACLE,
         "knn_ivf_incremental": _KNN_IVF_INCREMENTAL_ORACLE,
+        "knn_ivf_rebalanced": _KNN_IVF_REBALANCED_ORACLE,
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

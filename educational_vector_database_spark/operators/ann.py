@@ -285,6 +285,144 @@ class IVFIndex:
                 return self.add_items(delta)
         return self.build(df)
 
+    def cell_sizes(self) -> dict[int, int]:
+        """Per-cell row counts — one small groupBy over the cached
+        assignment (O(cells) rows to the driver)."""
+        rows = self._assigned.groupBy("centroid_id").count().collect()
+        return {int(r["centroid_id"]): int(r["count"]) for r in rows}
+
+    def rebalance(self, max_cell_size: int, max_rounds: int = 8,
+                  lloyd_steps: int = 2) -> "IVFIndex":
+        """IVF cell maintenance — the batch analog of the reference's HNSW
+        ``resize_index`` (src/vectordb/ann.py:78-91 grows the graph's
+        capacity in place so inserts never force a rebuild): repeated
+        :meth:`add_items` freezes centroids, so a hot region's cell grows
+        without bound and every probe touching it degenerates toward a
+        full scan. Instead of the all-or-nothing full retrain, split each
+        oversized cell IN PLACE: train k=2 centroids inside the cell
+        (seeded KMeans over only that cell's rows), reassign only those
+        rows (one keeps the old cell id, one gets a fresh id), and leave
+        every other cell's assignment untouched. Repeats until every cell
+        fits the bound, a round makes no progress (a cell of identical
+        vectors cannot split), or ``max_rounds``.
+
+        Scale: ALL oversized cells split together in the SAME jobs — per
+        round, one O(cells) size census, one window pass that picks
+        ``k_c = ceil(size_c / max_cell_size)`` deterministic seed rows per
+        hot cell (the k_c lowest salted ``xxhash64(id)`` — a k-way split,
+        so one round normally suffices instead of log2 binary-split
+        rounds), ``lloyd_steps`` scan-side assign + keyed-aggregate
+        passes over only the hot cells' cached rows, and one final
+        reassignment — a handful of jobs per round regardless of how many
+        cells are hot, O(rows in oversized cells), never a full-corpus
+        retrain and never a driver-side per-cell loop. Per-cell split
+        centroids ride along as inline literals keyed by a CASE on the
+        cell id, the same O(cells) small-table contract as
+        :func:`ivf_assign`. Query semantics are unchanged: the cell
+        partition just gets finer where it was hot, and an exhaustive
+        probe still equals exact kNN."""
+        if self._assigned is None or self._centroids is None:
+            raise ValueError("rebalance() requires a built index")
+        from pyspark.sql import Window
+
+        vc = self.vector_col
+
+        def _side_expr(seed_map: dict[int, list[list[float]]]):
+            """side = argmin distance to THIS row's cell's split seeds
+            (ties -> lowest side, Spark's lexicographic struct min), as a
+            pure Column CASE over the cell id."""
+            v = V.as_double(vc)
+            expr = F.lit(0)
+            for cid, seeds in seed_map.items():
+                best = F.array_min(F.array(*[
+                    F.struct(
+                        V.euclidean_distance(v, V.vector_literal(sv))
+                        .alias("d"),
+                        F.lit(j).cast("int").alias("j"),
+                    )
+                    for j, sv in enumerate(seeds)
+                ]))["j"]
+                expr = F.when(F.col("centroid_id") == int(cid), best)\
+                    .otherwise(expr)
+            return expr
+
+        sizes = self.cell_sizes()
+        for rnd in range(max_rounds):
+            oversized = sorted(
+                int(cid) for cid, s in sizes.items() if s > max_cell_size)
+            if not oversized:
+                break
+            k_of = {
+                cid: max(2, -(-sizes[cid] // max_cell_size))
+                for cid in oversized
+            }
+            cold = self._assigned.filter(
+                ~F.col("centroid_id").isin(oversized))
+            hot = self._assigned.filter(F.col("centroid_id").isin(oversized))
+            # k_c deterministic seed rows per hot cell in one window pass;
+            # the hash is salted by the round so a degenerate draw (cells
+            # of near-identical vectors) gets a different one next time
+            k_expr = F.lit(2)
+            for cid, k in k_of.items():
+                k_expr = F.when(F.col("centroid_id") == int(cid),
+                                F.lit(int(k))).otherwise(k_expr)
+            w = Window.partitionBy("centroid_id").orderBy("_h")
+            seed_rows = (
+                hot.withColumn(
+                    "_h", F.xxhash64(F.col(self.id_col), F.lit(rnd)))
+                .withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= k_expr)
+                .select("centroid_id", "_r", vc)
+                .collect()
+            )
+            seed_map: dict[int, list[list[float]]] = {}
+            for r in sorted(seed_rows, key=lambda r: (r["centroid_id"],
+                                                      r["_r"])):
+                seed_map.setdefault(int(r["centroid_id"]), []).append(
+                    [float(x) for x in r[vc]])
+            dim = len(next(iter(seed_map.values()))[0])
+            for _ in range(lloyd_steps):
+                # one scan-side assign + one keyed aggregate over hot rows
+                # refines EVERY hot cell's seed set simultaneously
+                means = (
+                    hot.withColumn("_side", _side_expr(seed_map))
+                    .groupBy("centroid_id", "_side")
+                    .agg(F.array(*[
+                        F.avg(V.as_double(vc)[i]) for i in range(dim)
+                    ]).alias("_mean"))
+                    .collect()
+                )
+                for r in means:
+                    cid, side = int(r["centroid_id"]), int(r["_side"])
+                    seed_map[cid][side] = [float(x) for x in r["_mean"]]
+            cents = dict(self._centroids)
+            next_id = max(cents) + 1
+            remap = F.col("centroid_id")
+            for cid in oversized:
+                cents[cid] = seed_map[cid][0]
+                for j in range(1, len(seed_map[cid])):
+                    cents[next_id] = seed_map[cid][j]
+                    remap = F.when(
+                        (F.col("centroid_id") == int(cid))
+                        & (F.col("_side") == j),
+                        F.lit(int(next_id)),
+                    ).otherwise(remap)
+                    next_id += 1
+            split = (
+                hot.withColumn("_side", _side_expr(seed_map))
+                .withColumn("centroid_id", remap.cast("int"))
+                .drop("_side")
+            )
+            merged = cold.unionByName(split).persist()
+            self._assigned.unpersist()
+            self._assigned = merged
+            self._centroids = sorted(cents.items())
+            after = self.cell_sizes()  # materializes the new cache too
+            if after == sizes:  # identical-vector cell: cannot split
+                break
+            sizes = after
+        return self
+
     # -- read path ------------------------------------------------------------
 
     def _probe_cells(self, query_vector: Sequence[float], nprobe: int) -> list[int]:

@@ -289,3 +289,56 @@ def test_ensure_update_plus_append_forces_rebuild(spark, sf_dir):
     }
     assert got == want
     idx.invalidate()
+
+
+def test_rebalance_bounds_cells_and_preserves_results(spark, sf_dir):
+    # the batch analog of HNSW resize_index (reference ann.py:78-91):
+    # after add_items freezes centroids, splitting hot cells in place must
+    # (a) bound every cell, (b) keep the index content identical — an
+    # exhaustive probe equals exact brute force both before and after
+    import math
+
+    from educational_vector_database_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    idx = A.IVFIndex(n_cells=2).build(e.filter("vec_id % 2 = 0"))
+    idx.add_items(e.filter("vec_id % 2 = 1"))
+    bound = math.ceil(n / 6)
+    n_cells_before = len(idx._centroids)
+    idx.rebalance(bound)
+    sizes = idx.cell_sizes()
+    assert max(sizes.values()) <= bound
+    assert len(idx._centroids) > n_cells_before
+    assert sum(sizes.values()) == n  # no row lost or duplicated
+    qv = [float(i % 7 - 3) for i in range(64)]
+    got = [(r.vec_id, r.score) for r in
+           idx.query(e, qv, k=10, nprobe=len(idx._centroids)).collect()]
+    exact = [(r.vec_id, r.score) for r in K.knn(e, qv, k=10).collect()]
+    assert got == exact
+    # idempotent under the same bound: nothing oversized -> no-op
+    cells_after = len(idx._centroids)
+    idx.rebalance(bound)
+    assert len(idx._centroids) == cells_after
+    idx.invalidate()
+
+
+def test_rebalance_requires_built_index():
+    with pytest.raises(ValueError):
+        A.IVFIndex(n_cells=2).rebalance(10)
+
+
+def test_ivf_train_converged_inertia_monotone(spark, sf_dir):
+    # Lloyd's guarantee: total within-cluster inertia is non-increasing
+    # round over round (and strictly decreasing away from the fixed point)
+    import __spark_entry__ as E
+
+    rows = E._ivf_train_converged(spark, sf_dir).collect()
+    by_round = {}
+    for r in rows:
+        by_round[r["round"]] = by_round.get(r["round"], 0) + r.inertia_micro
+    rounds = sorted(by_round)
+    assert rounds == list(range(E.IVF_TRAIN_ROUNDS))
+    totals = [by_round[r] for r in rounds]
+    assert all(a >= b for a, b in zip(totals, totals[1:]))
+    assert totals[0] > totals[-1]  # it actually moved
