@@ -5827,9 +5827,19 @@ def _releasing(fn: Callable[[SparkSession, str], DataFrame]):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         # --- the driver's correctness gate checks the FIRST 50 entries ---
-        # ordered so the operators that define this engine's pitch (dedup,
-        # ANN+recall evals, text analysis, storage layouts, streaming, the
-        # TPC-H plan showcases) all sit inside the gated window.
+        # WINDOW ROTATION POLICY (reviewed each round):
+        #   1. Every SURVEY.md §2 row whose correctness citation names a
+        #      query keeps that query inside the first 50 — §2 rows are
+        #      never demoted to the local-only check.
+        #   2. Operators added THIS round rotate into the window so the
+        #      driver (not just tools/check_oracle.py) hash-checks them at
+        #      least once.
+        #   3. What rotates out to make room: breadth/showcase queries
+        #      (TPC-H plan demos, format variants) that no §2 row cites —
+        #      they stay oracle-declared and check_oracle-covered.
+        # Round-5 review: rotated IN ivf_train_converged (N2 build parity)
+        # and knn_ivf_rebalanced (N3 resize analog); rotated OUT
+        # tpch_q9_profit and top_customers_per_nation (showcases, uncited).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -5873,15 +5883,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": _doc_repetition_stats,
         "lineitem_q6_forecast": _lineitem_q6_forecast,
         "tpch_q3_shipping": _tpch_q3_shipping,
-        "tpch_q9_profit": _tpch_q9_profit,
-        "top_customers_per_nation": _top_customers_per_nation,
         "embeddings_random_projection": _embeddings_random_projection,
         "stream_events_tumbling": _stream_events_tumbling,
         "stream_events_sessionize": _stream_events_sessionize,
         "stream_events_dedup": _stream_events_dedup,
         "events_quality_audit": _events_quality_audit,
+        "ivf_train_converged": _ivf_train_converged,
+        "knn_ivf_rebalanced": _knn_ivf_rebalanced,
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
+        "tpch_q9_profit": _tpch_q9_profit,
+        "top_customers_per_nation": _top_customers_per_nation,
         "media_stats": _media_stats,
         "docs_vocab_topk": _docs_vocab_topk,
         "customers_without_orders": _customers_without_orders,
@@ -5889,7 +5901,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_quantiles_approx": _docs_length_quantiles_approx,
         "knn_rp_recall": _knn_rp_recall,
         "ivf_train_step": _ivf_train_step,
-        "ivf_train_converged": _ivf_train_converged,
         "tpch_q5_local_volume": _tpch_q5_local_volume,
         "events_anomaly_zscore": _events_anomaly_zscore,
         "events_purchasers_semi": _events_purchasers_semi,
@@ -5948,7 +5959,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_attribution": _stream_events_attribution,
         "store_roundtrip_csv": _store_roundtrip_csv,
         "knn_ivf_incremental": _knn_ivf_incremental,
-        "knn_ivf_rebalanced": _knn_ivf_rebalanced,
         "neardup_brp_similarity": _neardup_brp_similarity,
         "tpch_q14_promo": _tpch_q14_promo,
         "events_markov_transitions": _events_markov_transitions,

@@ -270,8 +270,10 @@ def minhash_near_dup(
     array is ~k× the text bytes, so the persist, the bucket shuffle feed and
     both verify joins move ~5× less data, and the interpreted char_shingles
     expression disappears from the hot path (re-slicing in the kernel is
-    cheaper than one Arrow transfer of the arrays). ``max_posting`` drops
-    degenerate buckets bigger than the cap (quadratic cost, no signal)."""
+    cheaper than one Arrow transfer of the arrays). Buckets bigger than
+    ``max_posting`` degrade from all-pairs to min-id STAR candidates —
+    O(bucket) instead of O(bucket²) — so a giant dup cluster stays
+    connected through its representative instead of being dropped."""
     n_bands = num_hashes // rows_per_band
     norm = _spread(
         df.select(F.col(id_col).alias("id"), T.normalized_text(text_col).alias("t"))
@@ -310,20 +312,39 @@ def minhash_near_dup(
     buckets = (
         bands.groupBy("band_idx", "band_key")
         .agg(F.collect_list("id").alias("ids"))
-        # singleton buckets yield no pairs; over-cap buckets are stop-shingle
-        # sludge (quadratic cost, no dedup signal)
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_posting))
+        # singleton buckets yield no pairs
+        .filter(F.size("ids") >= 2)
     )
-    # all ordered pairs within a bucket: sort member ids, pair each with its
-    # successors (id_a < id_b by construction)
+    # in-cap buckets: all ordered pairs (sort member ids, pair each with its
+    # successors — id_a < id_b by construction). Over-cap buckets — a GIANT
+    # dup cluster (10k copies of a boilerplate page) or stop-shingle sludge
+    # — would cost O(cap²) per bucket with no extra connectivity, so they
+    # degrade to STAR candidates instead: the bucket's MIN id paired with
+    # every other member, O(bucket) pairs. The exact-Jaccard verify still
+    # applies per pair, and connected components restores the full cluster
+    # through the representative. (Near-dup similarity is not transitive,
+    # so a star member whose direct similarity to the representative falls
+    # below threshold is dropped where an all-pairs bucket might have kept
+    # it via another member — the standard recall trade at this corpus
+    # pathology; buckets under the cap are unaffected.)
     pair_struct = T._bind(
         F.array_sort("ids"),
-        lambda ids: F.flatten(
+        lambda ids: F.when(
+            F.size(ids) <= max_posting,
+            F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            ),
+        ).otherwise(
             F.transform(
-                ids,
-                lambda x, i: F.transform(
-                    F.slice(ids, i + 2, F.size(ids)),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                F.slice(ids, 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.element_at(ids, 1).alias("id_a"), y.alias("id_b")
                 ),
             )
         ),
@@ -693,7 +714,11 @@ def simhash_near_dup(
 # ---------------------------------------------------------------------------
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    contract_above: int = 200_000,
 ) -> DataFrame:
     """Undirected edges -> ``(id, cluster_id)`` where cluster_id is the MIN id
     reachable from ``id`` (the canonical survivor of a dedup cluster).
@@ -705,13 +730,28 @@ def connected_components(
     8-byte id, and the edge list is the small near-dup output, not the
     corpus. The per-round ``localCheckpoint`` truncates the lineage so the
     plan stays flat across iterations (the classic iterative-algorithm
-    requirement on Spark)."""
+    requirement on Spark).
+
+    Large-cluster contraction (the adversarial-input guard): an edge list
+    above ``contract_above`` rows is CONTRACTED after each round — both
+    endpoints rewritten to their current labels, self-loops dropped,
+    re-deduplicated — so a giant dup cluster's edges collapse onto its
+    min-label star after the first round instead of being re-joined at
+    full size every round (per-round work then tracks the SHRINKING
+    contracted graph, not the original pair count). Contraction leaves
+    non-representative nodes holding stale interior labels, so a
+    pointer-jumping resolution pass (label := label's label, doubling the
+    compressed depth per round) follows the main loop; with contraction
+    off it converges in zero rounds. This is the large-star/small-star
+    family's trade: 2 extra joins per hot round, bounded total work."""
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
         .localCheckpoint()
     )
+    n_edges = edges.count() if contract_above is not None else None
+    did_contract = False
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
@@ -735,6 +775,49 @@ def connected_components(
                 "id",
                 lowered.alias("cluster_id"),
                 (lowered < F.col("cluster_id")).cast("int").alias("__chg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = new_labels.agg(F.max("__chg")).head()[0]
+        labels = new_labels.drop("__chg")
+        if not changed:
+            break
+        if n_edges is not None and n_edges > contract_above:
+            und = (
+                edges.join(
+                    labels.select(F.col("id").alias("a"),
+                                  F.col("cluster_id").alias("la")), "a")
+                .join(
+                    labels.select(F.col("id").alias("b"),
+                                  F.col("cluster_id").alias("lb")), "b")
+                .select(F.least("la", "lb").alias("a"),
+                        F.greatest("la", "lb").alias("b"))
+                .filter(F.col("a") < F.col("b"))
+                .distinct()
+            )
+            edges = (
+                und.union(und.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
+                .localCheckpoint()
+            )
+            n_edges = edges.count()
+            did_contract = True
+    # pointer jumping: contraction can leave a dropped node pointing at an
+    # interior node whose own label kept falling; chase cluster_id through
+    # labels until fixpoint (depth halves each round — O(log chain)).
+    # Without contraction the propagation fixpoint is already
+    # chase-stable, so the pass is skipped entirely.
+    for _ in range(max_iter if did_contract else 0):
+        parent = labels.select(F.col("id").alias("pid"),
+                               F.col("cluster_id").alias("pl"))
+        resolved_label = F.coalesce("pl", "cluster_id")
+        new_labels = (
+            labels.join(parent, labels.cluster_id == parent.pid, "left")
+            .select(
+                "id",
+                resolved_label.alias("cluster_id"),
+                (resolved_label < F.col("cluster_id")).cast("int")
+                .alias("__chg"),
             )
             .localCheckpoint(eager=False)
         )

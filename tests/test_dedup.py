@@ -244,3 +244,49 @@ def test_embedding_near_dup_bucketed_finds_near_identical(spark):
     got = {(r.id_a, r.id_b) for r in
            D.embedding_near_dup_bucketed(df, planes, threshold=0.999).collect()}
     assert got == {(2 * i, 2 * i + 1) for i in range(20)}
+
+
+def test_connected_components_contraction_matches_plain(spark):
+    # long chain (worst case for label depth: contraction leaves dropped
+    # nodes pointing at interior labels, exercising the pointer-jumping
+    # resolution) + a star + islands; contract_above=0 forces contraction
+    # after every round
+    import random
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(100, 140)]
+    star = [(200, x) for x in range(201, 231)]
+    extra = [(rng.randrange(300, 330), rng.randrange(300, 330))
+             for _ in range(40)]
+    edges = [(a, b) for a, b in chain + star + extra if a != b]
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    plain = {r.id: r.cluster_id
+             for r in D.connected_components(
+                 pairs, contract_above=None).collect()}
+    contracted = {r.id: r.cluster_id
+                  for r in D.connected_components(
+                      pairs, contract_above=0).collect()}
+    assert contracted == plain
+    assert plain[139] == 100 and plain[230] == 200  # sanity on shapes
+
+
+def test_minhash_star_candidates_for_overcap_buckets(spark):
+    # 30 exact copies with max_posting=10: the shared buckets exceed the
+    # cap, so candidates degrade to the min-id star — the cluster must
+    # still resolve to ONE component instead of being dropped
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again")
+         for i in range(30)]
+        + [(100 + i, f"unrelated text number {i} with its own words {i}")
+           for i in range(3)],
+        "doc_id: long, text: string",
+    )
+    pairs = D.minhash_near_dup(docs, max_posting=10)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # star from the representative covers the whole copy cluster
+    assert {(0, i) for i in range(1, 30)} <= got
+    clusters = {r.id: r.cluster_id
+                for r in D.dedup_clusters(docs, pairs).collect()}
+    assert all(clusters[i] == 0 for i in range(30))
+    assert all(clusters[100 + i] == 100 + i or clusters[100 + i] < 103
+               for i in range(3))
