@@ -343,6 +343,15 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_dup(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The giant-cluster guard under gate: max_posting=6 binds on real
+    sf0.01 buckets (sizes up to 14), so over-cap buckets take the min-id
+    STAR candidate path while the rest stay all-pairs — both branches of
+    the round-5 hot-cluster degradation are hash-checked, not just
+    pytest-covered."""
+    return D.minhash_near_dup(_docs(spark, sf_dir), threshold=0.5, max_posting=6)
+
+
 def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
@@ -403,10 +412,17 @@ _DEDUP_EXACT_ORACLE = """
     FROM fpv GROUP BY fp
 """
 
-def _minhash_oracle(num_hashes: int = 64, rows_per_band: int = 4) -> str:
+def _minhash_oracle(
+    num_hashes: int = 64,
+    rows_per_band: int = 4,
+    max_posting: int | None = None,
+) -> str:
     """Replicates minhash_near_dup: one md5 -> 30-bit base hash per shingle,
     universal-hash signature (same (a_i,b_i) constants), banded LSH,
-    exact-Jaccard verify. All int64 arithmetic — bit-identical to Spark."""
+    exact-Jaccard verify. All int64 arithmetic — bit-identical to Spark.
+    With ``max_posting`` set, buckets over the cap contribute min-id STAR
+    candidates (representative paired with every other member) instead of
+    all pairs — the round-5 giant-cluster guard's exact semantics."""
     params = D.minhash_params(num_hashes)
     n_bands = num_hashes // rows_per_band
     mins = ", ".join(
@@ -436,11 +452,27 @@ def _minhash_oracle(num_hashes: int = 64, rows_per_band: int = 4) -> str:
         SELECT id, CAST(b AS INT) AS band_idx, {band_key} AS band_key
         FROM sig, unnest(range(0, {n_bands})) AS t(b)
     ),
+    {'''cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+    )''' if max_posting is None else f'''sized AS (
+        SELECT band_idx, band_key, count(*) AS n, min(id) AS min_id
+        FROM bands GROUP BY band_idx, band_key HAVING count(*) >= 2
+    ),
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
-    )
+        JOIN sized s
+          ON s.band_idx = a.band_idx AND s.band_key = a.band_key
+        WHERE s.n <= {max_posting}
+        UNION
+        SELECT DISTINCT s.min_id AS id_a, b.id AS id_b
+        FROM sized s JOIN bands b
+          ON s.band_idx = b.band_idx AND s.band_key = b.band_key
+        WHERE s.n > {max_posting} AND b.id > s.min_id
+    )'''}
     SELECT c.id_a, c.id_b,
            CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
            CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
@@ -5837,9 +5869,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   3. What rotates out to make room: breadth/showcase queries
         #      (TPC-H plan demos, format variants) that no §2 row cites —
         #      they stay oracle-declared and check_oracle-covered.
-        # Round-5 review: rotated IN ivf_train_converged (N2 build parity)
-        # and knn_ivf_rebalanced (N3 resize analog); rotated OUT
-        # tpch_q9_profit and top_customers_per_nation (showcases, uncited).
+        # Round-5 review: rotated IN ivf_train_converged (N2 build parity),
+        # knn_ivf_rebalanced (N3 resize analog) and dedup_minhash_capped
+        # (hot-cluster star degradation); rotated OUT tpch_q9_profit,
+        # tpch_q3_shipping and top_customers_per_nation (showcases, uncited).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -5859,6 +5892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_colocated_join": _bucketed_colocated_join,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
+        "dedup_minhash_capped": _dedup_minhash_capped,
         "dedup_minhash_recall": _dedup_minhash_recall,
         "dedup_ngram": _dedup_ngram,
         "dedup_simhash": _dedup_simhash,
@@ -5882,7 +5916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stats_by_lang": _docs_stats_by_lang,
         "doc_repetition_stats": _doc_repetition_stats,
         "lineitem_q6_forecast": _lineitem_q6_forecast,
-        "tpch_q3_shipping": _tpch_q3_shipping,
         "embeddings_random_projection": _embeddings_random_projection,
         "stream_events_tumbling": _stream_events_tumbling,
         "stream_events_sessionize": _stream_events_sessionize,
@@ -5893,6 +5926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
         "tpch_q9_profit": _tpch_q9_profit,
+        "tpch_q3_shipping": _tpch_q3_shipping,
         "top_customers_per_nation": _top_customers_per_nation,
         "media_stats": _media_stats,
         "docs_vocab_topk": _docs_vocab_topk,
@@ -6049,6 +6083,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash": _MINHASH_ORACLE,
+        "dedup_minhash_capped": _minhash_oracle(max_posting=6),
         "dedup_ngram": _NGRAM_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
         "neardup_embedding": _NEARDUP_EMB_ORACLE,

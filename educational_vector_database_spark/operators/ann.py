@@ -23,10 +23,12 @@ test_v3_features.py:29-46).
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Sequence
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
@@ -189,7 +191,19 @@ class IVFIndex:
     def build(self, df: DataFrame) -> "IVFIndex":
         """(Re)build: train centroids, assign cells, persist the assignment.
         The count() both materializes the cache and records the indexed size
-        used by the staleness check."""
+        used by the staleness check.
+
+        The assignment is RANGE-partitioned and sorted on ``centroid_id``
+        before the persist: each in-memory columnar batch then covers a
+        narrow centroid_id range, so a probe's ``centroid_id IN (...)``
+        filter skips whole cached batches via the batch min/max stats
+        (InMemoryTableScan partition-batch pruning, on by default). Without
+        the clustering, a probe still READ all 200k cached rows and only
+        saved the scoring — measured slower than brute force at sf10; with
+        it, a 1-cell probe touches ~1/n_cells of the cache. One extra
+        shuffle at build time buys scan-proportionality at query time —
+        the same layout decision as writing a table partitioned by its
+        filter column."""
         self.invalidate()
         cents_df = train_ivf_centroids(
             df, self.n_cells, vector_col=self.vector_col, seed=self.seed
@@ -198,7 +212,12 @@ class IVFIndex:
             (int(r.centroid_id), [float(x) for x in r.centroid])
             for r in cents_df.collect()
         ]
-        assigned = ivf_assign(df, cents_df, vector_col=self.vector_col).persist()
+        assigned = (
+            ivf_assign(df, cents_df, vector_col=self.vector_col)
+            .repartitionByRange(max(self.n_cells // 2, 1), "centroid_id")
+            .sortWithinPartitions("centroid_id")
+            .persist()
+        )
         self._indexed_rows = assigned.count()
         self._assigned = assigned
         return self
@@ -446,10 +465,21 @@ class IVFIndex:
         query_vector: Sequence[float],
         k: int = 5,
         nprobe: int = 1,
+        assume_fresh: bool = False,
     ) -> DataFrame:
         """Approximate kNN: exact search restricted to the nprobe nearest
-        cells of the cached assignment. Lazily rebuilds first if stale."""
-        self.ensure(df)
+        cells of the cached assignment. Lazily rebuilds first if stale.
+
+        ``assume_fresh=True`` skips the per-query staleness check when the
+        index is already built. The reference's check is an O(1) in-memory
+        size compare per access (api.py:42-62); the Spark analog
+        (``ensure``'s corpus ``count()``) is a whole extra JOB per query —
+        measured ~15% of sf10 serving p50 — so a serving loop that owns
+        the freshness contract (build/ensure once, then a read-only query
+        burst, the reference's own deployment shape) opts out per query.
+        Ignored (the check still runs) when no index exists yet."""
+        if not assume_fresh or self._assigned is None:
+            self.ensure(df)
         probe = self._probe_cells(query_vector, nprobe)
         return K.knn(
             self._assigned.filter(F.col("centroid_id").isin(probe)),
@@ -459,6 +489,69 @@ class IVFIndex:
             vector_col=self.vector_col,
             id_col=self.id_col,
         )
+
+    # -- disk layout: the 100 TB serving path --------------------------------
+
+    SIDECAR = "_ivf_index.json"
+
+    def save(self, path: str) -> "IVFIndex":
+        """Persist the index as a parquet table ``partitionBy(centroid_id)``
+        plus a JSON sidecar holding the centroids (O(cells), driver-side
+        state — same sidecar convention as sources/store.py).
+
+        This is the layout the cached path only approximates: with the cell
+        id a PARTITION COLUMN, a probe's ``centroid_id IN (...)`` prunes at
+        the file listing — Spark schedules tasks only for the probed cells'
+        files, so per-query cost is O(corpus/n_cells) tasks AND bytes, not
+        a filter evaluated over every cached batch. At 100 TB the cache
+        doesn't fit anyway; the partitioned table is the index. The
+        range-partitioned write keeps ~1 file per cell (no small-files
+        explosion across cells)."""
+        if self._assigned is None or self._centroids is None:
+            raise ValueError("index not built; call build()/ensure() first")
+        (
+            self._assigned.repartitionByRange(
+                max(self.n_cells // 2, 1), "centroid_id"
+            )
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(path)
+        )
+        sidecar = {
+            "n_cells": self.n_cells,
+            "metric": self.metric,
+            "vector_col": self.vector_col,
+            "id_col": self.id_col,
+            "seed": self.seed,
+            "indexed_rows": self._indexed_rows,
+            "centroids": [[cid, vec] for cid, vec in self._centroids],
+        }
+        with open(os.path.join(path, self.SIDECAR), "w", encoding="utf-8") as f:
+            json.dump(sidecar, f)
+        return self
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        """Open a saved index WITHOUT caching: ``_assigned`` is the
+        partitioned parquet table itself, so ``query()`` plans a
+        partition-pruned scan of the probed cells only. ``ensure()``
+        semantics carry over unchanged (a drifted corpus forces an
+        in-memory rebuild)."""
+        with open(os.path.join(path, cls.SIDECAR), encoding="utf-8") as f:
+            meta = json.load(f)
+        idx = cls(
+            n_cells=int(meta["n_cells"]),
+            metric=meta["metric"],
+            vector_col=meta["vector_col"],
+            id_col=meta["id_col"],
+            seed=int(meta["seed"]),
+        )
+        idx._centroids = [
+            (int(cid), [float(x) for x in vec]) for cid, vec in meta["centroids"]
+        ]
+        idx._indexed_rows = int(meta["indexed_rows"])
+        idx._assigned = spark.read.parquet(path)
+        return idx
 
 
 def ann_distance_to_similarity(dist: Column, metric: str = "euclidean") -> Column:

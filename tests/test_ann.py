@@ -342,3 +342,30 @@ def test_ivf_train_converged_inertia_monotone(spark, sf_dir):
     totals = [by_round[r] for r in rounds]
     assert all(a >= b for a, b in zip(totals, totals[1:]))
     assert totals[0] > totals[-1]  # it actually moved
+
+
+def test_ivf_index_save_load_partition_pruned(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    qv = _qv(spark, sf_dir, 7)
+    idx = A.IVFIndex(n_cells=4).build(emb)
+    want = [(r.vec_id, r.score) for r in idx.query(emb, qv, k=5, nprobe=2).collect()]
+    path = str(tmp_path / "ivf_idx")
+    idx.save(path)
+    idx.invalidate()
+
+    loaded = A.IVFIndex.load(spark, path)
+    assert loaded.n_cells == 4 and loaded._indexed_rows == emb.count()
+    plan_df = loaded.query(emb, qv, k=5, nprobe=2, assume_fresh=True)
+    got = [(r.vec_id, r.score) for r in plan_df.collect()]
+    assert got == want
+
+    # the probe must reach the scan as PartitionFilters on the partition
+    # column, not a post-scan Filter over all cells
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+
+    # staleness contract survives the roundtrip: a grown corpus rebuilds
+    grown = emb.unionByName(emb.limit(3).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)))
+    assert loaded.is_stale(grown)
