@@ -13,6 +13,7 @@ index_documents; POST /rag/answer -> answer.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -209,6 +210,17 @@ class VectorDB:
     # -- persistence (reference api.py:174-205) ------------------------------
 
     def save(self, path: str, mode: str = "overwrite") -> None:
+        """Reference contract (api.py:174-189): the store + the use_ann FLAG
+        persist; the reference drops the index itself and lazily rebuilds on
+        first search after load. Going one better where it costs nothing: a
+        BUILT IVF index also persists, as a cell-partitioned parquet table
+        under ``<path>/_ivf_index`` — the underscore prefix makes Spark's
+        parquet reader skip the subdir, so the store stays readable as a
+        plain table; a reloaded DB then skips the first-search rebuild
+        (staleness is still re-checked there, so a store whose rows changed
+        after the index was saved rebuilds exactly as the reference would).
+        ``store.compact()`` rewrites the table directory without the index
+        subdir — the next search falls back to the lazy rebuild."""
         with self._dim_errors():
             storemod.save(
                 self._df, path,
@@ -219,16 +231,26 @@ class VectorDB:
                 ),
                 mode=mode,
             )
+            if self._ivf is not None and self._ivf._assigned is not None:
+                self._ivf.save(os.path.join(path, "_ivf_index"))
 
     @classmethod
     def load(
         cls, spark: SparkSession, path: str, embeddings: Embeddings | None = None
     ) -> "VectorDB":
         """Caller re-supplies the embeddings object, exactly the reference
-        contract (api.py:191-205; README.md:160-163)."""
+        contract (api.py:191-205; README.md:160-163). A saved index under
+        ``<path>/_ivf_index`` is reopened (partition-pruned disk probes, no
+        rebuild); absent or unreadable, the lazy-rebuild path applies."""
         df, cfg = storemod.load(spark, path)
-        return cls(
+        db = cls(
             spark, dim=cfg.dim, metric=cfg.metric, embeddings=embeddings,
             df=df, id_col=cfg.id_col, vector_col=cfg.vector_col,
             use_approx=cfg.use_approx,
         )
+        idx_dir = os.path.join(path, "_ivf_index")
+        if cfg.use_approx and os.path.isdir(idx_dir):
+            from .operators.ann import IVFIndex
+
+            db._ivf = IVFIndex.load(spark, idx_dir)
+        return db

@@ -167,3 +167,38 @@ def test_upsert_duplicate_update_keys_both_land(spark):
         [(1, "x"), (1, "y")], "doc_id long, text string"
     )
     assert S.upsert(base, updates).count() == 2
+
+
+def test_save_load_carries_built_ivf_index(spark, tmp_path):
+    """save() persists a BUILT index under <store>/_ivf_index; load() reopens
+    it (no first-search rebuild) and the store itself stays readable as a
+    plain parquet table despite the extra subdir."""
+    import numpy as np
+
+    from educational_vector_database_spark.api import VectorDB
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)], None) for i in range(80)]
+    db = VectorDB(spark, dim=8, use_approx=True, n_cells=4)
+    db.add_vectors(spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, text: string"))
+    q = rows[9][1]
+    want = [(r.vec_id, r.score) for r in db.search_vector(q, k=3).collect()]
+
+    path = str(tmp_path / "store_with_idx")
+    db.save(path)
+    db2 = VectorDB.load(spark, path)
+    assert db2._ivf is not None and db2._ivf._assigned is not None
+    got_df = db2.search_vector(q, k=3)
+    assert [(r.vec_id, r.score) for r in got_df.collect()] == want
+    # disk probe: the loaded index's scan partition-prunes on centroid_id
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # plain-table readability: the _ivf_index subdir is invisible to a
+    # normal parquet read of the store
+    assert spark.read.parquet(path).count() == 80
+
+    # appends after load still flip staleness -> lazy rebuild sees them
+    db2.add_vectors(spark.createDataFrame(
+        [(999, q, None)], "vec_id: long, embedding: array<double>, text: string"))
+    assert 999 in {r.vec_id for r in db2.search_vector(q, k=3).collect()}
