@@ -158,6 +158,11 @@ HEADLINE = [
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty",
     "tpch_q18_large_orders",
+    # round 5: convergent Lloyd training, IVF cell rebalance, posting-cap
+    # star degradation
+    "ivf_train_converged",
+    "knn_ivf_rebalanced",
+    "dedup_minhash_capped",
 ]
 
 
