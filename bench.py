@@ -163,6 +163,7 @@ HEADLINE = [
     "ivf_train_converged",
     "knn_ivf_rebalanced",
     "dedup_minhash_capped",
+    "dedup_incremental",
 ]
 
 

@@ -28,7 +28,7 @@ import os
 from collections.abc import Sequence
 
 import pandas as pd  # module-level so pandas_udf type hints resolve
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -406,6 +406,178 @@ def minhash_near_dup(
             ).astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
 
     return pairs.mapInPandas(jaccard, "id_a long, id_b long, jaccard double")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus (never corpus vs corpus)
+# ---------------------------------------------------------------------------
+
+def minhash_dedup_incremental(
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Classify every NEW doc against an EXISTING corpus — the continual-
+    ingest shape: at 100 TB you dedup the daily delta against the corpus,
+    you never re-dedup the corpus against itself. Work on the corpus side
+    is one banding scan (linear, shared with index maintenance); the only
+    join is delta-bands × corpus-bands on the band key, so cost tracks
+    O(|new| + collisions), not O(|corpus|²).
+
+    Returns one row per new doc: ``(doc_id, status, match_id, jaccard)``:
+
+    - ``exact_dup`` — normalized text fingerprint already in the corpus;
+      ``match_id`` is the lowest matching corpus id, jaccard NULL.
+    - ``near_dup`` — exact Jaccard ≥ threshold vs some corpus doc;
+      ``match_id``/``jaccard`` are the BEST match (highest jaccard,
+      lowest corpus id tie-break).
+    - ``kept`` — survives; match_id/jaccard NULL.
+
+    Same signature/banding math as :func:`minhash_near_dup` (shared
+    ``_minhash_from_text`` kernel, same (a,b) constants — oracle-checkable
+    with the same SQL building blocks). Corpus band postings above
+    ``max_posting`` keep only the ``max_posting`` LOWEST corpus ids
+    (deterministic): a delta doc landing in a giant corpus bucket is
+    verified against the representatives instead of the whole bucket —
+    the one-sided analog of the self-join's star degradation, and the
+    same documented recall trade."""
+    n_bands = num_hashes // rows_per_band
+
+    def _norm(df: DataFrame) -> DataFrame:
+        return _spread(
+            df.select(F.col(id_col).alias("id"), T.normalized_text(text_col).alias("t"))
+        )
+
+    def _bands(base: DataFrame) -> DataFrame:
+        return base.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            *[
+                                F.col("sig")[b * rows_per_band + r].alias(f"h{r}")
+                                for r in range(rows_per_band)
+                            ]
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band_idx", "band_key"),
+        )
+
+    norm_new = _norm(new)
+    norm_corp = _norm(corpus)
+    base_new = _minhash_from_text(norm_new, shingle_k, num_hashes).persist()
+    base_new.count()
+    base_corp = _minhash_from_text(norm_corp, shingle_k, num_hashes).persist()
+    base_corp.count()
+
+    # exact kill: 8-byte fingerprint anti-join semantics, lowest corpus id
+    # reported (min aggregate BEFORE the join: the corpus side shuffles one
+    # row per distinct fingerprint, not per doc)
+    corp_fp = (
+        base_corp.select(T.fingerprint64("t").alias("fp"), "id")
+        .groupBy("fp")
+        .agg(F.min("id").alias("exact_match_id"))
+    )
+    new_fp = base_new.select("id", T.fingerprint64("t").alias("fp"))
+    exact = new_fp.join(corp_fp, "fp").select(
+        F.col("id").alias("new_id"), "exact_match_id"
+    )
+
+    # candidate generation: delta bands x capped corpus postings
+    corp_bands = _bands(base_corp)
+    if max_posting is not None:
+        w = Window.partitionBy("band_idx", "band_key").orderBy("id")
+        corp_bands = (
+            corp_bands.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_posting)
+            .drop("rn")
+        )
+    cand = (
+        _bands(base_new)
+        .select("band_idx", "band_key", F.col("id").alias("new_id"))
+        .join(
+            corp_bands.select(
+                "band_idx", "band_key", F.col("id").alias("corp_id")
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select("new_id", "corp_id")
+        .distinct()
+    )
+    pairs = cand.join(
+        base_new.select(F.col("id").alias("new_id"), F.col("t").alias("t_a")),
+        "new_id",
+    ).join(
+        base_corp.select(F.col("id").alias("corp_id"), F.col("t").alias("t_b")),
+        "corp_id",
+    )
+    thr = float(threshold)
+    k = shingle_k
+
+    def jaccard(batches):
+        memo: dict[tuple[int, int], frozenset] = {}
+
+        def sh_of(side: int, i: int, t) -> frozenset:
+            key = (side, i)
+            v = memo.get(key)
+            if v is None:
+                v = memo[key] = frozenset(_uniq_shingles(t, k).tolist())
+            return v
+
+        for pdf in batches:
+            na, ca, jc = [], [], []
+            for a, b, ta, tb in zip(
+                pdf["new_id"], pdf["corp_id"], pdf["t_a"], pdf["t_b"]
+            ):
+                x = sh_of(0, a, ta)
+                y = sh_of(1, b, tb)
+                c = len(x & y)
+                u = len(x) + len(y) - c
+                if u == 0:
+                    continue
+                j = c / u
+                if j >= thr:
+                    na.append(a)
+                    ca.append(b)
+                    jc.append(j)
+            yield pd.DataFrame({"new_id": na, "corp_id": ca, "jaccard": jc}).astype(
+                {"new_id": "int64", "corp_id": "int64", "jaccard": "float64"}
+            )
+
+    near_all = pairs.mapInPandas(jaccard, "new_id long, corp_id long, jaccard double")
+    best_w = Window.partitionBy("new_id").orderBy(
+        F.desc("jaccard"), F.asc("corp_id")
+    )
+    near = (
+        near_all.withColumn("rn", F.row_number().over(best_w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", F.col("corp_id").alias("near_match_id"), "jaccard")
+    )
+
+    return (
+        base_new.select(F.col("id").alias("new_id"))
+        .join(exact, "new_id", "left")
+        .join(near, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.when(F.col("exact_match_id").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("exact_match_id", "near_match_id").alias("match_id"),
+            F.when(F.col("exact_match_id").isNull(), F.col("jaccard"))
+            .alias("jaccard"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -290,3 +290,43 @@ def test_minhash_star_candidates_for_overcap_buckets(spark):
     assert all(clusters[i] == 0 for i in range(30))
     assert all(clusters[100 + i] == 100 + i or clusters[100 + i] < 103
                for i in range(3))
+
+
+def test_minhash_dedup_incremental_classifies_delta(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog every day"),
+         (2, "spark shuffles data between stages when keys move around"),
+         (3, "completely different text about database query optimizers")],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        # 10: exact copy of 1; 11: near-dup of 2 (tail edit); 12: novel
+        [(10, "the quick brown fox jumps over the lazy dog every day"),
+         (11, "spark shuffles data between stages when keys move round"),
+         (12, "entirely novel content with no relation to the corpus at all")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: (r.status, r.match_id)
+           for r in D.minhash_dedup_incremental(corpus, new).collect()}
+    assert got[10] == ("exact_dup", 1)
+    assert got[11][0] == "near_dup" and got[11][1] == 2
+    assert got[12] == ("kept", None)
+
+
+def test_minhash_dedup_incremental_caps_corpus_postings(spark):
+    # 20 identical corpus docs: with max_posting=3 a colliding delta doc is
+    # verified against only the 3 lowest corpus ids, and the best match
+    # reports the lowest id (deterministic representative)
+    corpus = spark.createDataFrame(
+        [(i, "same boilerplate page content repeated many times over")
+         for i in range(20)],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [(100, "same boilerplate page content repeated many times over again")],
+        "doc_id: long, text: string",
+    )
+    rows = D.minhash_dedup_incremental(
+        corpus, new, max_posting=3).collect()
+    assert len(rows) == 1
+    assert rows[0].status == "near_dup" and rows[0].match_id == 0
