@@ -357,7 +357,9 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 100000).alias("doc_id"), "text"
         )
     )
-    return D.minhash_dedup_incremental(corpus, new)
+    return D.minhash_dedup_incremental(
+        corpus, new, persists_out=_LIVE_PERSISTS
+    )
 
 
 def _dedup_incremental_oracle(
@@ -462,6 +464,103 @@ def _dedup_incremental_oracle(
     FROM newb n
     LEFT JOIN exact e ON n.id = e.new_id
     LEFT JOIN best b ON n.id = b.new_id
+"""
+
+
+def _stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continual ingest WITH a dedup gate — the composition a
+    production corpus actually runs: the delta arrives as a stream, each
+    micro-batch is classified against the CURRENT store via
+    ``minhash_dedup_incremental`` (exact-fingerprint kill + one-sided
+    banded LSH near-dup), and only ``kept`` docs append. foreachBatch holds
+    no state (the store is the state), so a later micro-batch is deduped
+    against earlier batches' survivors for free. The drained store's
+    checksum equals corpus + the batch classifier's kept set — the
+    streaming path shares the batch oracle's verdicts, proving the gate
+    applied exactly once."""
+    import tempfile
+    import uuid
+
+    run = uuid.uuid4().hex[:8]
+    store_dir = os.path.join(tempfile.gettempdir(), f"evdb_dedup_ingest_{run}")
+    docs = _docs(spark, sf_dir)
+    docs.filter(F.col("doc_id") % 10 != 0).write.mode("overwrite").parquet(
+        store_dir
+    )
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    feed = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    delta = feed.filter(F.col("doc_id") % 10 == 0).unionByName(
+        feed.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 7 == 3))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    )
+
+    def apply_batch(bdf, batch_id: int) -> None:
+        cur = bdf.sparkSession.read.parquet(store_dir)
+        cached: list = []
+        verdicts = D.minhash_dedup_incremental(
+            cur.select("doc_id", "text"),
+            bdf.select("doc_id", "text"),
+            persists_out=cached,
+        )
+        kept = bdf.join(
+            verdicts.filter(F.col("status") == "kept").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        kept.write.mode("append").parquet(store_dir)
+        for df in cached:  # release per micro-batch, no cache accretion
+            df.unpersist()
+
+    q = (
+        delta.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(store_dir)
+    return final.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("n_chars_sum"),
+        F.sum(T.fingerprint64("text") % F.lit(1000000007)).alias("text_fp_sum"),
+        F.sum(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)).alias(
+            "n_ingested"
+        ),
+    )
+
+
+def _stream_dedup_ingest_oracle() -> str:
+    """Store after the drain = corpus + the kept rows of the batch
+    classifier (same WITH-block as the ``dedup_incremental`` oracle, used
+    as a derived table)."""
+    return f"""
+    WITH store_rows AS (
+        SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT n.doc_id, n.text, n.n_chars
+        FROM (
+            SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text, n_chars FROM documents
+            WHERE doc_id % 10 <> 0 AND doc_id % 7 = 3
+        ) n
+        JOIN ({_dedup_incremental_oracle()}) v
+          ON n.doc_id = v.doc_id AND v.status = 'kept'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+           CAST(sum((('0x' || substr(md5(text), 1, 15))::BIGINT) % 1000000007)
+                AS BIGINT) AS text_fp_sum,
+           CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ingested
+    FROM store_rows
 """
 
 
@@ -6079,6 +6178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_running_total": _orders_running_total,
         "tpch_q10_returns": _tpch_q10_returns,
         "stream_store_upsert": _stream_store_upsert,
+        "stream_dedup_ingest": _stream_dedup_ingest,
         "docs_bloom_membership": _docs_bloom_membership,
         "events_value_histogram": _events_value_histogram,
         "events_value_winsorized": _events_value_winsorized,
@@ -6366,6 +6466,7 @@ def oracle_sql() -> dict[str, str]:
         # the streaming MERGE must land the IDENTICAL store as the one-shot
         # batch merge — shared oracle is the exactly-once-apply proof
         "stream_store_upsert": _UPSERT_ORACLE,
+        "stream_dedup_ingest": _stream_dedup_ingest_oracle(),
         "bucketed_colocated_join": _BUCKETED_JOIN_ORACLE,
         "sql_api_pricing": _SQL_API_ORACLE,
         "store_roundtrip_jsonl": _JSONL_ROUNDTRIP_ORACLE,

@@ -422,6 +422,7 @@ def minhash_dedup_incremental(
     rows_per_band: int = 4,
     threshold: float = 0.5,
     max_posting: int = 1000,
+    persists_out: list | None = None,
 ) -> DataFrame:
     """Classify every NEW doc against an EXISTING corpus — the continual-
     ingest shape: at 100 TB you dedup the daily delta against the corpus,
@@ -478,6 +479,11 @@ def minhash_dedup_incremental(
     base_new.count()
     base_corp = _minhash_from_text(norm_corp, shingle_k, num_hashes).persist()
     base_corp.count()
+    if persists_out is not None:
+        # both signature caches feed the returned plan; the caller owns
+        # unpersisting them AFTER consuming the result (e.g. a foreachBatch
+        # sink releases per micro-batch instead of accreting cache)
+        persists_out.extend([base_new, base_corp])
 
     # exact kill: 8-byte fingerprint anti-join semantics, lowest corpus id
     # reported (min aggregate BEFORE the join: the corpus side shuffles one

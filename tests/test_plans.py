@@ -281,3 +281,16 @@ def test_q18_aggregates_before_join(spark):
     assert agg is not None and join is not None
     assert int(agg.group(1)) < int(join.group(1))
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_incremental_one_sided_no_cartesian(spark):
+    """The continual-ingest classifier must never cross-join and never
+    square the corpus: every join is an equi-join (band key, fingerprint,
+    or id), so the plan contains only hash/merge joins."""
+    plan = _plan(spark, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate generation + verify + exact kill + the two result joins are
+    # all equi-joins
+    assert re.search(
+        r"^\(\d+\) (?:BroadcastHash|SortMerge|ShuffledHash)Join", plan, re.M)
