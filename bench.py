@@ -164,6 +164,7 @@ HEADLINE = [
     "knn_ivf_rebalanced",
     "dedup_minhash_capped",
     "dedup_incremental",
+    "neardup_embedding_incremental",
 ]
 
 

@@ -586,6 +586,86 @@ def minhash_dedup_incremental(
     )
 
 
+def embedding_neardup_incremental(
+    corpus: DataFrame,
+    new: DataFrame,
+    planes: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    threshold: float = 0.45,
+    metric: str = "cosine",
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Embedding-modality twin of :func:`minhash_dedup_incremental`: classify
+    a DELTA batch of vectors against the corpus without self-joining either
+    side. Candidates come from a sign-LSH bucket equi-join (bucket id is a
+    pure scan expression, operators/ann.py bucket_expr — the same blocking
+    as :func:`embedding_near_dup_bucketed` and the same documented recall
+    trade); the verify is the exact similarity column expression (JVM-side
+    HOF fold, bit-identical to the SQL oracle's dot/sqrt formula).
+
+    Returns ``(id, status, match_id, score)`` per new vector — ``near_dup``
+    with the BEST corpus match (highest score, lowest corpus id tie-break)
+    when the verified similarity clears ``threshold``, else ``kept``.
+    Corpus rows above ``max_posting`` per bucket keep the lowest ids only
+    (deterministic representatives, same cap contract as the minhash
+    incremental). Cost: one scan of each side + an equi-join keyed by a
+    small int — O(|delta| + collisions) per ingest."""
+    from . import ann as A
+
+    m = metric.lower()
+    if m not in V.SUPPORTED_METRICS:
+        raise ValueError(f"Unknown metric: {metric!r}. Supported: {V.SUPPORTED_METRICS}")
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            V.as_double(vector_col).alias("v"),
+            A.bucket_expr(vector_col, planes).alias("bkt"),
+        )
+
+    corp = prep(corpus)
+    if max_posting is not None:
+        w = Window.partitionBy("bkt").orderBy("id")
+        corp = (
+            corp.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_posting)
+            .drop("rn")
+        )
+    delta = prep(new)
+    scored = (
+        delta.select(F.col("id").alias("new_id"), F.col("v").alias("v_n"), "bkt")
+        .join(
+            corp.select(F.col("id").alias("corp_id"), F.col("v").alias("v_c"), "bkt"),
+            "bkt",
+        )
+        .select(
+            "new_id",
+            "corp_id",
+            V.similarity(m, F.col("v_n"), F.col("v_c")).alias("score"),
+        )
+        .filter(F.col("score") >= F.lit(float(threshold)))
+    )
+    best_w = Window.partitionBy("new_id").orderBy(F.desc("score"), F.asc("corp_id"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(best_w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", F.col("corp_id").alias("match_id"), "score")
+    )
+    return (
+        delta.select(F.col("id").alias("new_id"))
+        .join(best, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.when(F.col("match_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            "match_id",
+            "score",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact similarity join, inverted index)
 # ---------------------------------------------------------------------------

@@ -330,3 +330,24 @@ def test_minhash_dedup_incremental_caps_corpus_postings(spark):
         corpus, new, max_posting=3).collect()
     assert len(rows) == 1
     assert rows[0].status == "near_dup" and rows[0].match_id == 0
+
+
+def test_embedding_neardup_incremental_classifies_delta(spark):
+    import numpy as np
+
+    from educational_vector_database_spark.operators import ann as A
+
+    rng = np.random.RandomState(5)
+    vecs = [[float(x) for x in rng.randn(16)] for _ in range(30)]
+    corpus = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(30)], "vec_id: long, embedding: array<double>")
+    new = spark.createDataFrame(
+        # 100: exact copy of 7 (score 1.0); 101: fresh random vector
+        [(100, vecs[7]), (101, [float(x) for x in rng.randn(16)])],
+        "vec_id: long, embedding: array<double>")
+    planes = A.hyperplanes(16, 4)
+    got = {r.vec_id: (r.status, r.match_id)
+           for r in D.embedding_neardup_incremental(
+               corpus, new, planes, threshold=0.9).collect()}
+    assert got[100] == ("near_dup", 7)
+    assert got[101][0] == "kept"
