@@ -1026,7 +1026,10 @@ def _events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the hash. Scale note: swap `percentile` for approx_percentile at
     100 TB — same shape minus the sort (the docs_length_quantiles_approx
     pattern, gated there)."""
-    e = _events(spark, sf_dir)
+    # the value projection feeds the exact-percentile agg AND the clipped
+    # re-aggregation; cache the single narrow column so the second pass
+    # reads memory instead of re-scanning the parquet
+    e = _track_persist(_events(spark, sf_dir).select("value"))
     bounds = e.agg(
         F.expr("percentile(value, 0.01D)").alias("lo"),
         F.expr("percentile(value, 0.99D)").alias("hi"),
@@ -1091,8 +1094,17 @@ def _docs_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = d.withColumn("is_train", bucket < F.lit(BLOOM_SPLIT))
     train = d.filter("is_train").select("fp")
-    probe = d.filter(~F.col("is_train")).select("doc_id", "fp")
-    bloom = SK.bloom_build(train, "fp", n_words=BLOOM_WORDS, n_hashes=BLOOM_HASHES)
+    # the probe frame feeds bloom_probe TWICE (hash-position derivation +
+    # the final membership join) and the filter frame feeds twice (probe
+    # broadcast + the set-bit census); uncached, each consumer re-runs the
+    # md5-fingerprint doc scan and the filter's explode+bit_or shuffle —
+    # measured 2.4s vs 0.5s for the identical result. Both caches are tiny
+    # (probe: the holdout ids+fps; bloom: ≤BLOOM_WORDS 8-byte words).
+    probe = _track_persist(d.filter(~F.col("is_train")).select("doc_id", "fp"))
+    bloom = _track_persist(
+        SK.bloom_build(train, "fp", n_words=BLOOM_WORDS, n_hashes=BLOOM_HASHES)
+    )
+    bloom.count()
     probed = SK.bloom_probe(
         probe, bloom, "fp", n_words=BLOOM_WORDS, n_hashes=BLOOM_HASHES
     )
