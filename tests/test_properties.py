@@ -125,3 +125,73 @@ def test_simhash_identical_text_zero_hamming(spark, docs):
     for i in range(len(docs)):
         assert sh[i] == sh[100 + i]
         assert len(sh[i]) == 16 and all(c in "0123456789abcdef" for c in sh[i])
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1, max_size=60,
+    ),
+    st.sampled_from([None, 0, 5]),
+)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_matches_union_find(spark, edges, contract):
+    """connected_components (contraction on, off, or aggressive) must equal
+    a driver-side union-find with min-label canonicalization on ANY graph —
+    the invariant the hot-cluster contraction and pointer-jumping passes
+    must never bend."""
+    from educational_vector_database_spark.operators import dedup as D
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {r.id: r.cluster_id
+           for r in D.connected_components(
+               pairs, contract_above=contract).collect()}
+    assert got == want
+
+
+@given(st.lists(texts, min_size=2, max_size=10))
+@settings(max_examples=8, deadline=None)
+def test_incremental_dedup_exact_statuses_match_python(spark, docs_txt):
+    """Every new doc whose NORMALIZED text appears in the corpus must come
+    back exact_dup with the lowest matching corpus id; novel empty-shingle
+    or unseen docs must never be exact_dup."""
+    import re as _re
+
+    from educational_vector_database_spark.operators import dedup as D
+
+    def norm(t):
+        return _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9\s]", " ", t.lower())).strip()
+
+    corpus_rows = [(i, t) for i, t in enumerate(docs_txt)]
+    # delta: copies of even-indexed corpus docs + one novel marker doc
+    new_rows = [(100 + i, t) for i, t in corpus_rows if i % 2 == 0]
+    new_rows.append((999, "zz novel sentinel document zz"))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id: long, text: string")
+    new = spark.createDataFrame(new_rows, "doc_id: long, text: string")
+    got = {r.doc_id: (r.status, r.match_id)
+           for r in D.minhash_dedup_incremental(corpus, new).collect()}
+    by_norm: dict[str, int] = {}
+    for i, t in corpus_rows:
+        by_norm.setdefault(norm(t), i)
+    for nid, t in new_rows:
+        status, match = got[nid]
+        n = norm(t)
+        if n in by_norm:
+            assert status == "exact_dup" and match == by_norm[n], (nid, t)
