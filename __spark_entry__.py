@@ -5454,6 +5454,54 @@ _KNN_IVF_REBALANCED_ORACLE = f"""
 """
 
 
+def _knn_ivf_disk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disk index lifecycle under gate (the index-store analog of
+    store_roundtrip): build the IVF index, SAVE it as the
+    partitionBy(centroid_id) parquet layout + centroid sidecar, drop the
+    in-memory state, LOAD it back, and answer a query off the loaded
+    table. The probe is exhaustive (nprobe = all cells), so the result
+    must equal exact brute-force top-k whatever MLlib's centroids were —
+    saving/loading may lose NO row. layout_ok asserts the physical
+    contract driver-side: one subdirectory per cell and the sidecar
+    present."""
+    import tempfile
+    import uuid
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    idx = A.IVFIndex(n_cells=4).build(e)
+    path = os.path.join(
+        tempfile.gettempdir(), f"evdb_ivf_disk_{uuid.uuid4().hex[:8]}"
+    )
+    idx.save(path)
+    idx.invalidate()
+    loaded = A.IVFIndex.load(spark, path)
+    cells = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("centroid_id=")
+    )
+    layout_ok = len(cells) == len(loaded._centroids) and os.path.exists(
+        os.path.join(path, A.IVFIndex.SIDECAR)
+    )
+    qv = _query_vector(spark, sf_dir, vec_id=INC_QUERY_ID)
+    res = loaded.query(
+        e, qv, k=TOP_K, nprobe=len(loaded._centroids), assume_fresh=True
+    )
+    return res.withColumn("layout_ok", F.lit(bool(layout_ok)))
+
+
+_KNN_IVF_DISK_ORACLE = f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = {INC_QUERY_ID})
+    SELECT e.vec_id AS vec_id,
+           {_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS score,
+           TRUE AS layout_ok
+    FROM embeddings e CROSS JOIN q
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+"""
+
+
 def _neardup_brp_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN distance→similarity (≙ reference api.py:81-91, the euclidean
     branch 1/(1+d); operators/ann.py ann_distance_to_similarity is the
@@ -6297,6 +6345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_attribution": _stream_events_attribution,
         "store_roundtrip_csv": _store_roundtrip_csv,
         "knn_ivf_incremental": _knn_ivf_incremental,
+        "knn_ivf_disk_roundtrip": _knn_ivf_disk_roundtrip,
         "neardup_brp_similarity": _neardup_brp_similarity,
         "tpch_q14_promo": _tpch_q14_promo,
         "events_markov_transitions": _events_markov_transitions,
@@ -6579,6 +6628,7 @@ def oracle_sql() -> dict[str, str]:
         "store_roundtrip_csv": _CSV_ROUNDTRIP_ORACLE,
         "knn_ivf_incremental": _KNN_IVF_INCREMENTAL_ORACLE,
         "knn_ivf_rebalanced": _KNN_IVF_REBALANCED_ORACLE,
+        "knn_ivf_disk_roundtrip": _KNN_IVF_DISK_ORACLE,
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

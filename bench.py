@@ -165,6 +165,7 @@ HEADLINE = [
     "dedup_minhash_capped",
     "dedup_incremental",
     "neardup_embedding_incremental",
+    "knn_ivf_disk_roundtrip",
 ]
 
 
