@@ -185,6 +185,11 @@ class IVFIndex:
         self._assigned: DataFrame | None = None
         self._centroids: list[tuple[int, list[float]]] | None = None
         self._indexed_rows = -1
+        # disk-backed state: set by load(); _mutated tracks in-memory drift
+        # (add_items/rebalance) so save() back to the source path knows
+        # whether it is a no-op or needs the staging swap
+        self._source_path: str | None = None
+        self._mutated = False
 
     # -- build / invalidate (≙ _maybe_init_ann / ann_index = None) -----------
 
@@ -220,6 +225,8 @@ class IVFIndex:
         )
         self._indexed_rows = assigned.count()
         self._assigned = assigned
+        self._source_path = None
+        self._mutated = False
         return self
 
     def add_items(self, new_df: DataFrame) -> "IVFIndex":
@@ -245,6 +252,7 @@ class IVFIndex:
         self._indexed_rows = merged.count()
         old.unpersist()
         self._assigned = merged
+        self._mutated = True
         return self
 
     def invalidate(self) -> None:
@@ -254,6 +262,8 @@ class IVFIndex:
         self._assigned = None
         self._centroids = None
         self._indexed_rows = -1
+        self._source_path = None
+        self._mutated = False
 
     def is_stale(self, df: DataFrame) -> bool:
         """≙ reference ``ann_index is None or _ann_index_size != n_vectors``."""
@@ -435,6 +445,7 @@ class IVFIndex:
             merged = cold.unionByName(split).persist()
             self._assigned.unpersist()
             self._assigned = merged
+            self._mutated = True
             self._centroids = sorted(cents.items())
             after = self.cell_sizes()  # materializes the new cache too
             if after == sizes:  # identical-vector cell: cannot split
@@ -509,14 +520,38 @@ class IVFIndex:
         explosion across cells)."""
         if self._assigned is None or self._centroids is None:
             raise ValueError("index not built; call build()/ensure() first")
-        (
-            self._assigned.repartitionByRange(
-                max(self.n_cells // 2, 1), "centroid_id"
-            )
-            .write.mode("overwrite")
-            .partitionBy("centroid_id")
-            .parquet(path)
+        clustered = self._assigned.repartitionByRange(
+            max(self.n_cells // 2, 1), "centroid_id"
         )
+        if self._source_path is not None and os.path.realpath(
+            path
+        ) == os.path.realpath(self._source_path):
+            # a loaded index's _assigned plan READS the table at `path`: a
+            # plain overwrite would delete the files it reads (Spark rejects
+            # the shape with "Cannot overwrite a path that is also being
+            # read from"). Unmutated → the bytes on disk already ARE the
+            # saved form, no-op; mutated (add_items/rebalance since load) →
+            # write to a staging dir and rename-aside swap (the
+            # store.compact pattern), then re-point at the fresh table.
+            if not self._mutated:
+                return self
+            import shutil
+
+            spark = self._assigned.sparkSession
+            staging, backup = path + ".stage", path + ".old"
+            clustered.write.mode("overwrite").partitionBy("centroid_id").parquet(
+                staging
+            )
+            os.rename(path, backup)
+            os.rename(staging, path)
+            shutil.rmtree(backup)
+            self._assigned.unpersist()
+            self._assigned = spark.read.parquet(path)
+            self._mutated = False
+        else:
+            clustered.write.mode("overwrite").partitionBy("centroid_id").parquet(
+                path
+            )
         sidecar = {
             "n_cells": self.n_cells,
             "metric": self.metric,
@@ -551,6 +586,7 @@ class IVFIndex:
         ]
         idx._indexed_rows = int(meta["indexed_rows"])
         idx._assigned = spark.read.parquet(path)
+        idx._source_path = path
         return idx
 
 

@@ -1,5 +1,7 @@
 """ANN operator tests: LSH bucketing, IVF assignment, MLlib LSH join."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -369,3 +371,29 @@ def test_ivf_index_save_load_partition_pruned(spark, sf_dir, tmp_path):
     grown = emb.unionByName(emb.limit(3).withColumn(
         "vec_id", F.col("vec_id") + F.lit(10_000_000)))
     assert loaded.is_stale(grown)
+
+
+def test_ivf_index_save_in_place_after_mutation(spark, sf_dir, tmp_path):
+    """Saving a LOADED index back to its own path: no-op when unmutated
+    (the bytes already are the saved form); after add_items, a staging
+    rename-aside swap — a plain overwrite would delete the files the
+    plan reads. The swapped table must contain the inserted rows."""
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    extra = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_inplace")
+    A.IVFIndex(n_cells=4).build(base).save(path).invalidate()
+
+    loaded = A.IVFIndex.load(spark, path)
+    before = os.stat(path).st_mtime_ns
+    loaded.save(path)  # unmutated -> no-op, directory untouched
+    assert os.stat(path).st_mtime_ns == before
+
+    loaded.add_items(extra)
+    loaded.save(path)  # mutated -> staging swap
+    assert not os.path.exists(path + ".stage") and not os.path.exists(
+        path + ".old")
+    reloaded = A.IVFIndex.load(spark, path)
+    assert reloaded._indexed_rows == emb.count()
+    got = {r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()}
+    assert got == {r.vec_id for r in emb.select("vec_id").collect()}
