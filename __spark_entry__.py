@@ -256,6 +256,29 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _stream_table(spark: SparkSession, sf_dir: str, table: str, schema) -> DataFrame:
+    """File-stream source for a testdata table, robust to BOTH physical
+    layouts: the driver's sf<=0.1 tables are single parquet FILES (the
+    file source wants a directory, so stream the sf dir with a name glob),
+    while Spark-written rehearsal tables (/tmp/sf1, gen_sfN.py) are
+    DIRECTORIES of part files whose names carry no table hint (stream the
+    table directory itself, glob just filters out _SUCCESS). The round-5
+    sf1 sweep caught the directory case silently streaming ZERO files
+    under the old name-glob-only form — an empty delta, not an error."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(p)
+        )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rag.chunk_documents(_docs(spark, sf_dir), CHUNK_SIZE)
 
@@ -535,23 +558,37 @@ def _stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     against earlier batches' survivors for free. The drained store's
     checksum equals corpus + the batch classifier's kept set — the
     streaming path shares the batch oracle's verdicts, proving the gate
-    applied exactly once."""
+    applied exactly once.
+
+    Retry safety falls out of the gate itself: foreachBatch is
+    at-least-once (a crash between the append and the checkpoint commit
+    replays the batch), but on replay the store already contains the
+    batch's kept rows, so each reclassifies as exact_dup of itself and
+    appends nothing — the dedup gate IS the idempotency mechanism, no
+    rename-aside swap needed (contrast stream_store_upsert, whose
+    blind MERGE must swap to stay exactly-once)."""
     import tempfile
     import uuid
 
     run = uuid.uuid4().hex[:8]
     store_dir = os.path.join(tempfile.gettempdir(), f"evdb_dedup_ingest_{run}")
-    docs = _docs(spark, sf_dir)
+    # seed columns CAST to the stream schema: the store dir accumulates the
+    # seed's files AND appended batch files, so both writers must agree on
+    # physical types (the sf1 rehearsal tables carry int n_chars where the
+    # driver's carry bigint — mixed-type parquet dirs fail at read)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long"),
+        "text",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long"),
+    )
     docs.filter(F.col("doc_id") % 10 != 0).write.mode("overwrite").parquet(
         store_dir
     )
 
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
-    feed = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    feed = _stream_table(spark, sf_dir, "documents", schema)
     delta = feed.filter(F.col("doc_id") % 10 == 0).unionByName(
         feed.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 7 == 3))
         .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
@@ -1185,11 +1222,7 @@ def _stream_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.write.mode("overwrite").parquet(store_dir)
 
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
-    feed = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    feed = _stream_table(spark, sf_dir, "documents", schema)
     mods = (
         feed.filter(F.col("doc_id") < UPSERT_MOD_N)
         .withColumn("text", F.concat(F.lit("UPDATED "), F.col("text")))
@@ -2676,11 +2709,7 @@ def _stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = events_stream_schema(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _stream_table(spark, sf_dir, "events", schema)
     e = W.with_event_time(stream)
     agg = (
         e.withWatermark("event_time", "2 hours")
@@ -2733,11 +2762,7 @@ def _stream_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = events_stream_schema(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _stream_table(spark, sf_dir, "events", schema)
     ev = stream.select("user_id", ts_micros(stream).alias("ts_us"))
     table = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
     q = (
@@ -2800,13 +2825,7 @@ def _stream_ingest_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_schema = (
         "doc_id bigint, text string, lang string, source string, n_chars bigint"
     )
-    # the testdata table is a single parquet FILE; the file stream source
-    # wants a directory, so stream the sf dir with a glob filter
-    stream = (
-        spark.readStream.schema(docs_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _stream_table(spark, sf_dir, "documents", docs_schema)
     out_dir = tempfile.mkdtemp(prefix="evdb_stream_out_")
     ck_dir = tempfile.mkdtemp(prefix="evdb_stream_ck_")
     q = (
@@ -4241,11 +4260,7 @@ def _stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = events_stream_schema(spark, sf_dir)
 
     def src():
-        return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        return _stream_table(spark, sf_dir, "events", schema)
 
     doubled = src().union(src())
     deduped = doubled.dropDuplicates(["event_id"]).groupBy("event_type").agg(
@@ -5264,11 +5279,7 @@ def _stream_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = events_stream_schema(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _stream_table(spark, sf_dir, "events", schema)
     pairs = J.attribution_pairs(
         stream, conversion_type="purchase", touch_type="view", max_delay="30 minutes"
     )

@@ -610,7 +610,12 @@ def embedding_neardup_incremental(
     Corpus rows above ``max_posting`` per bucket keep the lowest ids only
     (deterministic representatives, same cap contract as the minhash
     incremental). Cost: one scan of each side + an equi-join keyed by a
-    small int — O(|delta| + collisions) per ingest."""
+    small int — O(|delta| + collisions) per ingest. The delta projection
+    is deliberately NOT persisted despite feeding two plan branches
+    (candidates + the final left join): it is a single narrow
+    scan-and-project with no Python hop, so recomputing it is cheaper
+    than a cache fill — unlike the minhash twin, whose signature kernel
+    IS worth caching."""
     from . import ann as A
 
     m = metric.lower()
