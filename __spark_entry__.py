@@ -5513,6 +5513,112 @@ _KNN_IVF_DISK_ORACLE = f"""
 """
 
 
+GRAPH_M = 4
+GRAPH_BEAM = 8
+GRAPH_HOPS = 2
+GRAPH_ENTRIES = [0, 1, 2, 3]
+
+
+def _knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN GRAPH build (≙ reference HNSWIndex._init_index/build,
+    src/vectordb/ann.py:21-76): every node keeps directed edges to its
+    GRAPH_M most-similar same-LSH-bucket neighbors. Fully deterministic
+    (score DESC, dst ASC tie-break), so the ENTIRE graph hash-checks
+    against the SQL replica — the graph-construction parity the
+    HNSW-drop verdicts kept flagging, expressed as one bucket-keyed
+    shuffle + one window."""
+    return A.knn_graph(_emb(spark, sf_dir), _PLANES, m=GRAPH_M).select(
+        "src", "dst",
+        F.floor(F.col("score") * F.lit(1e12)).cast("long").alias("score_pico"),
+    )
+
+
+def _knn_graph_edges_oracle() -> str:
+    def lit_vec(h):
+        return "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in h) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit_vec(h)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, h in enumerate(_PLANES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id, v, ({bucket}) AS bkt FROM e),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {_COS.format(a='a.v', b='b.v')} AS score
+        FROM u a JOIN u b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+    )
+    SELECT src, dst,
+           CAST(floor(score * 1e12) AS BIGINT) AS score_pico
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY src ORDER BY score DESC, dst ASC) <= {GRAPH_M}
+"""
+
+
+def _knn_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy beam search over the batch k-NN graph (≙ reference
+    HNSWIndex.knn_query's graph walk, src/vectordb/ann.py:93-102; beam ≙
+    ef_search): fixed entry points, GRAPH_HOPS frontier expansions (each
+    ONE equi-join against the persisted edge list), top-k of everything
+    visited. The deterministic recurrence is unrolled hop-by-hop in the
+    SQL oracle, so the approximate WALK itself — not just its inputs —
+    is hash-checked."""
+    e = _emb(spark, sf_dir)
+    graph = _track_persist(A.knn_graph(e, _PLANES, m=GRAPH_M))
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    res = A.graph_beam_search(
+        graph, e, qv, GRAPH_ENTRIES, beam=GRAPH_BEAM, hops=GRAPH_HOPS, k=TOP_K
+    )
+    return res.select("vec_id", "score")
+
+
+def _knn_graph_beam_oracle() -> str:
+    def lit_vec(h):
+        return "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in h) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit_vec(h)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, h in enumerate(_PLANES)
+    )
+    entries = ", ".join(str(i) for i in GRAPH_ENTRIES)
+    hops = []
+    for h in range(1, GRAPH_HOPS + 1):
+        hops.append(f"""
+    c{h} AS (
+        SELECT DISTINCT g.dst AS id FROM f{h - 1} f JOIN graph g ON f.id = g.src
+        WHERE g.dst NOT IN (SELECT id FROM v{h - 1})
+    ),
+    c{h}s AS (SELECT c.id, sn.score FROM c{h} c JOIN sn ON c.id = sn.id),
+    v{h} AS (SELECT id, score FROM v{h - 1}
+             UNION ALL SELECT id, score FROM c{h}s),
+    f{h} AS (SELECT id, score FROM c{h}s ORDER BY score DESC, id ASC
+             LIMIT {GRAPH_BEAM})""")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id, v, ({bucket}) AS bkt FROM e),
+    graph AS (
+        SELECT src, dst FROM (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   {_COS.format(a='a.v', b='b.v')} AS score
+            FROM u a JOIN u b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY src ORDER BY score DESC, dst ASC) <= {GRAPH_M}
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {IVF_QUERY_ID}),
+    sn AS (SELECT e.vec_id AS id, {_COS.format(a='e.v', b='q.qv')} AS score
+           FROM e CROSS JOIN q),
+    v0 AS (SELECT id, score FROM sn WHERE id IN ({entries})),
+    f0 AS (SELECT id, score FROM v0),
+    {",".join(hops)}
+    SELECT id AS vec_id, score FROM v{GRAPH_HOPS}
+    ORDER BY score DESC, id ASC LIMIT {TOP_K}
+"""
+
+
 def _neardup_brp_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN distance→similarity (≙ reference api.py:81-91, the euclidean
     branch 1/(1+d); operators/ann.py ann_distance_to_similarity is the
@@ -6232,7 +6338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still represented in-window by doc_quality + doc_repetition_stats).
         # stream_dedup_ingest (a composition of the in-window
         # dedup_incremental) takes the streaming-variant slot past the
-        # window, next to stream_store_upsert.
+        # window, next to stream_store_upsert. Late round-5 rotation:
+        # knn_graph_edges + knn_graph_beam IN (the batch HNSW analogs —
+        # graph build and beam walk, §2 N1/N4), docs_sample_stratified +
+        # embeddings_quantize_error OUT (families still in-window via
+        # docs_contamination / embeddings_random_projection).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -6265,6 +6375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _knn_ivf,
         "knn_ivf_recall": _knn_ivf_recall,
         "knn_lsh_bucket": _knn_lsh_bucket,
+        "knn_graph_edges": _knn_graph_edges,
+        "knn_graph_beam": _knn_graph_beam,
         "neardup_brp_lsh": _neardup_brp_lsh,
         "doc_quality": _doc_quality,
         "lang_id_eval": _lang_id_eval,
@@ -6272,8 +6384,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_dot": _knn_query("dot"),
         "doc_fingerprint": _doc_fingerprint,
         "docs_kmv_distinct": _docs_kmv_distinct,
-        "docs_sample_stratified": _docs_sample_stratified,
-        "embeddings_quantize_error": _embeddings_quantize_error,
         "docs_stats_by_lang": _docs_stats_by_lang,
         "doc_repetition_stats": _doc_repetition_stats,
         "embeddings_random_projection": _embeddings_random_projection,
@@ -6357,6 +6467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_roundtrip_csv": _store_roundtrip_csv,
         "knn_ivf_incremental": _knn_ivf_incremental,
         "knn_ivf_disk_roundtrip": _knn_ivf_disk_roundtrip,
+        "docs_sample_stratified": _docs_sample_stratified,
+        "embeddings_quantize_error": _embeddings_quantize_error,
         "neardup_brp_similarity": _neardup_brp_similarity,
         "tpch_q14_promo": _tpch_q14_promo,
         "events_markov_transitions": _events_markov_transitions,
@@ -6640,6 +6752,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_incremental": _KNN_IVF_INCREMENTAL_ORACLE,
         "knn_ivf_rebalanced": _KNN_IVF_REBALANCED_ORACLE,
         "knn_ivf_disk_roundtrip": _KNN_IVF_DISK_ORACLE,
+        "knn_graph_edges": _knn_graph_edges_oracle(),
+        "knn_graph_beam": _knn_graph_beam_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

@@ -166,6 +166,8 @@ HEADLINE = [
     "dedup_incremental",
     "neardup_embedding_incremental",
     "knn_ivf_disk_roundtrip",
+    "knn_graph_edges",
+    "knn_graph_beam",
 ]
 
 

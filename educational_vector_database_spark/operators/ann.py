@@ -590,6 +590,107 @@ class IVFIndex:
         return idx
 
 
+def knn_graph(
+    df: DataFrame,
+    planes: Sequence[Sequence[float]],
+    m: int = 8,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Directed k-NN GRAPH over the corpus — the batch analog of HNSW's
+    graph construction (reference src/vectordb/ann.py:21-76 ``HNSWIndex
+    ._init_index/build``; its ``M`` is this ``m``): each node keeps edges
+    to its ``m`` most-similar SAME-BUCKET neighbors. Candidate generation
+    is the sign-LSH bucket equi-join (the bucketed near-dup machinery —
+    Σ bucket² pairs, never all-pairs), neighbor selection is one
+    row_number window per node (score DESC, neighbor id ASC — fully
+    deterministic, so the whole graph is oracle-checkable in SQL).
+    Returns ``(src, dst, score)``. At 100 TB this is one bucket-keyed
+    shuffle + one window — the standard distributed kNN-graph build."""
+    m_l = metric.lower()
+    if m_l not in V.SUPPORTED_METRICS:
+        raise ValueError(f"Unknown metric: {metric!r}. Supported: {V.SUPPORTED_METRICS}")
+    src = df.select(
+        F.col(id_col).alias("src"),
+        V.as_double(vector_col).alias("v_a"),
+        bucket_expr(vector_col, planes).alias("bkt"),
+    )
+    dst = df.select(
+        F.col(id_col).alias("dst"),
+        V.as_double(vector_col).alias("v_b"),
+        bucket_expr(vector_col, planes).alias("bkt"),
+    )
+    scored = (
+        src.join(dst, "bkt")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", V.similarity(m_l, "v_a", "v_b").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .drop("rn")
+    )
+
+
+def graph_beam_search(
+    graph: DataFrame,
+    df: DataFrame,
+    query_vector: Sequence[float],
+    entry_ids: Sequence[int],
+    beam: int = 8,
+    hops: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Greedy beam search over a :func:`knn_graph` — the batch analog of
+    HNSW's ``knn_query`` graph walk (reference src/vectordb/ann.py:93-102;
+    ``beam`` plays ``ef_search``). Deterministic recurrence, mirrored
+    exactly by the SQL oracle:
+
+        frontier_0 = entry_ids (scored)
+        cand_h     = distinct neighbors(frontier_{h-1}) - visited_{h-1}
+        visited_h  = visited_{h-1} ∪ cand_h
+        frontier_h = top-``beam`` of cand_h   (score DESC, id ASC)
+        result     = top-``k`` of visited_hops
+
+    Each hop is ONE equi-join against the (persisted) edge list + one
+    TakeOrdered — per-hop cost tracks the frontier×m fan-out, never the
+    corpus. ``hops`` is a fixed small integer (the walk depth), so the
+    driver-side loop is bounded and the lineage stays flat via
+    localCheckpoint — the connected-components pattern."""
+    m_l = metric.lower()
+    qv = V.vector_literal([float(x) for x in query_vector])
+    scored_nodes = df.select(
+        F.col(id_col).alias("id"),
+        V.similarity(m_l, V.as_double(vector_col), qv).alias("score"),
+    )
+    edges = graph.select("src", "dst")
+    entries = [int(x) for x in entry_ids]
+    visited = scored_nodes.filter(F.col("id").isin(entries)).localCheckpoint()
+    frontier = visited
+    for _ in range(hops):
+        cand = (
+            frontier.select(F.col("id").alias("src"))
+            .join(edges, "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .join(scored_nodes, "id")
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(cand).localCheckpoint()
+        frontier = cand.orderBy(F.desc("score"), F.asc("id")).limit(beam)
+    return visited.orderBy(F.desc("score"), F.asc("id")).limit(k).select(
+        F.col("id").alias(id_col), "score"
+    )
+
+
 def ann_distance_to_similarity(dist: Column, metric: str = "euclidean") -> Column:
     """Distance→similarity conversion for ANN results (≙ reference
     src/vectordb/api.py:81-91 ``_convert_ann_distances_to_similarity``):

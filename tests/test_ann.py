@@ -397,3 +397,42 @@ def test_ivf_index_save_in_place_after_mutation(spark, sf_dir, tmp_path):
     assert reloaded._indexed_rows == emb.count()
     got = {r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()}
     assert got == {r.vec_id for r in emb.select("vec_id").collect()}
+
+
+def test_knn_graph_bounded_and_bucket_local(spark, sf_dir):
+    emb = _emb(spark, sf_dir).limit(300)
+    planes = A.hyperplanes(64, 4)
+    g = A.knn_graph(emb, planes, m=3)
+    rows = g.collect()
+    # out-degree bound
+    from collections import Counter
+    deg = Counter(r.src for r in rows)
+    assert max(deg.values()) <= 3
+    # edges stay within a bucket (the declared candidate scope)
+    bkt = {r.vec_id: A.bucket_of([float(x) for x in r.embedding], planes)
+           for r in emb.collect()}
+    assert all(bkt[r.src] == bkt[r.dst] for r in rows)
+    # no self loops, deterministic rebuild
+    assert all(r.src != r.dst for r in rows)
+    again = {(r.src, r.dst) for r in A.knn_graph(emb, planes, m=3).collect()}
+    assert again == {(r.src, r.dst) for r in rows}
+
+
+def test_graph_beam_search_walks_toward_query(spark, sf_dir):
+    emb = _emb(spark, sf_dir).limit(300)
+    planes = A.hyperplanes(64, 4)
+    g = A.knn_graph(emb, planes, m=4).persist()
+    qv = _qv(spark, sf_dir, 7)
+    res = A.graph_beam_search(g, emb, qv, entry_ids=[0, 1], beam=6, hops=3, k=5)
+    rows = res.collect()
+    assert len(rows) == 5
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # hops=0 degenerates to the entries themselves
+    base = A.graph_beam_search(g, emb, qv, entry_ids=[0, 1], beam=6, hops=0, k=5)
+    assert {r.vec_id for r in base.collect()} == {0, 1}
+    # more hops can only widen the visited set -> best score is monotone
+    r1 = A.graph_beam_search(g, emb, qv, [0, 1], beam=6, hops=1, k=1).head().score
+    r3 = rows[0].score
+    assert r3 >= r1
+    g.unpersist()
