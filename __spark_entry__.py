@@ -5619,6 +5619,41 @@ def _knn_graph_beam_oracle() -> str:
 """
 
 
+def _knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-walk quality eval (the knn_ivf_recall pattern for the beam
+    search): hits of the GRAPH_HOPS-hop beam top-k against the exact
+    cosine top-k for the same query — the beam-width/hops knobs' recall
+    side, deterministic end-to-end so the integer hit count hash-checks."""
+    e = _emb(spark, sf_dir)
+    graph = _track_persist(A.knn_graph(e, _PLANES, m=GRAPH_M))
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    beam = A.graph_beam_search(
+        graph, e, qv, GRAPH_ENTRIES, beam=GRAPH_BEAM, hops=GRAPH_HOPS, k=TOP_K
+    ).select("vec_id")
+    exact = K.knn(e, qv, k=TOP_K).select("vec_id")
+    return beam.join(exact, "vec_id").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        (F.count("*") * 100 / F.lit(TOP_K)).cast("long").alias("recall_pct"),
+    )
+
+
+def _knn_graph_recall_oracle() -> str:
+    return f"""
+    WITH beam AS (SELECT vec_id FROM ({_knn_graph_beam_oracle()})),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {IVF_QUERY_ID}),
+    exact AS (
+        SELECT e.vec_id FROM embeddings e CROSS JOIN q
+        ORDER BY {_COS.format(a='e.embedding::DOUBLE[]', b='q.qv')} DESC,
+                 e.vec_id ASC
+        LIMIT {TOP_K}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(*) * 100 / {TOP_K} AS BIGINT) AS recall_pct
+    FROM beam JOIN exact USING (vec_id)
+"""
+
+
 def _neardup_brp_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN distance→similarity (≙ reference api.py:81-91, the euclidean
     branch 1/(1+d); operators/ann.py ann_distance_to_similarity is the
@@ -6469,6 +6504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_disk_roundtrip": _knn_ivf_disk_roundtrip,
         "docs_sample_stratified": _docs_sample_stratified,
         "embeddings_quantize_error": _embeddings_quantize_error,
+        "knn_graph_recall": _knn_graph_recall,
         "neardup_brp_similarity": _neardup_brp_similarity,
         "tpch_q14_promo": _tpch_q14_promo,
         "events_markov_transitions": _events_markov_transitions,
@@ -6754,6 +6790,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_disk_roundtrip": _KNN_IVF_DISK_ORACLE,
         "knn_graph_edges": _knn_graph_edges_oracle(),
         "knn_graph_beam": _knn_graph_beam_oracle(),
+        "knn_graph_recall": _knn_graph_recall_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

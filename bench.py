@@ -168,6 +168,7 @@ HEADLINE = [
     "knn_ivf_disk_roundtrip",
     "knn_graph_edges",
     "knn_graph_beam",
+    "knn_graph_recall",
 ]
 
 
