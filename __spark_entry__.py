@@ -5513,76 +5513,98 @@ _KNN_IVF_DISK_ORACLE = f"""
 """
 
 
-GRAPH_M = 4
-GRAPH_BEAM = 8
-GRAPH_HOPS = 2
+# Round-6 graph-ANN config (the round-5 verdict's top item): the graph is
+# built over the UNION of GRAPH_R independent 4-plane sign-LSH sets (union
+# collision recall 1-(1-p)^R), each node keeps GRAPH_M=16 edges (HNSW's
+# typical M, reference ann.py:24 M=16 default ef_construction ballpark), the
+# walk runs GRAPH_BEAM=32 / GRAPH_HOPS=4 (≙ ef_search; fixed-depth walks need
+# hops ~ log(corpus) — measured recall@10: 0.99 at sf0.01, 0.956 at sf0.1,
+# tools/graph_recall_sweep.py + BASELINE.md curve).
+GRAPH_M = 16
+GRAPH_R = 4
+GRAPH_BEAM = 32
+GRAPH_HOPS = 4
 GRAPH_ENTRIES = [0, 1, 2, 3]
+_GRAPH_PLANE_SETS = [
+    A.hyperplanes(DIM, n_planes=4, seed=A.LSH_SEED + r) for r in range(GRAPH_R)
+]
+
+
+def _build_graph(e: DataFrame) -> DataFrame:
+    return A.knn_graph(e, _GRAPH_PLANE_SETS, m=GRAPH_M, blocks_per_bucket=2)
+
+
+def _graph_cte() -> str:
+    """Shared SQL replica of the multi-plane-set graph build: candidate =
+    same-bucket pair in ANY plane set (UNION dedupes), score = dot of
+    unit-normalized vectors — the block-GEMM kernel's exact formulation
+    (unit-then-dot, the same form the bucketed near-dup gate already proved
+    bit-equal), per-node top-GRAPH_M with (score DESC, dst ASC) ties."""
+
+    def lit_vec(h):
+        return "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in h) + "]"
+
+    def bucket(ps):
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {lit_vec(h)}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j, h in enumerate(ps)
+        )
+
+    bkts = ", ".join(
+        f"({bucket(ps)}) AS bkt{r}" for r, ps in enumerate(_GRAPH_PLANE_SETS)
+    )
+    cand = "\n        UNION\n".join(
+        f"        SELECT a.vec_id AS src, b.vec_id AS dst"
+        f" FROM u a JOIN u b ON a.bkt{r} = b.bkt{r} AND a.vec_id <> b.vec_id"
+        for r in range(len(_GRAPH_PLANE_SETS))
+    )
+    return f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id, v,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv,
+                 {bkts}
+          FROM e),
+    cand AS (
+{cand}
+    ),
+    graph AS (
+        SELECT src, dst, score FROM (
+            SELECT c.src, c.dst, list_dot_product(ua.uv, ub.uv) AS score
+            FROM cand c
+            JOIN u ua ON ua.vec_id = c.src
+            JOIN u ub ON ub.vec_id = c.dst
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY src ORDER BY score DESC, dst ASC) <= {GRAPH_M}
+    )"""
 
 
 def _knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch k-NN GRAPH build (≙ reference HNSWIndex._init_index/build,
     src/vectordb/ann.py:21-76): every node keeps directed edges to its
-    GRAPH_M most-similar same-LSH-bucket neighbors. Fully deterministic
-    (score DESC, dst ASC tie-break), so the ENTIRE graph hash-checks
-    against the SQL replica — the graph-construction parity the
-    HNSW-drop verdicts kept flagging, expressed as one bucket-keyed
-    shuffle + one window."""
-    return A.knn_graph(_emb(spark, sf_dir), _PLANES, m=GRAPH_M).select(
+    GRAPH_M most-similar neighbors among its collision candidates across
+    GRAPH_R independent sign-LSH plane sets. Fully deterministic (score
+    DESC, dst ASC tie-break), so the ENTIRE graph hash-checks against the
+    SQL replica — graph-construction parity, with the round-5 quadratic
+    row fan-out replaced by the bounded block-GEMM partial top-M."""
+    return _build_graph(_emb(spark, sf_dir)).select(
         "src", "dst",
         F.floor(F.col("score") * F.lit(1e12)).cast("long").alias("score_pico"),
     )
 
 
 def _knn_graph_edges_oracle() -> str:
-    def lit_vec(h):
-        return "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in h) + "]"
-
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {lit_vec(h)}) > 0 THEN {1 << j} ELSE 0 END)"
-        for j, h in enumerate(_PLANES)
-    )
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    u AS (SELECT vec_id, v, ({bucket}) AS bkt FROM e),
-    scored AS (
-        SELECT a.vec_id AS src, b.vec_id AS dst,
-               {_COS.format(a='a.v', b='b.v')} AS score
-        FROM u a JOIN u b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
-    )
-    SELECT src, dst,
-           CAST(floor(score * 1e12) AS BIGINT) AS score_pico
-    FROM scored
-    QUALIFY row_number() OVER (
-        PARTITION BY src ORDER BY score DESC, dst ASC) <= {GRAPH_M}
+    WITH {_graph_cte()}
+    SELECT src, dst, CAST(floor(score * 1e12) AS BIGINT) AS score_pico
+    FROM graph
 """
 
 
-def _knn_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy beam search over the batch k-NN graph (≙ reference
-    HNSWIndex.knn_query's graph walk, src/vectordb/ann.py:93-102; beam ≙
-    ef_search): fixed entry points, GRAPH_HOPS frontier expansions (each
-    ONE equi-join against the persisted edge list), top-k of everything
-    visited. The deterministic recurrence is unrolled hop-by-hop in the
-    SQL oracle, so the approximate WALK itself — not just its inputs —
-    is hash-checked."""
-    e = _emb(spark, sf_dir)
-    graph = _track_persist(A.knn_graph(e, _PLANES, m=GRAPH_M))
-    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
-    res = A.graph_beam_search(
-        graph, e, qv, GRAPH_ENTRIES, beam=GRAPH_BEAM, hops=GRAPH_HOPS, k=TOP_K
-    )
-    return res.select("vec_id", "score")
-
-
-def _knn_graph_beam_oracle() -> str:
-    def lit_vec(h):
-        return "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in h) + "]"
-
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {lit_vec(h)}) > 0 THEN {1 << j} ELSE 0 END)"
-        for j, h in enumerate(_PLANES)
-    )
-    entries = ", ".join(str(i) for i in GRAPH_ENTRIES)
+def _beam_walk_sql(entries_sql: str) -> str:
+    """Hop-unrolled SQL replica of graph_beam_search's recurrence; the walk
+    scores nodes against the query with the _COS form (operators/ann.py
+    graph_beam_search uses V.similarity), independent of the edge scores."""
     hops = []
     for h in range(1, GRAPH_HOPS + 1):
         hops.append(f"""
@@ -5596,22 +5618,12 @@ def _knn_graph_beam_oracle() -> str:
     f{h} AS (SELECT id, score FROM c{h}s ORDER BY score DESC, id ASC
              LIMIT {GRAPH_BEAM})""")
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    u AS (SELECT vec_id, v, ({bucket}) AS bkt FROM e),
-    graph AS (
-        SELECT src, dst FROM (
-            SELECT a.vec_id AS src, b.vec_id AS dst,
-                   {_COS.format(a='a.v', b='b.v')} AS score
-            FROM u a JOIN u b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
-        )
-        QUALIFY row_number() OVER (
-            PARTITION BY src ORDER BY score DESC, dst ASC) <= {GRAPH_M}
-    ),
+    WITH {_graph_cte()},
     q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
           WHERE vec_id = {IVF_QUERY_ID}),
     sn AS (SELECT e.vec_id AS id, {_COS.format(a='e.v', b='q.qv')} AS score
            FROM e CROSS JOIN q),
-    v0 AS (SELECT id, score FROM sn WHERE id IN ({entries})),
+    v0 AS (SELECT id, score FROM sn WHERE id IN ({entries_sql})),
     f0 AS (SELECT id, score FROM v0),
     {",".join(hops)}
     SELECT id AS vec_id, score FROM v{GRAPH_HOPS}
@@ -5619,16 +5631,109 @@ def _knn_graph_beam_oracle() -> str:
 """
 
 
+def _knn_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy beam search over the batch k-NN graph (≙ reference
+    HNSWIndex.knn_query's graph walk, src/vectordb/ann.py:93-102; beam ≙
+    ef_search): fixed entry points, GRAPH_HOPS frontier expansions (each
+    ONE equi-join against the persisted edge list), top-k of everything
+    visited. The deterministic recurrence is unrolled hop-by-hop in the
+    SQL oracle, so the approximate WALK itself — not just its inputs —
+    is hash-checked."""
+    e = _emb(spark, sf_dir)
+    graph = _track_persist(_build_graph(e))
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    res = A.graph_beam_search(
+        graph, e, qv, GRAPH_ENTRIES, beam=GRAPH_BEAM, hops=GRAPH_HOPS, k=TOP_K
+    )
+    return res.select("vec_id", "score")
+
+
+def _knn_graph_beam_oracle() -> str:
+    return _beam_walk_sql(", ".join(str(i) for i in GRAPH_ENTRIES))
+
+
+def _graph_centroid_entries(spark: SparkSession, sf_dir: str) -> list[int]:
+    """HNSW-style entry selection (≙ reference's maintained entry point,
+    src/vectordb/ann.py:93-102): one entry per IVF fixture cell — the member
+    row NEAREST its centroid (euclidean, ties -> lowest id). The same
+    derivation IVFIndex.entry_points computes from a built index, expressed
+    over the fixture centroids so it stays SQL-oracle-checkable; O(cells)
+    ids to the driver, the centroid small-state contract."""
+    cents = _ivf_centroids(spark, sf_dir)
+    from pyspark.sql import Window
+
+    v = V.as_double("embedding")
+    d = F.lit(float("inf"))
+    for cid, cv in enumerate(cents):
+        d = F.when(
+            F.col("centroid_id") == cid,
+            V.euclidean_distance(v, V.vector_literal(cv)),
+        ).otherwise(d)
+    w = Window.partitionBy("centroid_id").orderBy(F.asc("_d"), F.asc("vec_id"))
+    rows = (
+        _emb(spark, sf_dir)
+        .withColumn("centroid_id", _cell_expr(cents, "embedding"))
+        .withColumn("_d", d)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id")
+        .collect()
+    )
+    return sorted(int(r.vec_id) for r in rows)
+
+
+def _knn_graph_beam_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The beam walk with COMPUTED entry points: one per IVF cell (nearest
+    member of each fixture centroid) instead of caller-fixed ids — the
+    round-6 verdict's HNSW-entry-selection item. Entries, graph, and walk
+    are all replicated in the oracle, so the full entry-derivation +
+    walk pipeline hash-checks as one row set."""
+    e = _emb(spark, sf_dir)
+    graph = _track_persist(_build_graph(e))
+    entries = _graph_centroid_entries(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    res = A.graph_beam_search(
+        graph, e, qv, entries, beam=GRAPH_BEAM, hops=GRAPH_HOPS, k=TOP_K
+    )
+    return res.select("vec_id", "score")
+
+
+def _knn_graph_beam_centroids_oracle() -> str:
+    entries_sql = f"""SELECT entry_id FROM (
+        SELECT cd.vec_id AS entry_id, row_number() OVER (
+                   PARTITION BY cd.cid ORDER BY cd.dist ASC, cd.vec_id ASC
+               ) AS ern
+        FROM (
+            SELECT e2.vec_id, c2.cid,
+                   list_distance(e2.embedding::DOUBLE[], c2.cv) AS dist,
+                   row_number() OVER (
+                       PARTITION BY e2.vec_id
+                       ORDER BY list_distance(e2.embedding::DOUBLE[], c2.cv) ASC,
+                                c2.cid ASC
+                   ) AS arn
+            FROM embeddings e2 CROSS JOIN (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < {N_IVF_CELLS}) c2
+        ) cd
+        WHERE cd.arn = 1
+    ) WHERE ern = 1"""
+    return _beam_walk_sql(entries_sql)
+
+
 def _knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-walk quality eval (the knn_ivf_recall pattern for the beam
     search): hits of the GRAPH_HOPS-hop beam top-k against the exact
     cosine top-k for the same query — the beam-width/hops knobs' recall
-    side, deterministic end-to-end so the integer hit count hash-checks."""
+    side, deterministic end-to-end so the integer hit count hash-checks.
+    Entries are the computed per-cell ones (the round-6 config), so this
+    row gates the recall LIFT of the multi-set graph + entry selection:
+    0.40 at round 5, ≥0.90 now (BASELINE.md recall-vs-cost curve)."""
     e = _emb(spark, sf_dir)
-    graph = _track_persist(A.knn_graph(e, _PLANES, m=GRAPH_M))
+    graph = _track_persist(_build_graph(e))
+    entries = _graph_centroid_entries(spark, sf_dir)
     qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
     beam = A.graph_beam_search(
-        graph, e, qv, GRAPH_ENTRIES, beam=GRAPH_BEAM, hops=GRAPH_HOPS, k=TOP_K
+        graph, e, qv, entries, beam=GRAPH_BEAM, hops=GRAPH_HOPS, k=TOP_K
     ).select("vec_id")
     exact = K.knn(e, qv, k=TOP_K).select("vec_id")
     return beam.join(exact, "vec_id").agg(
@@ -5639,7 +5744,7 @@ def _knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _knn_graph_recall_oracle() -> str:
     return f"""
-    WITH beam AS (SELECT vec_id FROM ({_knn_graph_beam_oracle()})),
+    WITH beam AS (SELECT vec_id FROM ({_knn_graph_beam_centroids_oracle()})),
     q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
           WHERE vec_id = {IVF_QUERY_ID}),
     exact AS (
@@ -6505,6 +6610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_stratified": _docs_sample_stratified,
         "embeddings_quantize_error": _embeddings_quantize_error,
         "knn_graph_recall": _knn_graph_recall,
+        "knn_graph_beam_centroids": _knn_graph_beam_centroids,
         "neardup_brp_similarity": _neardup_brp_similarity,
         "tpch_q14_promo": _tpch_q14_promo,
         "events_markov_transitions": _events_markov_transitions,
@@ -6790,6 +6896,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_disk_roundtrip": _KNN_IVF_DISK_ORACLE,
         "knn_graph_edges": _knn_graph_edges_oracle(),
         "knn_graph_beam": _knn_graph_beam_oracle(),
+        "knn_graph_beam_centroids": _knn_graph_beam_centroids_oracle(),
         "knn_graph_recall": _knn_graph_recall_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,

@@ -13,6 +13,7 @@ index_documents; POST /rag/answer -> answer.
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Sequence
 
@@ -252,5 +253,10 @@ class VectorDB:
         if cfg.use_approx and os.path.isdir(idx_dir):
             from .operators.ann import IVFIndex
 
-            db._ivf = IVFIndex.load(spark, idx_dir)
+            try:
+                db._ivf = IVFIndex.load(spark, idx_dir)
+            except (OSError, json.JSONDecodeError, KeyError, ValueError):
+                # corrupt/truncated sidecar or partial index dir: fall back
+                # to the lazy-rebuild path exactly as when the dir is absent
+                db._ivf = None
         return db

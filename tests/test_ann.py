@@ -436,3 +436,128 @@ def test_graph_beam_search_walks_toward_query(spark, sf_dir):
     r3 = rows[0].score
     assert r3 >= r1
     g.unpersist()
+
+
+def _np_graph_reference(rows, plane_sets, m):
+    """Numpy replica of knn_graph's declared semantics: candidates = union of
+    same-bucket pairs across plane sets, score = dot of unit vectors, per-node
+    top-m (score DESC, dst ASC). Neighbor ORDER is compared exactly; scores
+    within 1e-9 (the reference uses BLAS fold order, the kernel per-dim)."""
+    import numpy as np
+
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([[float(x) for x in r.embedding] for r in rows])
+    unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+    S = unit @ unit.T
+    n = len(ids)
+    cand = np.zeros((n, n), dtype=bool)
+    for ps in plane_sets:
+        H = np.array(ps, dtype=np.float64)
+        bkt = ((mat @ H.T > 0).astype(np.int64) << np.arange(len(ps))).sum(axis=1)
+        cand |= bkt[:, None] == bkt[None, :]
+    np.fill_diagonal(cand, False)
+    out = {}
+    for i in range(n):
+        js = np.nonzero(cand[i])[0]
+        o = js[np.lexsort((ids[js], -S[i, js]))][:m]
+        out[int(ids[i])] = [(int(ids[j]), float(S[i, j])) for j in o]
+    return out
+
+
+def test_knn_graph_multiset_matches_reference(spark, sf_dir):
+    """Round-6 multi-plane-set graph: per-node top-m over the UNION of R
+    collision sets, verified against a brute-force numpy replica."""
+    emb = _emb(spark, sf_dir).limit(200)
+    plane_sets = [A.hyperplanes(64, 4, seed=A.LSH_SEED + r) for r in range(3)]
+    g = A.knn_graph(emb, plane_sets, m=5, blocks_per_bucket=2)
+    got = {}
+    for r in g.collect():
+        got.setdefault(r.src, []).append((r.dst, r.score))
+    for s in got:
+        got[s].sort(key=lambda t: (-t[1], t[0]))
+    ref = _np_graph_reference(emb.collect(), plane_sets, 5)
+    assert set(got) <= set(ref)
+    for s, exp in ref.items():
+        g_s = got.get(s, [])
+        assert [d for d, _ in g_s] == [d for d, _ in exp], f"src={s}"
+        for (gd, gs), (ed, es) in zip(g_s, exp):
+            assert abs(gs - es) < 1e-9
+
+
+def test_knn_graph_block_count_invariant(spark, sf_dir):
+    """blocks_per_bucket only tunes GEMM granularity — the edge set and the
+    scores are bit-identical across block counts (the partial-top-M argument:
+    dropped candidates are dominated within their own block pair)."""
+    emb = _emb(spark, sf_dir).limit(150)
+    plane_sets = [A.hyperplanes(64, 4, seed=A.LSH_SEED + r) for r in range(2)]
+    a = {(r.src, r.dst): r.score
+         for r in A.knn_graph(emb, plane_sets, m=4, blocks_per_bucket=1).collect()}
+    b = {(r.src, r.dst): r.score
+         for r in A.knn_graph(emb, plane_sets, m=4, blocks_per_bucket=4).collect()}
+    assert a == b  # exact float equality: same kernel fold order per pair
+
+
+def test_ivf_entry_points_nearest_members(spark, sf_dir):
+    """entry_points: one id per cell, each the member row nearest its
+    centroid (euclidean, ties -> lowest id)."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir).limit(200)
+    idx = A.IVFIndex(n_cells=4).build(emb)
+    entries = idx.entry_points()
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([[float(x) for x in r.embedding] for r in rows])
+    cents = {cid: np.array(cv) for cid, cv in idx._centroids}
+    assigned = {int(r.vec_id): int(r.centroid_id)
+                for r in idx._assigned.select("vec_id", "centroid_id").collect()}
+    want = []
+    for cid, cv in cents.items():
+        mem = [i for i in range(len(ids)) if assigned[int(ids[i])] == cid]
+        if mem:
+            d = [float(np.sqrt(((mat[i] - cv) ** 2).sum())) for i in mem]
+            best = min(zip(d, (int(ids[i]) for i in mem)))
+            want.append(best[1])
+    assert entries == sorted(want)
+    assert len(entries) == len({assigned[i] for i in assigned})
+    idx.invalidate()
+
+
+def test_ivf_save_crash_heal(spark, sf_dir, tmp_path):
+    """A crash between save()'s two renames leaves only <path>.old;
+    load() heals by renaming it back (store.compact's self-heal contract,
+    round-6 ADVICE item)."""
+    emb = _emb(spark, sf_dir).limit(120)
+    idx = A.IVFIndex(n_cells=3).build(emb)
+    path = str(tmp_path / "ivf_heal")
+    idx.save(path)
+    idx.invalidate()
+    os.rename(path, path + ".old")  # simulate torn swap
+    healed = A.IVFIndex.load(spark, path)
+    assert os.path.isdir(path) and not os.path.exists(path + ".old")
+    assert healed._indexed_rows == 120
+
+
+def test_vectordb_load_corrupt_ivf_sidecar(spark, tmp_path):
+    """A corrupt _ivf_index sidecar falls back to the lazy-rebuild path
+    (db._ivf = None) instead of failing the whole load — api.py docstring
+    contract, round-6 ADVICE item."""
+    import numpy as np
+
+    from educational_vector_database_spark.api import VectorDB
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(8)], None) for i in range(40)]
+    db = VectorDB(spark, dim=8, use_approx=True, n_cells=3)
+    db.add_vectors(spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, text: string"))
+    db.search_vector(rows[0][1], k=2).collect()  # force index build
+    path = str(tmp_path / "store_corrupt_idx")
+    db.save(path)
+    sidecar = os.path.join(path, "_ivf_index", A.IVFIndex.SIDECAR)
+    with open(sidecar, "w") as f:
+        f.write("{not json")
+    db2 = VectorDB.load(spark, path)
+    assert db2._ivf is None
+    got = db2.search_vector(rows[0][1], k=2).collect()  # lazy rebuild works
+    assert got[0].vec_id == 0
