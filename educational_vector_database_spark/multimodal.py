@@ -112,11 +112,26 @@ def synth_media(
 
 def _decode_image_array(content: bytes, meta) -> np.ndarray:
     """bytes -> (H, W, C) uint8. Real for the raw codec; compressed codecs
-    are the documented stub seam (PIL would slot in here)."""
+    route through PIL WHEN PRESENT (the optional-dep seam, same
+    importorskip contract as embeddings.HFEmbeddings — verified by a
+    skipped-by-default parity test, tests/test_multimodal.py) and raise
+    the documented NotImplementedError otherwise."""
     codec = meta["codec"]
     if codec == _RAW:
         h, w, c = int(meta["height"]), int(meta["width"]), int(meta["n_channels"])
         return np.frombuffer(content, dtype=np.uint8, count=h * w * c).reshape(h, w, c)
+    if codec in ("png", "jpeg"):
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError:
+            pass
+        else:
+            arr = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+            if arr.ndim == 2:  # grayscale -> 1-channel
+                arr = arr[:, :, None]
+            return arr
     raise NotImplementedError(
         f"codec {codec!r}: compressed image decode needs PIL/libjpeg "
         "(not in this container); raw-codec plumbing is the tested path"

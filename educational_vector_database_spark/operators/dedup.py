@@ -475,14 +475,21 @@ def minhash_dedup_incremental(
 
     norm_new = _norm(new)
     norm_corp = _norm(corpus)
-    base_new = _minhash_from_text(norm_new, shingle_k, num_hashes).persist()
-    base_new.count()
-    base_corp = _minhash_from_text(norm_corp, shingle_k, num_hashes).persist()
-    base_corp.count()
+    base_new = _minhash_from_text(norm_new, shingle_k, num_hashes)
+    base_corp = _minhash_from_text(norm_corp, shingle_k, num_hashes)
     if persists_out is not None:
-        # both signature caches feed the returned plan; the caller owns
-        # unpersisting them AFTER consuming the result (e.g. a foreachBatch
-        # sink releases per micro-batch instead of accreting cache)
+        # The signature kernel feeds TWO plan branches (exact kill +
+        # banding); persisting materializes it once. The cache outlives
+        # this call (it backs the returned lazy plan), so the CALLER owns
+        # unpersisting after consuming the result (e.g. a foreachBatch sink
+        # releases per micro-batch). Without persists_out nothing is
+        # persisted — each branch recomputes the signatures, slower but
+        # leak-free for direct callers that never clean up (round-6 ADVICE:
+        # the old unconditional persist accreted cached blocks per call).
+        base_new = base_new.persist()
+        base_new.count()
+        base_corp = base_corp.persist()
+        base_corp.count()
         persists_out.extend([base_new, base_corp])
 
     # exact kill: 8-byte fingerprint anti-join semantics, lowest corpus id

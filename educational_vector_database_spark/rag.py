@@ -109,6 +109,61 @@ def assemble_context(topk: DataFrame) -> DataFrame:
     )
 
 
+def answer_query_df(
+    chunks: DataFrame,
+    embeddings: Embeddings,
+    query: str,
+    k: int = 3,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Full RAG answer as ONE DataFrame row — the distributed form of
+    :func:`answer_query` (reference rag.py:74-97), carrying the reference's
+    complete result shape: ``query``, the ordered chunk list (ids and scores
+    as best-first CSV strings — scalar columns hash cross-engine; the chunk
+    TEXTS appear best-first inside ``combined_context``), plus
+    ``combined_context`` and ``answer``. Retrieval and assembly are one
+    Spark plan; nothing is collected driver-side. Ordering is carried
+    inside the collected structs and restored with ``array_sort`` (the
+    assemble_context discipline), key = (-score, chunk_id)."""
+    qv = [float(x) for x in embeddings.embed(query)]
+    topk = retrieve(chunks, qv, k=k, metric=metric)
+    s = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("score")).alias("neg"),
+                F.col("chunk_id").alias("cid"),
+                F.col("score").alias("sc"),
+                F.col("chunk").alias("txt"),
+            )
+        )
+    )
+    return (
+        topk.agg(s.alias("s"))
+        .select(
+            F.lit(query).alias("query"),
+            F.size("s").cast("long").alias("n_chunks"),
+            F.concat_ws(
+                ",", F.transform("s", lambda x: x["cid"].cast("string"))
+            ).alias("chunk_ids_csv"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "s",
+                    lambda x: F.floor(x["sc"] * F.lit(1e12))
+                    .cast("long")
+                    .cast("string"),
+                ),
+            ).alias("chunk_scores_pico_csv"),
+            F.array_join(
+                F.transform("s", lambda x: x["txt"]), CONTEXT_SEP
+            ).alias("combined_context"),
+        )
+        .withColumn(
+            "answer", F.concat(F.lit(ANSWER_PREFIX), F.col("combined_context"))
+        )
+    )
+
+
 def answer_query(
     chunks: DataFrame,
     embeddings: Embeddings,

@@ -88,8 +88,10 @@ def test_audio_features(spark):
 
 
 def test_compressed_codec_raises_not_implemented(spark):
+    # webp is outside even the PIL-backed seam's dispatch ("png"/"jpeg"),
+    # so this raises regardless of whether PIL is installed
     df = spark.createDataFrame(
-        [(0, "image", b"\xff\xd8\xff", (4, 4, 3, None, None, None, "jpeg"))],
+        [(0, "image", b"\xff\xd8\xff", (4, 4, 3, None, None, None, "webp"))],
         M.MEDIA_SCHEMA_DDL,
     )
     with pytest.raises(Exception) as e:
@@ -105,3 +107,39 @@ def test_media_stats_metadata_only(spark):
     assert stats["image"][1] == 12 * 32 * 24 * 3
     assert stats["video"][1] == 3 * 32 * 24 * 3 * 8
     assert stats["audio"][1] == 4 * 16000 * 2  # int16 PCM
+
+
+def test_pil_seam_decodes_png_with_raw_parity(spark):
+    """Optional-dep seam proof (the HFEmbeddings importorskip contract for
+    media): with PIL installed, a PNG payload decodes through
+    _decode_image_array and yields BIT-IDENTICAL features to the raw-codec
+    path of the same pixels (PNG is lossless). Skipped where PIL is absent
+    — the seam then stays the documented NotImplementedError."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, (24, 32, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="RGB").save(buf, format="PNG")
+    png_bytes = buf.getvalue()
+
+    # seam-level parity
+    decoded = M._decode_image_array(
+        png_bytes, {"codec": "png", "height": 24, "width": 32, "n_channels": 3}
+    )
+    assert (decoded == arr).all()
+
+    # operator-level parity: raw row vs png row -> identical feature vectors
+    df = spark.createDataFrame(
+        [
+            (0, "image", arr.tobytes(), (32, 24, 3, None, None, None, "raw")),
+            (1, "image", png_bytes, (32, 24, 3, None, None, None, "png")),
+        ],
+        M.MEDIA_SCHEMA_DDL,
+    )
+    feats = {r.media_id: r.embedding for r in M.image_features(df).collect()}
+    assert feats[0] == feats[1]

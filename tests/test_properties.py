@@ -195,3 +195,69 @@ def test_incremental_dedup_exact_statuses_match_python(spark, docs_txt):
         n = norm(t)
         if n in by_norm:
             assert status == "exact_dup" and match == by_norm[n], (nid, t)
+
+
+@given(
+    vecs=st.lists(vectors, min_size=2, max_size=6),
+    raw_edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)), max_size=20
+    ),
+    raw_entries=st.lists(st.integers(0, 5), min_size=1, max_size=3),
+    beam=st.integers(min_value=1, max_value=3),
+    hops=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=8, deadline=None)
+def test_graph_beam_search_matches_reference_walker(
+    spark, vecs, raw_edges, raw_entries, beam, hops
+):
+    """graph_beam_search's recurrence (visited-set, frontier top-beam,
+    (score DESC, id ASC) ties) pinned against a pure-Python walker on
+    arbitrary graphs — the round-6 verdict's property-test item. Node
+    scores are taken FROM Spark so the comparison isolates the walk
+    logic, not float fold order."""
+    from educational_vector_database_spark.operators import ann as A
+
+    n = len(vecs)
+    edges = sorted({(s % n, d % n) for s, d in raw_edges if s % n != d % n})
+    entries = sorted({e % n for e in raw_entries})
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id: long, embedding: array<double>"
+    )
+    qv = vecs[0]
+    scores = {
+        r.vec_id: r.score
+        for r in df.select(
+            "vec_id",
+            V.similarity("cosine", V.as_double("embedding"),
+                         V.vector_literal(qv)).alias("score"),
+        ).collect()
+    }
+    graph = spark.createDataFrame(
+        edges or [(0, 0)], "src: long, dst: long"
+    )
+    if not edges:
+        graph = graph.filter("src <> dst")  # empty edge list
+    got = [
+        (r.vec_id, r.score)
+        for r in A.graph_beam_search(
+            graph, df, qv, entries, beam=beam, hops=hops, k=4
+        ).collect()
+    ]
+
+    nbrs = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+    visited = {e for e in entries if e in scores}
+    frontier = set(visited)
+    for _ in range(hops):
+        cand = set()
+        for f in frontier:
+            cand |= nbrs.get(f, set())
+        cand -= visited
+        visited |= cand
+        frontier = set(sorted(cand, key=lambda i: (-scores[i], i))[:beam])
+    want = [
+        (i, scores[i])
+        for i in sorted(visited, key=lambda i: (-scores[i], i))[:4]
+    ]
+    assert got == want

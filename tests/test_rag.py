@@ -74,3 +74,22 @@ def test_assemble_context_order_is_best_first(spark):
     row = rag.assemble_context(topk).head()
     assert row.combined_context == "best\n---\nmid\n---\nworst"
     assert row.answer == rag.ANSWER_PREFIX + row.combined_context
+
+
+def test_answer_query_df_matches_dict_form(spark):
+    """answer_query_df (the gated one-row DataFrame form) carries exactly
+    the reference answer_query result shape: same ordered chunk ids/scores,
+    same combined_context and answer as the dict API."""
+    emb = DummyEmbeddings(8)
+    docs = _docs(spark, [(0, "alpha beta gamma delta " * 5), (1, "spark sql engine " * 8)])
+    chunks = rag.build_rag_index(docs, emb, chunk_size=50)
+    want = rag.answer_query(chunks, emb, "alpha beta", k=3)
+    row = rag.answer_query_df(chunks, emb, "alpha beta", k=3).head()
+    assert row.query == want["query"]
+    assert row.n_chunks == len(want["chunks"])
+    assert row.chunk_ids_csv == ",".join(str(c["id"]) for c in want["chunks"])
+    assert row.chunk_scores_pico_csv == ",".join(
+        str(int(np.floor(c["score"] * 1e12))) for c in want["chunks"]
+    )
+    assert row.combined_context == want["combined_context"]
+    assert row.answer == want["answer"]
