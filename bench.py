@@ -169,6 +169,13 @@ HEADLINE = [
     "knn_graph_edges",
     "knn_graph_beam",
     "knn_graph_recall",
+    # round 6: multi-plane-set graph rebuild (recall 0.40 -> 0.96+),
+    # centroid-derived walk entries, end-to-end RAG answer, one-sided
+    # graph maintenance, batched multi-query walk
+    "knn_graph_beam_centroids",
+    "rag_answer",
+    "knn_graph_incremental",
+    "knn_join_graph",
 ]
 
 

@@ -811,6 +811,182 @@ def knn_graph(
     )
 
 
+def knn_graph_incremental(
+    graph: DataFrame,
+    corpus: DataFrame,
+    new: DataFrame,
+    planes: Sequence,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    metric: str = "cosine",
+    blocks_per_bucket: int = 2,
+) -> DataFrame:
+    """One-sided graph-index maintenance — the graph-specific analog of the
+    reference's ``add_items``/``resize_index`` (src/vectordb/ann.py:78-91:
+    HNSW grows in place, inserts never force a rebuild; SURVEY §2 N3 noted
+    the graph-shaped resize as out of scope until now): candidate pairs are
+    generated ONLY for delta×corpus and delta×delta collisions (the
+    one-sided band-join discipline of minhash_dedup_incremental), merged
+    with the EXISTING edge list, and re-topped per node.
+
+    EXACT, not approximate: for a corpus node the full-rebuild candidate
+    set is collisions(corpus) ∪ collisions(delta), and under the total
+    order (score DESC, dst ASC) top-M(top-M(A) ∪ B) = top-M(A ∪ B) — any
+    candidate the old graph dropped was dominated by M retained edges. So
+    the incremental result is bit-identical to :func:`knn_graph` over
+    corpus ∪ delta (the gated oracle IS the full rebuild), at
+    O(|delta| · bucket-density) cost instead of O(corpus²/buckets). The
+    caller contract: ``graph`` must be the knn_graph of ``corpus`` under
+    the SAME plane sets / m / metric."""
+    m_l = metric.lower()
+    if m_l not in V.SUPPORTED_METRICS:
+        raise ValueError(f"Unknown metric: {metric!r}. Supported: {V.SUPPORTED_METRICS}")
+    plane_sets = [planes] if isinstance(planes[0][0], (int, float)) else list(planes)
+
+    def _packed(df: DataFrame) -> DataFrame:
+        src = df.select(F.col(id_col).alias("id"), V.as_double(vector_col).alias("v"))
+        keys = F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("int").alias("r"),
+                    bucket_expr(F.col("v"), ps).alias("bkt"),
+                )
+                for r, ps in enumerate(plane_sets)
+            ]
+        )
+        return (
+            src.select("id", "v", F.explode(keys).alias("k"))
+            .select("id", "v", F.col("k.r").alias("r"), F.col("k.bkt").alias("bkt"))
+            .withColumn(
+                "blk", F.pmod(F.hash("id"), F.lit(blocks_per_bucket)).cast("int")
+            )
+            .groupBy("r", "bkt", "blk")
+            .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+        )
+
+    delta_p, corp_p = _packed(new), _packed(corpus)
+    # delta×corpus: every block combo within (r, bkt), both directions
+    # (corpus nodes need their delta candidates too); same=False always —
+    # the two sides are disjoint id sets, no self pairs to mask
+    cross = (
+        delta_p.alias("a")
+        .join(
+            corp_p.alias("b"),
+            (F.col("a.r") == F.col("b.r")) & (F.col("a.bkt") == F.col("b.bkt")),
+        )
+        .select(
+            F.lit(False).alias("same"),
+            F.col("a.rows").alias("rows_a"),
+            F.col("b.rows").alias("rows_b"),
+        )
+    )
+    # delta×delta: the standard half-matrix
+    self_pairs = (
+        delta_p.alias("a")
+        .join(
+            delta_p.alias("b"),
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.blk") <= F.col("b.blk")),
+        )
+        .select(
+            (F.col("a.blk") == F.col("b.blk")).alias("same"),
+            F.col("a.rows").alias("rows_a"),
+            F.col("b.rows").alias("rows_b"),
+        )
+    )
+    cand = cross.unionByName(self_pairs).mapInPandas(
+        _make_block_topm_kernel(m_l, m), "src long, dst long, score double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        cand.groupBy("src", "dst")
+        .agg(F.max("score").alias("score"))
+        .unionByName(graph.select("src", "dst", "score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .drop("rn")
+    )
+
+
+def graph_beam_search_batch(
+    graph: DataFrame,
+    df: DataFrame,
+    queries: DataFrame,
+    entry_ids: Sequence[int],
+    beam: int = 8,
+    hops: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Batched beam search: N queries walk the graph SIMULTANEOUSLY — the
+    graph-index counterpart of the batch kNN join (operators/knn.py
+    knn_join; ≙ serving the reference's query loop as one plan). State is
+    keyed by (query_id, node): each hop is ONE equi-join of the combined
+    frontier against the edge list plus one row_number window partitioned
+    by query — per-hop cost tracks Σ_q |frontier|·m and the number of
+    Spark jobs is O(hops), NOT O(queries·hops). Scores are computed only
+    for visited (query, node) pairs, never the full cross product.
+    Returns ``(query_id, id, score)`` top-k per query, same recurrence and
+    tie-breaks as :func:`graph_beam_search` per query (parity-tested)."""
+    m_l = metric.lower()
+    if m_l not in V.SUPPORTED_METRICS:
+        raise ValueError(f"Unknown metric: {metric!r}. Supported: {V.SUPPORTED_METRICS}")
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), V.as_double(query_vec_col).alias("qv")
+    )
+    nodes = df.select(F.col(id_col).alias("id"), V.as_double(vector_col).alias("nv"))
+    edges = graph.select("src", "dst")
+    entries = [int(x) for x in entry_ids]
+
+    def score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(nodes, "id")
+            .join(q, "qid")
+            .select("qid", "id", V.similarity(m_l, "nv", "qv").alias("score"))
+        )
+
+    visited = score(
+        q.select("qid").crossJoin(
+            nodes.select("id").filter(F.col("id").isin(entries))
+        )
+    ).localCheckpoint()
+    frontier = visited
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    for _ in range(hops):
+        cand = (
+            frontier.select("qid", F.col("id").alias("src"))
+            .join(edges, "src")
+            .select("qid", F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("qid", "id"), ["qid", "id"], "left_anti")
+        )
+        cand = score(cand).localCheckpoint()
+        visited = visited.unionByName(cand).localCheckpoint()
+        frontier = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= beam)
+            .drop("rn")
+        )
+    return (
+        visited.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .select(
+            F.col("qid").alias(query_id_col), F.col("id").alias(id_col), "score"
+        )
+    )
+
+
 def graph_beam_search(
     graph: DataFrame,
     df: DataFrame,

@@ -561,3 +561,51 @@ def test_vectordb_load_corrupt_ivf_sidecar(spark, tmp_path):
     assert db2._ivf is None
     got = db2.search_vector(rows[0][1], k=2).collect()  # lazy rebuild works
     assert got[0].vec_id == 0
+
+
+def test_knn_graph_incremental_equals_full_rebuild(spark, sf_dir):
+    """The maintenance theorem on real data: one-sided delta fold-in is
+    BIT-identical to the full rebuild (top-M(top-M(A) u B) = top-M(A u B))."""
+    emb = _emb(spark, sf_dir).limit(240)
+    plane_sets = [A.hyperplanes(64, 4, seed=A.LSH_SEED + r) for r in range(2)]
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    base = A.knn_graph(corpus, plane_sets, m=5).persist()
+    merged = {
+        (r.src, r.dst): r.score
+        for r in A.knn_graph_incremental(
+            base, corpus, delta, plane_sets, m=5
+        ).collect()
+    }
+    full = {
+        (r.src, r.dst): r.score
+        for r in A.knn_graph(emb, plane_sets, m=5).collect()
+    }
+    assert merged == full  # exact float equality, same kernel fold order
+    base.unpersist()
+
+
+def test_graph_beam_search_batch_matches_single(spark, sf_dir):
+    """The batched walk is per-query identical to N independent
+    graph_beam_search runs — same recurrence, same tie-breaks."""
+    emb = _emb(spark, sf_dir).limit(300)
+    plane_sets = [A.hyperplanes(64, 4, seed=A.LSH_SEED + r) for r in range(2)]
+    g = A.knn_graph(emb, plane_sets, m=6).persist()
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = {}
+    for r in A.graph_beam_search_batch(
+        g, emb, queries, entry_ids=[0, 5], beam=4, hops=2, k=5
+    ).collect():
+        batch.setdefault(r.query_id, []).append((r.vec_id, r.score))
+    for qid in (0, 1, 2):
+        qv = _qv(spark, sf_dir, qid)
+        single = [
+            (r.vec_id, r.score)
+            for r in A.graph_beam_search(
+                g, emb, qv, [0, 5], beam=4, hops=2, k=5
+            ).collect()
+        ]
+        assert sorted(batch[qid], key=lambda t: (-t[1], t[0])) == single, qid
+    g.unpersist()
