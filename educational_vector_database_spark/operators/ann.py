@@ -811,6 +811,25 @@ def knn_graph(
     )
 
 
+def graph_params_for(n_rows: int) -> dict:
+    """Scale-correct graph/walk parameters for a FLAT k-NN graph (no HNSW
+    hierarchy), encoding the measured degree law (BASELINE.md round-6
+    table): navigability must come from degree, so double ``m`` per 10×
+    corpus from m=16 at n≈2,000; beam ≈ 2m; hops ≈ log2(n)/2 rounded up;
+    one entry cell per ~500 rows. Measured: n=500 → 0.99 recall@10,
+    n=2,000 → 0.956, n=20,000 → 0.96 (m=32, beam=64, hops=6, 40 cells)."""
+    import math
+
+    n = max(2, int(n_rows))
+    m = max(8, int(16 * 2 ** max(0, math.log10(n / 2000.0))))
+    return {
+        "m": m,
+        "beam": 2 * m,
+        "hops": max(2, math.ceil(math.log2(n) / 2)),
+        "n_entry_cells": max(4, n // 500),
+    }
+
+
 def knn_graph_incremental(
     graph: DataFrame,
     corpus: DataFrame,
@@ -925,6 +944,7 @@ def graph_beam_search_batch(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     metric: str = "cosine",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Batched beam search: N queries walk the graph SIMULTANEOUSLY — the
     graph-index counterpart of the batch kNN join (operators/knn.py
@@ -935,7 +955,12 @@ def graph_beam_search_batch(
     Spark jobs is O(hops), NOT O(queries·hops). Scores are computed only
     for visited (query, node) pairs, never the full cross product.
     Returns ``(query_id, id, score)`` top-k per query, same recurrence and
-    tie-breaks as :func:`graph_beam_search` per query (parity-tested)."""
+    tie-breaks as :func:`graph_beam_search` per query (parity-tested).
+    ``checkpoint=False`` keeps the full multi-hop lineage in one lazy plan
+    (plan-contract tests); the default truncates per hop via
+    localCheckpoint — the connected-components discipline, since a
+    ``hops``-deep self-referencing lineage otherwise re-executes earlier
+    hops at each action."""
     m_l = metric.lower()
     if m_l not in V.SUPPORTED_METRICS:
         raise ValueError(f"Unknown metric: {metric!r}. Supported: {V.SUPPORTED_METRICS}")
@@ -955,11 +980,14 @@ def graph_beam_search_batch(
             .select("qid", "id", V.similarity(m_l, "nv", "qv").alias("score"))
         )
 
-    visited = score(
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint() if checkpoint else df
+
+    visited = _ckpt(score(
         q.select("qid").crossJoin(
             nodes.select("id").filter(F.col("id").isin(entries))
         )
-    ).localCheckpoint()
+    ))
     frontier = visited
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     for _ in range(hops):
@@ -970,8 +998,8 @@ def graph_beam_search_batch(
             .distinct()
             .join(visited.select("qid", "id"), ["qid", "id"], "left_anti")
         )
-        cand = score(cand).localCheckpoint()
-        visited = visited.unionByName(cand).localCheckpoint()
+        cand = _ckpt(score(cand))
+        visited = _ckpt(visited.unionByName(cand))
         frontier = (
             cand.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= beam)

@@ -609,3 +609,18 @@ def test_graph_beam_search_batch_matches_single(spark, sf_dir):
         ]
         assert sorted(batch[qid], key=lambda t: (-t[1], t[0])) == single, qid
     g.unpersist()
+
+
+def test_graph_params_degree_law():
+    """graph_params_for encodes the measured flat-graph scaling law
+    (BASELINE.md round-6): m doubles per 10x corpus, beam = 2m, hops grows
+    logarithmically, entry cells ~ n/500."""
+    p500 = A.graph_params_for(500)
+    p2k = A.graph_params_for(2_000)
+    p20k = A.graph_params_for(20_000)
+    assert p2k["m"] == 16 and p20k["m"] == 32
+    assert p20k["beam"] == 64 and p20k["hops"] >= p2k["hops"]
+    assert p20k["n_entry_cells"] == 40
+    assert p500["m"] >= 8 and p500["n_entry_cells"] == 4
+    p2m = A.graph_params_for(2_000_000)
+    assert p2m["m"] == 128  # two more decades -> two more doublings

@@ -294,3 +294,63 @@ def test_dedup_incremental_one_sided_no_cartesian(spark):
     # all equi-joins
     assert re.search(
         r"^\(\d+\) (?:BroadcastHash|SortMerge|ShuffledHash)Join", plan, re.M)
+
+
+def test_knn_graph_edges_bucket_keyed_no_cartesian(spark):
+    """Round-6 graph build: block-pair candidate generation must be an
+    equi-join keyed by (plane-set, bucket) — blk<= rides as a post-join
+    filter — never a cross product, whatever the bucket population. The
+    partial top-M lives in the mapInPandas kernel, so the only window in
+    the plan is the final per-node top-M over the BOUNDED candidate set."""
+    plan = _plan(spark, "knn_graph_edges")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(
+        r"^\(\d+\) (?:BroadcastHash|SortMerge|ShuffledHash)Join", plan, re.M)
+    assert "MapInPandas" in plan
+    # the only window is the final per-node top-M (Spark's rank-limit
+    # optimization may split it into partial/final Window nodes, all
+    # belonging to that one logical window AFTER the kernel)
+    assert plan.index("MapInPandas") > plan.index("Window")
+
+
+def test_knn_graph_incremental_one_sided_no_cartesian(spark):
+    """Graph maintenance joins delta blocks against corpus blocks on the
+    (set, bucket) key only — the corpus never self-joins."""
+    plan = _plan(spark, "knn_graph_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_knn_join_graph_equi_join_per_hop(spark):
+    """The batched walk's hop expansion is an equi-join on src; the only
+    non-equi join allowed is the tiny entries×queries seed cross join
+    (O(queries · entries) rows by construction). Built with
+    checkpoint=False so the full multi-hop lineage is one inspectable
+    plan (the gated query checkpoints per hop)."""
+    from pyspark.sql import functions as F
+
+    from educational_vector_database_spark.operators import ann as A
+    from educational_vector_database_spark.session import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    planes = A.hyperplanes(64, 4)
+    g = A.knn_graph(e, planes, m=4)
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = A.graph_beam_search_batch(
+        g, e, queries, [0, 1], beam=4, hops=2, k=5, checkpoint=False
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    # hop expansions, scoring joins, anti-joins: all equi
+    assert re.search(
+        r"^\(\d+\) (?:BroadcastHash|SortMerge|ShuffledHash)Join", plan, re.M)
+    # no unbroadcastable cross product anywhere: the seed entries×queries
+    # join is the only non-equi join and it must plan as a BROADCAST
+    # nested loop (tiny by construction; its subtree is replicated through
+    # the un-checkpointed lineage, so count CartesianProduct, not BNLJ)
+    assert "CartesianProduct" not in plan
