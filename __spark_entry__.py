@@ -5935,6 +5935,48 @@ def _knn_join_graph_oracle() -> str:
 """
 
 
+def _knn_graph_disk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-index lifecycle under gate (the GraphIndex analog of
+    knn_ivf_disk_roundtrip): build via the GraphIndex orchestration, SAVE
+    the edge list + sidecar, drop in-memory state, LOAD, and beam-walk off
+    the loaded table from HUB entries (top in-degree nodes — the
+    flat-graph analog of HNSW's maintained entry point, selected FROM the
+    index itself). The oracle replicates graph + hub selection + walk, so
+    save/load losslessness AND the hub-entry derivation are both
+    hash-checked."""
+    import tempfile
+    import uuid
+
+    e = _emb(spark, sf_dir)
+    idx = A.GraphIndex(
+        n_plane_sets=GRAPH_R, n_planes=4, m=GRAPH_M, seed=A.LSH_SEED,
+    ).build(e)
+    path = os.path.join(
+        tempfile.gettempdir(), f"evdb_graph_disk_{uuid.uuid4().hex[:8]}"
+    )
+    idx.save(path)
+    idx.invalidate()
+    loaded = A.GraphIndex.load(spark, path)
+    layout_ok = os.path.exists(os.path.join(path, A.GraphIndex.SIDECAR))
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    res = loaded.query(
+        e, qv, k=TOP_K, beam=GRAPH_BEAM, hops=GRAPH_HOPS, n_entries=4,
+        assume_fresh=True,
+    )
+    return res.select("vec_id", "score").withColumn(
+        "layout_ok", F.lit(bool(layout_ok))
+    )
+
+
+def _knn_graph_disk_roundtrip_oracle() -> str:
+    hub = """SELECT dst AS entry_id FROM graph
+             GROUP BY dst ORDER BY count(*) DESC, dst ASC LIMIT 4"""
+    walk = _beam_walk_sql(f"SELECT entry_id FROM ({hub})")
+    return f"""
+    SELECT vec_id, score, TRUE AS layout_ok FROM ({walk})
+"""
+
+
 def _neardup_brp_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN distance→similarity (≙ reference api.py:81-91, the euclidean
     branch 1/(1+d); operators/ann.py ann_distance_to_similarity is the
@@ -6667,6 +6709,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings_random_projection (showcases uncited by any §2 row;
         # text-analysis stays in-window via doc_quality + lang_id_eval +
         # doc_repetition_stats, sketches via docs_contamination).
+        # Round-6 second rotation (more new graph ops): IN
+        # knn_graph_incremental (one-sided maintenance, gated vs the full
+        # rebuild), knn_join_graph (batched walk) and
+        # knn_graph_disk_roundtrip (GraphIndex save/load + hub entries);
+        # OUT knn_ivf_recall, dedup_minhash_recall (quality EVALS whose
+        # families keep 4+ in-window rows each) and stream_events_dedup
+        # (streaming family stays via ingest_chunks/tumbling/sessionize/
+        # quality_audit).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -6688,7 +6738,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _dedup_minhash,
         "dedup_minhash_capped": _dedup_minhash_capped,
         "dedup_incremental": _dedup_incremental,
-        "dedup_minhash_recall": _dedup_minhash_recall,
         "dedup_ngram": _dedup_ngram,
         "dedup_simhash": _dedup_simhash,
         "dedup_survivors": _dedup_survivors,
@@ -6697,12 +6746,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": _docs_contamination,
         "ivf_cells": _ivf_cells,
         "knn_ivf": _knn_ivf,
-        "knn_ivf_recall": _knn_ivf_recall,
         "knn_lsh_bucket": _knn_lsh_bucket,
         "knn_graph_edges": _knn_graph_edges,
         "knn_graph_beam": _knn_graph_beam,
         "knn_graph_beam_centroids": _knn_graph_beam_centroids,
         "knn_graph_recall": _knn_graph_recall,
+        "knn_graph_incremental": _knn_graph_incremental,
+        "knn_join_graph": _knn_join_graph,
+        "knn_graph_disk_roundtrip": _knn_graph_disk_roundtrip,
         "rag_answer": _rag_answer,
         "neardup_brp_lsh": _neardup_brp_lsh,
         "doc_quality": _doc_quality,
@@ -6713,12 +6764,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": _doc_repetition_stats,
         "stream_events_tumbling": _stream_events_tumbling,
         "stream_events_sessionize": _stream_events_sessionize,
-        "stream_events_dedup": _stream_events_dedup,
         "events_quality_audit": _events_quality_audit,
         "ivf_train_converged": _ivf_train_converged,
         "knn_ivf_rebalanced": _knn_ivf_rebalanced,
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
+        "knn_ivf_recall": _knn_ivf_recall,
+        "dedup_minhash_recall": _dedup_minhash_recall,
+        "stream_events_dedup": _stream_events_dedup,
         "docs_tfidf_keywords": _docs_tfidf_keywords,
         "docs_kmv_distinct": _docs_kmv_distinct,
         "embeddings_random_projection": _embeddings_random_projection,
@@ -6797,8 +6850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_stratified": _docs_sample_stratified,
         "embeddings_quantize_error": _embeddings_quantize_error,
         "neardup_brp_similarity": _neardup_brp_similarity,
-        "knn_graph_incremental": _knn_graph_incremental,
-        "knn_join_graph": _knn_join_graph,
         "tpch_q14_promo": _tpch_q14_promo,
         "events_markov_transitions": _events_markov_transitions,
         "docs_curation_pipeline": _docs_curation_pipeline,
@@ -7088,6 +7139,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_recall": _knn_graph_recall_oracle(),
         "knn_graph_incremental": _knn_graph_incremental_oracle(),
         "knn_join_graph": _knn_join_graph_oracle(),
+        "knn_graph_disk_roundtrip": _knn_graph_disk_roundtrip_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

@@ -176,6 +176,7 @@ HEADLINE = [
     "rag_answer",
     "knn_graph_incremental",
     "knn_join_graph",
+    "knn_graph_disk_roundtrip",
 ]
 
 

@@ -1070,6 +1070,218 @@ def graph_beam_search(
     )
 
 
+def graph_hub_entries(graph: DataFrame, n_entries: int = 4) -> list[int]:
+    """Walk entry selection FROM THE GRAPH ITSELF: the ``n_entries``
+    highest in-degree nodes (ties -> lowest id). The flat-graph analog of
+    HNSW's top-layer entry point (reference src/vectordb/ann.py:93-102
+    descends from the maintained entry): high in-degree nodes are the
+    hubs many neighborhoods point AT, so a walk from them reaches any
+    region in few hops. One groupBy over the edge list + a driver-side
+    top-N of O(nodes) counts — deterministic and SQL-replicable (the
+    disk-roundtrip gate checks it)."""
+    rows = (
+        graph.groupBy("dst")
+        .count()
+        .orderBy(F.desc("count"), F.asc("dst"))
+        .limit(n_entries)
+        .collect()
+    )
+    return [int(r.dst) for r in rows]
+
+
+class GraphIndex:
+    """Cached batch GRAPH index with the same lazy-maintenance lifecycle as
+    :class:`IVFIndex` — the Spark orchestration of the reference's HNSW
+    (ref api.py:42-79: ``_maybe_init_ann`` rebuilds when sizes drift,
+    inserts incrementally when the index exists; ann.py:78-91 resize+add):
+
+    - ``build(df)`` — :func:`knn_graph` over the corpus, persisted.
+    - ``ensure(df)`` — no-op when fresh; PURE APPENDS (every indexed id
+      still present, content fingerprint unchanged) fold in via
+      :func:`knn_graph_incremental` (bit-identical to a rebuild — the
+      top-M merge theorem); any other drift rebuilds.
+    - ``query(df, qv)`` — :func:`graph_beam_search` from hub entries
+      (:func:`graph_hub_entries`), walk params defaulting to the measured
+      degree law (:func:`graph_params_for`).
+    - ``save``/``load`` — edge-list parquet + JSON sidecar (plane seeds,
+      m, metric, indexed size, hub entries). Loading serves walks straight
+      off the table: each hop is an equi-join against it, no rebuild.
+    """
+
+    SIDECAR = "_graph_index.json"
+
+    def __init__(
+        self,
+        n_plane_sets: int = 4,
+        n_planes: int = 4,
+        m: int = 16,
+        metric: str = "cosine",
+        id_col: str = "vec_id",
+        vector_col: str = "embedding",
+        seed: int = LSH_SEED,
+        blocks_per_bucket: int = 2,
+    ):
+        self.n_plane_sets = n_plane_sets
+        self.n_planes = n_planes
+        self.m = m
+        self.metric = metric
+        self.id_col = id_col
+        self.vector_col = vector_col
+        self.seed = seed
+        self.blocks_per_bucket = blocks_per_bucket
+        self._edges: DataFrame | None = None
+        self._indexed_rows = -1
+        self._entries: list[int] | None = None
+        self._dim: int | None = None
+
+    def _plane_sets(self, dim: int) -> list[list[list[float]]]:
+        return [
+            hyperplanes(dim, self.n_planes, seed=self.seed + r)
+            for r in range(self.n_plane_sets)
+        ]
+
+    def _infer_dim(self, df: DataFrame) -> int:
+        if self._dim is None:
+            self._dim = len(df.select(self.vector_col).head()[0])
+        return self._dim
+
+    def build(self, df: DataFrame) -> "GraphIndex":
+        self.invalidate()
+        dim = self._infer_dim(df)
+        edges = knn_graph(
+            df,
+            self._plane_sets(dim),
+            m=self.m,
+            id_col=self.id_col,
+            vector_col=self.vector_col,
+            metric=self.metric,
+            blocks_per_bucket=self.blocks_per_bucket,
+        ).persist()
+        edges.count()
+        self._edges = edges
+        self._indexed_rows = df.count()
+        self._entries = None
+        return self
+
+    def invalidate(self) -> None:
+        if self._edges is not None:
+            self._edges.unpersist()
+        self._edges = None
+        self._indexed_rows = -1
+        self._entries = None
+
+    def is_stale(self, df: DataFrame) -> bool:
+        return self._edges is None or df.count() != self._indexed_rows
+
+    def ensure(self, df: DataFrame) -> "GraphIndex":
+        """Lazy maintenance: fresh -> no-op; pure append -> one-sided
+        incremental fold-in (EXACT, not approximate); other drift ->
+        rebuild. Same reconciliation protocol as IVFIndex.ensure (anti-join
+        + content fingerprint on the overlap), same contract bound:
+        count-preserving in-place rewrites need an explicit invalidate."""
+        if self._edges is None:
+            return self.build(df)
+        n = df.count()
+        if n == self._indexed_rows:
+            return self
+        indexed_ids = self._edges.select(F.col("src").alias(self.id_col)).distinct()
+        delta = df.join(indexed_ids, self.id_col, "left_anti")
+        corpus = df.join(indexed_ids, self.id_col, "left_semi")
+        if corpus.count() == self._indexed_rows and delta.count() == n - self._indexed_rows:
+            dim = self._infer_dim(df)
+            merged = knn_graph_incremental(
+                self._edges,
+                corpus,
+                delta,
+                self._plane_sets(dim),
+                m=self.m,
+                id_col=self.id_col,
+                vector_col=self.vector_col,
+                metric=self.metric,
+                blocks_per_bucket=self.blocks_per_bucket,
+            ).persist()
+            merged.count()
+            old = self._edges
+            self._edges = merged
+            old.unpersist()
+            self._indexed_rows = n
+            self._entries = None
+            return self
+        return self.build(df)
+
+    def entries(self, n_entries: int = 4) -> list[int]:
+        if self._edges is None:
+            raise ValueError("entries() requires a built index")
+        if self._entries is None or len(self._entries) != n_entries:
+            self._entries = graph_hub_entries(self._edges, n_entries)
+        return self._entries
+
+    def query(
+        self,
+        df: DataFrame,
+        query_vector: Sequence[float],
+        k: int = 5,
+        beam: int | None = None,
+        hops: int | None = None,
+        n_entries: int = 4,
+        assume_fresh: bool = False,
+    ) -> DataFrame:
+        if not assume_fresh or self._edges is None:
+            self.ensure(df)
+        p = graph_params_for(self._indexed_rows)
+        return graph_beam_search(
+            self._edges,
+            df,
+            query_vector,
+            self.entries(n_entries),
+            beam=beam if beam is not None else p["beam"],
+            hops=hops if hops is not None else p["hops"],
+            k=k,
+            id_col=self.id_col,
+            vector_col=self.vector_col,
+            metric=self.metric,
+        )
+
+    def save(self, path: str) -> "GraphIndex":
+        if self._edges is None:
+            raise ValueError("index not built; call build()/ensure() first")
+        self._edges.write.mode("overwrite").parquet(path)
+        sidecar = {
+            "n_plane_sets": self.n_plane_sets,
+            "n_planes": self.n_planes,
+            "m": self.m,
+            "metric": self.metric,
+            "id_col": self.id_col,
+            "vector_col": self.vector_col,
+            "seed": self.seed,
+            "blocks_per_bucket": self.blocks_per_bucket,
+            "indexed_rows": self._indexed_rows,
+            "dim": self._dim,
+        }
+        with open(os.path.join(path, self.SIDECAR), "w", encoding="utf-8") as f:
+            json.dump(sidecar, f)
+        return self
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "GraphIndex":
+        with open(os.path.join(path, cls.SIDECAR), encoding="utf-8") as f:
+            meta = json.load(f)
+        idx = cls(
+            n_plane_sets=int(meta["n_plane_sets"]),
+            n_planes=int(meta["n_planes"]),
+            m=int(meta["m"]),
+            metric=meta["metric"],
+            id_col=meta["id_col"],
+            vector_col=meta["vector_col"],
+            seed=int(meta["seed"]),
+            blocks_per_bucket=int(meta["blocks_per_bucket"]),
+        )
+        idx._edges = spark.read.parquet(path)
+        idx._indexed_rows = int(meta["indexed_rows"])
+        idx._dim = int(meta["dim"]) if meta.get("dim") is not None else None
+        return idx
+
+
 def ann_distance_to_similarity(dist: Column, metric: str = "euclidean") -> Column:
     """Distance→similarity conversion for ANN results (≙ reference
     src/vectordb/api.py:81-91 ``_convert_ann_distances_to_similarity``):

@@ -624,3 +624,50 @@ def test_graph_params_degree_law():
     assert p500["m"] >= 8 and p500["n_entry_cells"] == 4
     p2m = A.graph_params_for(2_000_000)
     assert p2m["m"] == 128  # two more decades -> two more doublings
+
+
+def test_graph_index_lifecycle(spark, sf_dir, tmp_path):
+    """GraphIndex orchestration: build -> pure-append ensure folds in via
+    the incremental path and equals a fresh rebuild; save/load roundtrips
+    losslessly; query returns best-first results off the loaded table."""
+    emb = _emb(spark, sf_dir).limit(200)
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    idx = A.GraphIndex(n_plane_sets=2, m=5).build(corpus)
+    n0 = idx._indexed_rows
+    assert not idx.is_stale(corpus)
+    # pure append -> incremental fold-in, bit-identical to a rebuild
+    idx.ensure(emb)
+    assert idx._indexed_rows == emb.count() > n0
+    got = {(r.src, r.dst): r.score for r in idx._edges.collect()}
+    fresh = A.GraphIndex(n_plane_sets=2, m=5).build(emb)
+    want = {(r.src, r.dst): r.score for r in fresh._edges.collect()}
+    assert got == want
+    # hub entries are deterministic and part of the saved/loaded contract
+    ent = idx.entries(3)
+    assert len(ent) == 3 and ent == idx.entries(3)
+    path = str(tmp_path / "gidx")
+    idx.save(path)
+    idx.invalidate()
+    loaded = A.GraphIndex.load(spark, path)
+    assert loaded._indexed_rows == emb.count()
+    assert {(r.src, r.dst) for r in loaded._edges.collect()} == set(want)
+    qv = _qv(spark, sf_dir, 7)
+    rows = loaded.query(emb, qv, k=5, assume_fresh=True).collect()
+    assert len(rows) == 5
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    fresh.invalidate()
+    loaded.invalidate()
+
+
+def test_graph_index_ensure_rebuilds_on_drift(spark, sf_dir):
+    """Non-append drift (an indexed id removed) forces a full rebuild, not
+    the incremental path."""
+    emb = _emb(spark, sf_dir).limit(150)
+    idx = A.GraphIndex(n_plane_sets=2, m=4).build(emb)
+    drifted = emb.filter(F.col("vec_id") % 7 != 0)  # deletions
+    idx.ensure(drifted)
+    assert idx._indexed_rows == drifted.count()
+    srcs = {r.src for r in idx._edges.select("src").distinct().collect()}
+    assert all(s % 7 != 0 for s in srcs)  # removed ids left the graph
+    idx.invalidate()
