@@ -47,9 +47,12 @@ class VectorDB:
         vector_col: str = "embedding",
         use_approx: bool = False,
         n_cells: int = 16,
+        index_type: str = "ivf",
     ):
         if metric.lower() not in V.SUPPORTED_METRICS:
             raise ValueError(f"Unknown metric: {metric!r}")
+        if index_type not in ("ivf", "graph"):
+            raise ValueError(f"Unknown index_type: {index_type!r} (ivf|graph)")
         self.spark = spark
         self.dim = dim
         self.metric = metric.lower()
@@ -60,7 +63,12 @@ class VectorDB:
         # lazily (re)built cached index; stale after appends, rebuilt on the
         # next search — never on the write path.
         self.use_approx = use_approx
+        # which approximate index serves reads: "ivf" (cell-probe, the
+        # partition-pruning disk path) or "graph" (beam walk over the k-NN
+        # graph — ≙ the reference's HNSW serving, api.py:26-35 use_ann)
+        self.index_type = index_type
         self._ivf = None
+        self._graph = None
         self._n_cells = n_cells
         self._df = df if df is not None else spark.createDataFrame(
             [], f"{id_col} bigint, {vector_col} array<double>, text string"
@@ -138,6 +146,23 @@ class VectorDB:
 
     def search_vector(self, query_vector: Sequence[float], k: int = 5) -> DataFrame:
         extra = [c for c in self._df.columns if c not in (self.id_col, self.vector_col)]
+        if self.use_approx and self.index_type == "graph":
+            from .operators.ann import GraphIndex
+
+            if self._graph is None:
+                self._graph = GraphIndex(
+                    metric=self.metric, vector_col=self.vector_col,
+                    id_col=self.id_col,
+                )
+            self._graph.ensure(self._df)  # lazy rebuild / exact fold-in
+            res = self._graph.query(
+                self._df, query_vector, k=k, assume_fresh=True
+            )
+            if extra:
+                res = res.join(
+                    self._df.select(self.id_col, *extra), self.id_col, "left"
+                ).orderBy(F.desc("score"), F.asc(self.id_col))
+            return res
         if self.use_approx:
             from .operators.ann import IVFIndex
 
@@ -234,6 +259,8 @@ class VectorDB:
             )
             if self._ivf is not None and self._ivf._assigned is not None:
                 self._ivf.save(os.path.join(path, "_ivf_index"))
+            if self._graph is not None and self._graph._edges is not None:
+                self._graph.save(os.path.join(path, "_graph_index"))
 
     @classmethod
     def load(
@@ -259,4 +286,13 @@ class VectorDB:
                 # corrupt/truncated sidecar or partial index dir: fall back
                 # to the lazy-rebuild path exactly as when the dir is absent
                 db._ivf = None
+        gidx_dir = os.path.join(path, "_graph_index")
+        if cfg.use_approx and os.path.isdir(gidx_dir):
+            from .operators.ann import GraphIndex
+
+            try:
+                db._graph = GraphIndex.load(spark, gidx_dir)
+                db.index_type = "graph"
+            except (OSError, json.JSONDecodeError, KeyError, ValueError):
+                db._graph = None  # same lazy-rebuild fallback as IVF
         return db

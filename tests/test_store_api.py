@@ -202,3 +202,46 @@ def test_save_load_carries_built_ivf_index(spark, tmp_path):
     db2.add_vectors(spark.createDataFrame(
         [(999, q, None)], "vec_id: long, embedding: array<double>, text: string"))
     assert 999 in {r.vec_id for r in db2.search_vector(q, k=3).collect()}
+
+
+def test_vectordb_graph_index_search_and_roundtrip(spark, tmp_path):
+    """index_type="graph": searches route through the GraphIndex beam walk
+    (lazy-built on first search, exact fold-in on pure appends), and
+    save/load persists the edge list under <store>/_graph_index so the
+    reloaded DB serves walks without a rebuild."""
+    import numpy as np
+
+    from educational_vector_database_spark.api import VectorDB
+
+    rng = np.random.RandomState(23)
+    rows = [(i, [float(x) for x in rng.randn(8)], None) for i in range(120)]
+    db = VectorDB(spark, dim=8, use_approx=True, index_type="graph")
+    db.add_vectors(spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, text: string"))
+    q = rows[11][1]
+    got = db.search_vector(q, k=3).collect()
+    assert len(got) == 3
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    assert db._graph is not None and db._ivf is None
+
+    path = str(tmp_path / "store_graph_idx")
+    db.save(path)
+    db2 = VectorDB.load(spark, path)
+    assert db2.index_type == "graph"
+    assert db2._graph is not None and db2._graph._indexed_rows == 120
+    got2 = db2.search_vector(q, k=3).collect()
+    assert [(r.vec_id, r.score) for r in got2] == [(r.vec_id, r.score) for r in got]
+    # the store itself stays a readable plain table
+    assert spark.read.parquet(path).count() == 120
+    db._graph.invalidate()
+    db2._graph.invalidate()
+
+
+def test_vectordb_unknown_index_type_raises(spark):
+    import pytest as _pytest
+
+    from educational_vector_database_spark.api import VectorDB
+
+    with _pytest.raises(ValueError, match="index_type"):
+        VectorDB(spark, dim=4, index_type="hnsw")
