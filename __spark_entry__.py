@@ -5610,12 +5610,13 @@ def _build_graph(e: DataFrame) -> DataFrame:
     return A.knn_graph(e, _GRAPH_PLANE_SETS, m=GRAPH_M, blocks_per_bucket=2)
 
 
-def _graph_cte() -> str:
+def _graph_cte(e_where: str = "") -> str:
     """Shared SQL replica of the multi-plane-set graph build: candidate =
     same-bucket pair in ANY plane set (UNION dedupes), score = dot of
     unit-normalized vectors — the block-GEMM kernel's exact formulation
     (unit-then-dot, the same form the bucketed near-dup gate already proved
-    bit-equal), per-node top-GRAPH_M with (score DESC, dst ASC) ties."""
+    bit-equal), per-node top-GRAPH_M with (score DESC, dst ASC) ties.
+    ``e_where`` restricts the node set (e.g. to dedup survivors)."""
 
     def lit_vec(h):
         return "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in h) + "]"
@@ -5635,7 +5636,7 @@ def _graph_cte() -> str:
         for r in range(len(_GRAPH_PLANE_SETS))
     )
     return f"""
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{e_where}),
     u AS (SELECT vec_id, v,
                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv,
                  {bkts}
@@ -5677,10 +5678,9 @@ def _knn_graph_edges_oracle() -> str:
 """
 
 
-def _beam_walk_sql(entries_sql: str) -> str:
-    """Hop-unrolled SQL replica of graph_beam_search's recurrence; the walk
-    scores nodes against the query with the _COS form (operators/ann.py
-    graph_beam_search uses V.similarity), independent of the edge scores."""
+def _walk_hops_ctes() -> list[str]:
+    """The hop-unrolled CTE fragments of graph_beam_search's recurrence
+    (expects ``graph``, ``sn``, ``v0``, ``f0`` already defined)."""
     hops = []
     for h in range(1, GRAPH_HOPS + 1):
         hops.append(f"""
@@ -5693,6 +5693,13 @@ def _beam_walk_sql(entries_sql: str) -> str:
              UNION ALL SELECT id, score FROM c{h}s),
     f{h} AS (SELECT id, score FROM c{h}s ORDER BY score DESC, id ASC
              LIMIT {GRAPH_BEAM})""")
+    return hops
+
+
+def _beam_walk_sql(entries_sql: str) -> str:
+    """Hop-unrolled SQL replica of graph_beam_search's recurrence; the walk
+    scores nodes against the query with the _COS form (operators/ann.py
+    graph_beam_search uses V.similarity), independent of the edge scores."""
     return f"""
     WITH {_graph_cte()},
     q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
@@ -5701,7 +5708,7 @@ def _beam_walk_sql(entries_sql: str) -> str:
            FROM e CROSS JOIN q),
     v0 AS (SELECT id, score FROM sn WHERE id IN ({entries_sql})),
     f0 AS (SELECT id, score FROM v0),
-    {",".join(hops)}
+    {",".join(_walk_hops_ctes())}
     SELECT id AS vec_id, score FROM v{GRAPH_HOPS}
     ORDER BY score DESC, id ASC LIMIT {TOP_K}
 """
@@ -5974,6 +5981,91 @@ def _knn_graph_disk_roundtrip_oracle() -> str:
     walk = _beam_walk_sql(f"SELECT entry_id FROM ({hub})")
     return f"""
     SELECT vec_id, score, TRUE AS layout_ok FROM ({walk})
+"""
+
+
+def _knn_graph_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-then-index — the production pipeline the sf10 clone
+    pathology demands (BASELINE.md: a flat k-NN graph is not navigable on
+    duplicate-heavy data): near-dup pairs (sign-LSH bucketed block GEMM)
+    -> connected components -> min-id representatives -> build the graph
+    on REPRESENTATIVES only -> hub-entry beam walk over reps -> EXPAND the
+    winning reps back to their cluster members -> exact re-score of the
+    expanded candidate set. One gated row hash-checks the whole
+    contraction/serve/expansion composition (pairs + CC + graph + hub +
+    walk + expansion all replicated in SQL)."""
+    e = _emb(spark, sf_dir)
+    pairs = D.embedding_near_dup_bucketed(e, _PLANES, threshold=0.45).select(
+        "id_a", "id_b"
+    )
+    cc = _track_persist(D.connected_components(pairs))  # (id, cluster_id)
+    labeled = e.join(cc, e.vec_id == cc.id, "left").select(
+        e.vec_id,
+        "embedding",
+        F.coalesce("cluster_id", e.vec_id).alias("cid"),
+    )
+    reps = labeled.filter(F.col("vec_id") == F.col("cid")).select(
+        "vec_id", "embedding"
+    )
+    graph = _track_persist(A.knn_graph(
+        reps, _GRAPH_PLANE_SETS, m=GRAPH_M, blocks_per_bucket=2
+    ))
+    entries = A.graph_hub_entries(graph, 4)
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    walk = A.graph_beam_search(
+        graph, reps, qv, entries, beam=GRAPH_BEAM, hops=GRAPH_HOPS, k=TOP_K
+    )
+    expanded = labeled.join(
+        walk.select(F.col("vec_id").alias("cid")), "cid"
+    ).select("vec_id")
+    return K.knn(e.join(expanded, "vec_id", "left_semi"), qv, k=TOP_K)
+
+
+def _knn_graph_dedup_reps_oracle() -> str:
+    hub = """SELECT dst AS entry_id FROM graph
+             GROUP BY dst ORDER BY count(*) DESC, dst ASC LIMIT 4"""
+    return f"""
+    WITH RECURSIVE bp AS (
+        SELECT id_a, id_b FROM ({_neardup_embedding_bucketed_oracle()})
+    ),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM bp
+        UNION SELECT id_b, id_a FROM bp
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    lab AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a),
+    reps AS (
+        SELECT e0.vec_id FROM embeddings e0 LEFT JOIN lab ON e0.vec_id = lab.id
+        WHERE coalesce(lab.cluster_id, e0.vec_id) = e0.vec_id
+    ),
+    {_graph_cte(" WHERE vec_id IN (SELECT vec_id FROM reps)")},
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {IVF_QUERY_ID}),
+    sn AS (SELECT e.vec_id AS id, {_COS.format(a='e.v', b='q.qv')} AS score
+           FROM e CROSS JOIN q),
+    v0 AS (SELECT id, score FROM sn WHERE id IN ({hub})),
+    f0 AS (SELECT id, score FROM v0),
+    {",".join(_walk_hops_ctes())},
+    walkres AS (
+        SELECT id FROM v{GRAPH_HOPS} ORDER BY score DESC, id ASC LIMIT {TOP_K}
+    ),
+    clus AS (
+        SELECT e2.vec_id, coalesce(lab.cluster_id, e2.vec_id) AS cid
+        FROM embeddings e2 LEFT JOIN lab ON e2.vec_id = lab.id
+    ),
+    expanded AS (
+        SELECT c.vec_id FROM clus c JOIN walkres w ON c.cid = w.id
+    )
+    SELECT e3.vec_id,
+           {_COS.format(a='e3.embedding::DOUBLE[]', b='q.qv')} AS score
+    FROM embeddings e3 CROSS JOIN q
+    WHERE e3.vec_id IN (SELECT vec_id FROM expanded)
+    ORDER BY score DESC, e3.vec_id ASC
+    LIMIT {TOP_K}
 """
 
 
@@ -6715,8 +6807,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # knn_graph_disk_roundtrip (GraphIndex save/load + hub entries);
         # OUT knn_ivf_recall, dedup_minhash_recall (quality EVALS whose
         # families keep 4+ in-window rows each) and stream_events_dedup
-        # (streaming family stays via ingest_chunks/tumbling/sessionize/
-        # quality_audit).
+        # (streaming family stays via ingest_chunks/tumbling/sessionize).
+        # Third rotation: IN knn_graph_dedup_reps (the dedup-then-index
+        # composition the sf10 clone pathology demands), OUT
+        # events_quality_audit (events batch family stays via the window/
+        # sessionize/histogram rows past the window + streaming rows in).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -6754,6 +6849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_incremental": _knn_graph_incremental,
         "knn_join_graph": _knn_join_graph,
         "knn_graph_disk_roundtrip": _knn_graph_disk_roundtrip,
+        "knn_graph_dedup_reps": _knn_graph_dedup_reps,
         "rag_answer": _rag_answer,
         "neardup_brp_lsh": _neardup_brp_lsh,
         "doc_quality": _doc_quality,
@@ -6764,11 +6860,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": _doc_repetition_stats,
         "stream_events_tumbling": _stream_events_tumbling,
         "stream_events_sessionize": _stream_events_sessionize,
-        "events_quality_audit": _events_quality_audit,
         "ivf_train_converged": _ivf_train_converged,
         "knn_ivf_rebalanced": _knn_ivf_rebalanced,
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
+        "events_quality_audit": _events_quality_audit,
         "knn_ivf_recall": _knn_ivf_recall,
         "dedup_minhash_recall": _dedup_minhash_recall,
         "stream_events_dedup": _stream_events_dedup,
@@ -6850,6 +6946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_stratified": _docs_sample_stratified,
         "embeddings_quantize_error": _embeddings_quantize_error,
         "neardup_brp_similarity": _neardup_brp_similarity,
+        "knn_graph_dedup_reps": _knn_graph_dedup_reps,
         "tpch_q14_promo": _tpch_q14_promo,
         "events_markov_transitions": _events_markov_transitions,
         "docs_curation_pipeline": _docs_curation_pipeline,
@@ -7140,6 +7237,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_incremental": _knn_graph_incremental_oracle(),
         "knn_join_graph": _knn_join_graph_oracle(),
         "knn_graph_disk_roundtrip": _knn_graph_disk_roundtrip_oracle(),
+        "knn_graph_dedup_reps": _knn_graph_dedup_reps_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

@@ -177,6 +177,7 @@ HEADLINE = [
     "knn_graph_incremental",
     "knn_join_graph",
     "knn_graph_disk_roundtrip",
+    "knn_graph_dedup_reps",
 ]
 
 
