@@ -799,12 +799,24 @@ def knn_graph(
     cand = pairs.mapInPandas(
         _make_block_topm_kernel(m_l, m), "src long, dst long, score double"
     )
+    return _topm_edges(cand, m)
+
+
+def _topm_edges(cand: DataFrame, m: int) -> DataFrame:
+    """Dedup candidate edges (same pair from several plane sets carries
+    identical score bits — same kernel, same fold) and keep each node's
+    top-m. ONE Exchange: repartitioning by ``src`` satisfies BOTH the
+    (src, dst) aggregate's clustering (hash(src) co-locates every
+    (src, ·) row) and the per-src window, so Catalyst plans
+    partial-agg → Exchange(src) → final-agg → window with no second
+    shuffle — verified in tests/test_plans.py."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
     return (
-        cand.groupBy("src", "dst")
-        .agg(F.max("score").alias("score"))  # same pair in R sets: identical bits
+        cand.repartition("src")
+        .groupBy("src", "dst")
+        .agg(F.max("score").alias("score"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= m)
         .drop("rn")
@@ -918,16 +930,10 @@ def knn_graph_incremental(
     cand = cross.unionByName(self_pairs).mapInPandas(
         _make_block_topm_kernel(m_l, m), "src long, dst long, score double"
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
-    return (
-        cand.groupBy("src", "dst")
-        .agg(F.max("score").alias("score"))
-        .unionByName(graph.select("src", "dst", "score"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= m)
-        .drop("rn")
+    # existing edges are already (src, dst)-distinct; union them below the
+    # shared single-Exchange dedup+top-m tail
+    return _topm_edges(
+        cand.unionByName(graph.select("src", "dst", "score")), m
     )
 
 

@@ -312,6 +312,10 @@ def test_knn_graph_edges_bucket_keyed_no_cartesian(spark):
     # optimization may split it into partial/final Window nodes, all
     # belonging to that one logical window AFTER the kernel)
     assert plan.index("MapInPandas") > plan.index("Window")
+    # single-Exchange tail: hash(src) satisfies both the (src,dst) dedup
+    # aggregate (subset clustering) and the per-src window
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Exchange", tree[: tree.index("MapInPandas")])) == 1
 
 
 def test_knn_graph_incremental_one_sided_no_cartesian(spark):
