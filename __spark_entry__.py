@@ -6069,6 +6069,168 @@ def _knn_graph_dedup_reps_oracle() -> str:
 """
 
 
+PQ_K_ROWS = 16  # fixture codebook rows (vec_id < 16), 4-bit codes
+PQ_SHORTLIST = 50
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Fixture PQ codebooks: subvectors of the first PQ_K_ROWS stored rows
+    (trained codebooks live in operators/pq.py train_pq_codebooks; fixture
+    keeps the family SQL-oracle-checkable — the _ivf_centroids
+    discipline)."""
+    from educational_vector_database_spark.operators import pq as PQ
+
+    rows = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < PQ_K_ROWS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return PQ.pq_codebooks_from_rows(
+        [[float(x) for x in r.embedding] for r in rows]
+    )
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode of the whole corpus — 64 float64 dims (512 B) down to one
+    BIGINT of 8 packed 4-bit codes (128× compression), as a single
+    codegen'd projection (no shuffle, no Python). The full code table
+    hash-checks against the SQL replica's argmin-per-subspace."""
+    from educational_vector_database_spark.operators import pq as PQ
+
+    cbs = _pq_codebooks(spark, sf_dir)
+    return _emb(spark, sf_dir).select(
+        "vec_id", PQ.pq_encode_expr("embedding", cbs).alias("pq_code")
+    )
+
+
+_PQ_ENC_CTE = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT vec_id AS c, embedding::DOUBLE[] AS cv FROM embeddings
+           WHERE vec_id < {PQ_K_ROWS}),
+    jj AS (SELECT unnest(range(0, 8)) AS j),
+    pqd AS (
+        SELECT e.vec_id, jj.j, cb.c,
+               list_distance(list_slice(e.v, 1 + 8 * jj.j, 8 + 8 * jj.j),
+                             list_slice(cb.cv, 1 + 8 * jj.j, 8 + 8 * jj.j))
+                   AS dist
+        FROM e CROSS JOIN jj CROSS JOIN cb
+    ),
+    pqcode AS (
+        SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c, row_number() OVER (
+                PARTITION BY vec_id, j ORDER BY dist ASC, c ASC) AS rn
+            FROM pqd
+        ) WHERE rn = 1
+    ),
+    enc AS (
+        SELECT vec_id,
+               CAST(sum(c * (CAST(1 AS BIGINT) << (4 * CAST(j AS INT))))
+                    AS BIGINT) AS pq_code
+        FROM pqcode GROUP BY vec_id
+    )
+"""
+
+_PQ_CODES_ORACLE = f"""
+    WITH {_PQ_ENC_CTE}
+    SELECT vec_id, pq_code FROM enc
+"""
+
+
+# ADC distance table derived IN SQL (oracles are data-independent strings,
+# so the per-query table can't be inlined as Python literals): sqd[j][c] =
+# Σ_i (q_sub[i] - cb_sub[i])² in element order — list_dot_product of the
+# difference list, the same left-to-right fold the driver-side
+# PQ.adc_table uses, so Spark's inlined literals and the SQL-derived
+# values agree bit-for-bit (the _dummy_sum_values precedent).
+_PQ_DIFF = (
+    "list_transform(range(1, 9), i ->"
+    " list_extract(list_slice(q.qv, 1 + 8 * jj.j, 8 + 8 * jj.j), i)"
+    " - list_extract(list_slice(cb.cv, 1 + 8 * jj.j, 8 + 8 * jj.j), i))"
+)
+_PQ_DTAB_CTE = f"""
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {IVF_QUERY_ID}),
+    dtab AS (
+        SELECT jj.j, cb.c, list_dot_product({_PQ_DIFF}, {_PQ_DIFF}) AS sqd
+        FROM jj CROSS JOIN cb CROSS JOIN q
+    )
+"""
+# order-pinned sum: eight equi-joins against dtab, left-associated add —
+# the exact shape of pq_adc_dist_expr's chained `total + term`
+_PQ_ADC_JOINS = "\n    ".join(
+    f"JOIN dtab d{j} ON d{j}.j = {j} AND d{j}.c = (enc.pq_code >> {4 * j}) % 16"
+    for j in range(8)
+)
+_PQ_ADC_SUM = "(" + " + ".join(f"d{j}.sqd" for j in range(8)) + ")"
+
+
+def _knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain kNN: approximate squared distance from the packed
+    code alone via the per-query ADC table — the query never touches the
+    vector column. Top-10 smallest (dist ASC, id ASC), hash-checked."""
+    from educational_vector_database_spark.operators import pq as PQ
+
+    cbs = _pq_codebooks(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    codes = _emb(spark, sf_dir).select(
+        "vec_id", PQ.pq_encode_expr("embedding", cbs).alias("pq_code")
+    )
+    dt = PQ.adc_table(qv, cbs)
+    return (
+        codes.select(
+            "vec_id", PQ.pq_adc_dist_expr("pq_code", dt).alias("adc_dist")
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _knn_pq_adc_oracle() -> str:
+    return f"""
+    WITH {_PQ_ENC_CTE},
+    {_PQ_DTAB_CTE}
+    SELECT enc.vec_id, {_PQ_ADC_SUM} AS adc_dist
+    FROM enc
+    {_PQ_ADC_JOINS}
+    ORDER BY adc_dist ASC, enc.vec_id ASC LIMIT {TOP_K}
+"""
+
+
+def _knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ serving shape: ADC shortlist of {PQ_SHORTLIST}
+    (8-byte codes only) -> exact cosine re-score of shortlist rows ->
+    top-10. At scale the exact pass reads ~shortlist vectors instead of
+    the corpus; recall is the shortlist knob."""
+    from educational_vector_database_spark.operators import pq as PQ
+
+    cbs = _pq_codebooks(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    return PQ.knn_pq_rerank(
+        _emb(spark, sf_dir).select("vec_id", "embedding"), qv, cbs,
+        k=TOP_K, shortlist=PQ_SHORTLIST,
+    )
+
+
+def _knn_pq_rerank_oracle() -> str:
+    return f"""
+    WITH {_PQ_ENC_CTE},
+    {_PQ_DTAB_CTE},
+    short AS (
+        SELECT enc.vec_id, {_PQ_ADC_SUM} AS adc_dist
+        FROM enc
+        {_PQ_ADC_JOINS}
+        ORDER BY adc_dist ASC, enc.vec_id ASC LIMIT {PQ_SHORTLIST}
+    )
+    SELECT e2.vec_id,
+           {_COS.format(a='e2.embedding::DOUBLE[]', b='q.qv')} AS score
+    FROM embeddings e2 CROSS JOIN q
+    WHERE e2.vec_id IN (SELECT vec_id FROM short)
+    ORDER BY score DESC, e2.vec_id ASC LIMIT {TOP_K}
+"""
+
+
 def _neardup_brp_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN distance→similarity (≙ reference api.py:81-91, the euclidean
     branch 1/(1+d); operators/ann.py ann_distance_to_similarity is the
@@ -6812,6 +6974,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composition the sf10 clone pathology demands), OUT
         # events_quality_audit (events batch family stays via the window/
         # sessionize/histogram rows past the window + streaming rows in).
+        # Fourth rotation (PQ family): IN pq_codes + knn_pq_adc +
+        # knn_pq_rerank (compression leg of the ANN toolbox); OUT
+        # doc_repetition_stats (text family keeps doc_quality +
+        # lang_id_eval + doc_fingerprint), stream_events_sessionize
+        # (streaming keeps ingest_chunks §2 + tumbling) and
+        # store_partitioned_by_lang (store keeps roundtrip §2 +
+        # upsert_merge §2).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -6826,7 +6995,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dummy": _embed_dummy,
         "rag_context": _rag_context,
         "stream_ingest_chunks": _stream_ingest_chunks,
-        "store_partitioned_by_lang": _store_partitioned_by_lang,
         "store_upsert_merge": _store_upsert_merge,
         "bucketed_colocated_join": _bucketed_colocated_join,
         "dedup_exact": _dedup_exact,
@@ -6850,6 +7018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_graph": _knn_join_graph,
         "knn_graph_disk_roundtrip": _knn_graph_disk_roundtrip,
         "knn_graph_dedup_reps": _knn_graph_dedup_reps,
+        "pq_codes": _pq_codes,
+        "knn_pq_adc": _knn_pq_adc,
+        "knn_pq_rerank": _knn_pq_rerank,
         "rag_answer": _rag_answer,
         "neardup_brp_lsh": _neardup_brp_lsh,
         "doc_quality": _doc_quality,
@@ -6857,9 +7028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_dot": _knn_query("dot"),
         "doc_fingerprint": _doc_fingerprint,
         "docs_stats_by_lang": _docs_stats_by_lang,
-        "doc_repetition_stats": _doc_repetition_stats,
         "stream_events_tumbling": _stream_events_tumbling,
-        "stream_events_sessionize": _stream_events_sessionize,
         "ivf_train_converged": _ivf_train_converged,
         "knn_ivf_rebalanced": _knn_ivf_rebalanced,
         # --- past the 50-entry window: variants and breadth queries,
@@ -6868,6 +7037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_recall": _knn_ivf_recall,
         "dedup_minhash_recall": _dedup_minhash_recall,
         "stream_events_dedup": _stream_events_dedup,
+        "doc_repetition_stats": _doc_repetition_stats,
+        "stream_events_sessionize": _stream_events_sessionize,
+        "store_partitioned_by_lang": _store_partitioned_by_lang,
         "docs_tfidf_keywords": _docs_tfidf_keywords,
         "docs_kmv_distinct": _docs_kmv_distinct,
         "embeddings_random_projection": _embeddings_random_projection,
@@ -6947,6 +7119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_quantize_error": _embeddings_quantize_error,
         "neardup_brp_similarity": _neardup_brp_similarity,
         "knn_graph_dedup_reps": _knn_graph_dedup_reps,
+        "pq_codes": _pq_codes,
+        "knn_pq_adc": _knn_pq_adc,
+        "knn_pq_rerank": _knn_pq_rerank,
         "tpch_q14_promo": _tpch_q14_promo,
         "events_markov_transitions": _events_markov_transitions,
         "docs_curation_pipeline": _docs_curation_pipeline,
@@ -7238,6 +7413,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_join_graph": _knn_join_graph_oracle(),
         "knn_graph_disk_roundtrip": _knn_graph_disk_roundtrip_oracle(),
         "knn_graph_dedup_reps": _knn_graph_dedup_reps_oracle(),
+        "pq_codes": _PQ_CODES_ORACLE,
+        "knn_pq_adc": _knn_pq_adc_oracle(),
+        "knn_pq_rerank": _knn_pq_rerank_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

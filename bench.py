@@ -178,6 +178,10 @@ HEADLINE = [
     "knn_join_graph",
     "knn_graph_disk_roundtrip",
     "knn_graph_dedup_reps",
+    # round 6, third wave: product quantization (compression leg of ANN)
+    "pq_codes",
+    "knn_pq_adc",
+    "knn_pq_rerank",
 ]
 
 

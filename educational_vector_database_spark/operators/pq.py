@@ -1,0 +1,236 @@
+"""Product quantization: the compression leg of the ANN toolbox.
+
+IVF (operators/ann.py IVFIndex) prunes WHICH rows a probe scans; the graph
+(knn_graph) prunes which rows a walk visits; PQ shrinks WHAT each row costs:
+a ``dim``-dim float64 vector (dim*8 bytes) becomes ``n_sub`` 4-bit codes
+packed into one BIGINT (dim=64 -> 512 B -> 4 B, 128x). Queries score codes
+with an asymmetric distance computation (ADC): a per-query distance table
+``dt[j][c] = ||query_sub_j - codebook[j][c]||²`` is computed driver-side
+(n_sub × k_codes doubles — literal-small), and each row's approximate
+squared distance is ``Σ_j dt[j][code_j]`` — a pure Column expression over
+the packed code, no vector column touched at query time. The standard
+serving shape is shortlist-then-rerank: ADC top-``shortlist`` (reads ONLY
+the 8-byte code column), exact re-score of the shortlist (reads the vector
+column for ~shortlist rows), final top-k.
+
+This mirrors the role PQ plays in FAISS-style IVF-PQ deployments
+(Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011) re-expressed as DataFrame ops; the reference itself
+serves uncompressed float32 via hnswlib (reference src/vectordb/
+ann.py:21-102) — PQ is the piece a 100 TB corpus adds.
+
+Codebooks are either FIXTURE (subvectors of the first ``k_codes`` corpus
+rows — deterministic and SQL-replicable, the _ivf_centroids discipline, so
+encode/ADC/recall all hash-check against DuckDB) or TRAINED
+(:func:`train_pq_codebooks`, per-subspace MLlib KMeans — the quality path,
+pytest-covered).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+N_SUB = 8  #: subspaces (dim must divide evenly)
+K_CODES = 16  #: centroids per subspace -> 4 bits per code
+
+
+def subvector(vector_col: Column | str, j: int, sub_dim: int) -> Column:
+    """Subspace slice j (1-based slice start — Spark's F.slice contract)."""
+    col = F.col(vector_col) if isinstance(vector_col, str) else vector_col
+    return F.slice(col, j * sub_dim + 1, sub_dim)
+
+
+def pq_codebooks_from_rows(
+    rows: Sequence[Sequence[float]], n_sub: int = N_SUB, k_codes: int = K_CODES
+) -> list[list[list[float]]]:
+    """Fixture codebooks: ``codebooks[j][c]`` = subvector j of row c. Rows
+    must have length >= k_codes; dim must divide by n_sub."""
+    dim = len(rows[0])
+    sub = dim // n_sub
+    if sub * n_sub != dim:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    if len(rows) < k_codes:
+        raise ValueError(f"need {k_codes} rows, got {len(rows)}")
+    return [
+        [[float(x) for x in rows[c][j * sub : (j + 1) * sub]] for c in range(k_codes)]
+        for j in range(n_sub)
+    ]
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    n_sub: int = N_SUB,
+    k_codes: int = K_CODES,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Quality codebooks: one MLlib KMeans per subspace (n_sub small fits
+    over sub_dim-wide projections — each fit scans the corpus once with a
+    narrow column; at scale train on a sample). Not SQL-replicable (MLlib
+    internals), so the gated queries use the fixture codebooks; this is the
+    library path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vector_col).head()[0])
+    sub = dim // n_sub
+    out = []
+    for j in range(n_sub):
+        feat = df.select(
+            array_to_vector(V.as_double(subvector(vector_col, j, sub))).alias(
+                "features"
+            )
+        )
+        model = KMeans(k=k_codes, seed=seed + j, maxIter=20).fit(feat)
+        out.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return out
+
+
+def code_bits(codebooks: Sequence[Sequence[Sequence[float]]]) -> int:
+    """Bits per sub-code: ceil(log2(k_codes)). The packed BIGINT must fit
+    n_sub * bits <= 63."""
+    k = len(codebooks[0])
+    bits = max(1, (k - 1).bit_length())
+    if len(codebooks) * bits > 63:
+        raise ValueError(
+            f"{len(codebooks)} subspaces x {bits} bits exceeds one BIGINT"
+        )
+    return bits
+
+
+def pq_encode_expr(
+    vector_col: Column | str, codebooks: Sequence[Sequence[Sequence[float]]]
+) -> Column:
+    """Packed PQ code as ONE BIGINT: field j = argmin_c ||sub_j - cb[j][c]||
+    (euclidean, ties -> lowest c — array_min's lexicographic struct order,
+    the ivf_assign discipline), packed as Σ_j code_j << (bits·j) where
+    bits = ceil(log2(k_codes)). A pure scan-side Column expression —
+    encoding a 100 TB corpus is one codegen'd projection, no shuffle, no
+    Python."""
+    v = V.as_double(vector_col)
+    sub_dim = len(codebooks[0][0])
+    bits = code_bits(codebooks)
+    total = F.lit(0).cast("bigint")
+    for j, cb in enumerate(codebooks):
+        sv = subvector(v, j, sub_dim)
+        code = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        V.euclidean_distance(sv, V.vector_literal(c)).alias("d"),
+                        F.lit(ci).cast("int").alias("c"),
+                    )
+                    for ci, c in enumerate(cb)
+                ]
+            )
+        )["c"]
+        total = total + (
+            code.cast("bigint") * F.lit(1 << (bits * j)).cast("bigint")
+        )
+    return total
+
+
+def adc_table(
+    query_vector: Sequence[float], codebooks: Sequence[Sequence[Sequence[float]]]
+) -> list[list[float]]:
+    """Driver-side ADC distance table: dt[j][c] = SQUARED euclidean between
+    the query's subvector j and codebook entry c (left-to-right fold — the
+    shared IEEE discipline; the values become literals in both engines, so
+    cross-engine equality is by construction)."""
+    sub_dim = len(codebooks[0][0])
+    dt = []
+    for j, cb in enumerate(codebooks):
+        qs = [float(x) for x in query_vector[j * sub_dim : (j + 1) * sub_dim]]
+        row = []
+        for c in cb:
+            s = 0.0
+            for a, b in zip(qs, c):
+                d = a - b
+                s = s + d * d
+            row.append(s)
+        dt.append(row)
+    return dt
+
+
+def pq_adc_dist_expr(code_col: Column | str, dt: Sequence[Sequence[float]]) -> Column:
+    """Approximate squared distance from the PACKED code: Σ_j dt[j][code_j]
+    — element_at over an n_sub×k_codes literal table, left-associated sum
+    (the SQL oracle parenthesizes identically). Codegen end to end; the
+    vector column is never read. Field width follows the table's k_codes
+    (must match the codebooks the codes were packed with)."""
+    code = F.col(code_col) if isinstance(code_col, str) else code_col
+    bits = max(1, (len(dt[0]) - 1).bit_length())
+    total = None
+    for j, row in enumerate(dt):
+        nib = F.pmod(
+            F.shiftright(code, bits * j).cast("bigint"), F.lit(1 << bits)
+        ).cast("int")
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in row]), nib + F.lit(1)
+        )
+        total = term if total is None else total + term
+    return total
+
+
+def knn_pq(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 10,
+    code_col: str | None = None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: smallest approximate distance first (asc dist, asc id).
+    With ``code_col`` set, only the 8-byte code column is scanned — the
+    compressed-serving path; otherwise codes are computed on the fly."""
+    code = (
+        F.col(code_col)
+        if code_col
+        else pq_encode_expr(vector_col, codebooks)
+    )
+    dt = adc_table(query_vector, codebooks)
+    return (
+        df.select(F.col(id_col), pq_adc_dist_expr(code, dt).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_pq_rerank(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    codes: DataFrame | None = None,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """The production PQ serving shape: ADC shortlist (code column only) ->
+    exact re-score of the shortlist rows -> top-k. Recall is set by
+    ``shortlist``, cost by how little of the corpus the exact pass touches;
+    the re-score join is a left-semi on the id — at scale it reads
+    ~shortlist rows of the vector column instead of the corpus. Pass a
+    pre-encoded ``codes`` frame (id + packed code) to skip re-deriving the
+    encode expression per query — the big-k encode expression costs
+    seconds of codegen, paid once at index time, not per search."""
+    short = knn_pq(
+        codes if codes is not None else df,
+        query_vector, codebooks, k=shortlist,
+        code_col=code_col if codes is not None else None,
+        id_col=id_col, vector_col=vector_col,
+    ).select(id_col)
+    from . import knn as K
+
+    return K.knn(
+        df.join(short, id_col, "left_semi"), query_vector, k=k,
+        metric=metric, vector_col=vector_col, id_col=id_col,
+    )
