@@ -6231,6 +6231,117 @@ def _knn_pq_rerank_oracle() -> str:
 """
 
 
+def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS IVF-PQ serving architecture (Jégou et al. TPAMI
+    2011 §IV.A; the reference serves uncompressed hnswlib, reference
+    src/vectordb/ann.py:21-102 — IVF-PQ is the 100 TB shape): rows are
+    PQ-encoded on their RESIDUAL v - centroid[cell] with one shared
+    codebook set; a query probes its IVF_NPROBE nearest cells, scores the
+    probed codes with a PER-CELL ADC table on the query residual, takes a
+    PQ_SHORTLIST approximate shortlist and exact-reranks it to top-10. At
+    scale the probe is partition pruning over an 8-byte-per-row code table
+    (nprobe/n_cells of the files) and the rerank reads ~shortlist vector
+    rows — the two cost knobs are independent."""
+    from educational_vector_database_spark.operators import pq as PQ
+
+    cents = _ivf_centroids(spark, sf_dir)
+    cbs = _pq_codebooks(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    return PQ.knn_ivfpq(
+        _emb(spark, sf_dir).select("vec_id", "embedding"), qv, cents, cbs,
+        k=TOP_K, nprobe=IVF_NPROBE, shortlist=PQ_SHORTLIST,
+    )
+
+
+# residual-PQ replica: residuals subtract exactly (IEEE), the slice/argmin/
+# pack chain is _PQ_ENC_CTE's with res.rv in place of e.v, and the ADC
+# table gains a pcid key (one table per probed cell, derived in SQL from
+# the query residual with the same diff/dot arithmetic as _PQ_DTAB_CTE)
+_RPQ_DIFF = (
+    "list_transform(range(1, 9), i ->"
+    " list_extract(list_slice(qres.rqv, 1 + 8 * jq.j, 8 + 8 * jq.j), i)"
+    " - list_extract(list_slice(cbq.qcv, 1 + 8 * jq.j, 8 + 8 * jq.j), i))"
+)
+_RPQ_ADC_JOINS = "\n    ".join(
+    f"JOIN rdtab d{j} ON d{j}.pcid = a2.centroid_id AND d{j}.j = {j}"
+    f" AND d{j}.qc = (renc.pq_code >> {4 * j}) % 16"
+    for j in range(8)
+)
+_RPQ_ADC_SUM = "(" + " + ".join(f"d{j}.sqd" for j in range(8)) + ")"
+
+
+def _knn_ivfpq_oracle() -> str:
+    sql = f"""
+    WITH {_IVF_ASSIGN_CTE},
+    ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cbq AS (SELECT vec_id AS qc, embedding::DOUBLE[] AS qcv FROM embeddings
+            WHERE vec_id < {PQ_K_ROWS}),
+    jq AS (SELECT unnest(range(0, 8)) AS j),
+    res AS (
+        SELECT ee.vec_id, a.centroid_id,
+               list_transform(range(1, 65),
+                   i -> list_extract(ee.v, i) - list_extract(c.cv, i)) AS rv
+        FROM ee JOIN assign a ON a.vec_id = ee.vec_id
+        JOIN c ON c.cid = a.centroid_id
+    ),
+    rpqd AS (
+        SELECT res.vec_id, jq.j, cbq.qc,
+               list_distance(list_slice(res.rv, 1 + 8 * jq.j, 8 + 8 * jq.j),
+                             list_slice(cbq.qcv, 1 + 8 * jq.j, 8 + 8 * jq.j))
+                   AS dist
+        FROM res CROSS JOIN jq CROSS JOIN cbq
+    ),
+    rcode AS (
+        SELECT vec_id, j, qc FROM (
+            SELECT vec_id, j, qc, row_number() OVER (
+                PARTITION BY vec_id, j ORDER BY dist ASC, qc ASC) AS rn
+            FROM rpqd
+        ) WHERE rn = 1
+    ),
+    renc AS (
+        SELECT vec_id,
+               CAST(sum(qc * (CAST(1 AS BIGINT) << (4 * CAST(j AS INT))))
+                    AS BIGINT) AS pq_code
+        FROM rcode GROUP BY vec_id
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {IVF_QUERY_ID}),
+    qprobe AS (SELECT CAST(cid AS INT) AS pcid FROM d
+               WHERE vec_id = {IVF_QUERY_ID} AND rn <= {IVF_NPROBE}),
+    qres AS (
+        SELECT p.pcid,
+               list_transform(range(1, 65),
+                   i -> list_extract(q.qv, i) - list_extract(c.cv, i)) AS rqv
+        FROM qprobe p JOIN c ON c.cid = p.pcid CROSS JOIN q
+    ),
+    rdtab AS (
+        SELECT qres.pcid, jq.j, cbq.qc,
+               list_dot_product({_RPQ_DIFF}, {_RPQ_DIFF}) AS sqd
+        FROM qres CROSS JOIN jq CROSS JOIN cbq
+    ),
+    short AS (
+        SELECT renc.vec_id, {_RPQ_ADC_SUM} AS adc_dist
+        FROM renc
+        JOIN assign a2 ON a2.vec_id = renc.vec_id
+        JOIN qprobe p ON a2.centroid_id = p.pcid
+        {_RPQ_ADC_JOINS}
+        ORDER BY adc_dist ASC, renc.vec_id ASC LIMIT {PQ_SHORTLIST}
+    )
+    SELECT e2.vec_id,
+           {_COS.format(a='e2.embedding::DOUBLE[]', b='q.qv')} AS score
+    FROM embeddings e2 CROSS JOIN q
+    WHERE e2.vec_id IN (SELECT vec_id FROM short)
+    ORDER BY score DESC, e2.vec_id ASC LIMIT {TOP_K}
+"""
+    # DuckDB inlines single-reference CTEs; short's 8 rdtab joins re-expand
+    # the whole d/assign/rdtab chain per join (measured 43.5 s -> 0.3 s at
+    # sf0.1 with materialization). Values are unchanged — MATERIALIZED is
+    # purely an execution hint.
+    for cte in ("d", "assign", "renc", "rdtab", "qprobe"):
+        sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (")
+    return sql
+
+
 def _neardup_brp_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN distance→similarity (≙ reference api.py:81-91, the euclidean
     branch 1/(1+d); operators/ann.py ann_distance_to_similarity is the
@@ -6981,6 +7092,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (streaming keeps ingest_chunks §2 + tumbling) and
         # store_partitioned_by_lang (store keeps roundtrip §2 +
         # upsert_merge §2).
+        # Fifth rotation: IN knn_ivfpq (the composed IVF-PQ serving
+        # architecture — new operator, window policy); OUT
+        # search_hybrid_rrf (breadth row; search family keeps
+        # search_text_topk §2 U5).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -6990,7 +7105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_then_knn": _filter_then_knn,
         "knn_join_topk": _knn_join_topk,
         "search_text_topk": _search_text_topk,
-        "search_hybrid_rrf": _search_hybrid_rrf,
         "chunk_documents": _chunk_documents,
         "embed_dummy": _embed_dummy,
         "rag_context": _rag_context,
@@ -7021,6 +7135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _pq_codes,
         "knn_pq_adc": _knn_pq_adc,
         "knn_pq_rerank": _knn_pq_rerank,
+        "knn_ivfpq": _knn_ivfpq,
         "rag_answer": _rag_answer,
         "neardup_brp_lsh": _neardup_brp_lsh,
         "doc_quality": _doc_quality,
@@ -7040,6 +7155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": _doc_repetition_stats,
         "stream_events_sessionize": _stream_events_sessionize,
         "store_partitioned_by_lang": _store_partitioned_by_lang,
+        "search_hybrid_rrf": _search_hybrid_rrf,
         "docs_tfidf_keywords": _docs_tfidf_keywords,
         "docs_kmv_distinct": _docs_kmv_distinct,
         "embeddings_random_projection": _embeddings_random_projection,
@@ -7118,10 +7234,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_stratified": _docs_sample_stratified,
         "embeddings_quantize_error": _embeddings_quantize_error,
         "neardup_brp_similarity": _neardup_brp_similarity,
-        "knn_graph_dedup_reps": _knn_graph_dedup_reps,
-        "pq_codes": _pq_codes,
-        "knn_pq_adc": _knn_pq_adc,
-        "knn_pq_rerank": _knn_pq_rerank,
         "tpch_q14_promo": _tpch_q14_promo,
         "events_markov_transitions": _events_markov_transitions,
         "docs_curation_pipeline": _docs_curation_pipeline,
@@ -7416,6 +7528,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": _PQ_CODES_ORACLE,
         "knn_pq_adc": _knn_pq_adc_oracle(),
         "knn_pq_rerank": _knn_pq_rerank_oracle(),
+        "knn_ivfpq": _knn_ivfpq_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

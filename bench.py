@@ -182,6 +182,7 @@ HEADLINE = [
     "pq_codes",
     "knn_pq_adc",
     "knn_pq_rerank",
+    "knn_ivfpq",
 ]
 
 

@@ -234,3 +234,155 @@ def knn_pq_rerank(
         df.join(short, id_col, "left_semi"), query_vector, k=k,
         metric=metric, vector_col=vector_col, id_col=id_col,
     )
+
+
+# --- IVF-PQ: the composed FAISS serving architecture -----------------------
+#
+# IVF prunes WHICH cells a probe reads (partition pruning when the index is
+# written partitionBy(centroid_id)); PQ shrinks WHAT each probed row costs
+# (the 8-byte code column instead of the vector column). Codes quantize the
+# RESIDUAL v - centroid[cell] (Jégou et al. §IV.A): residuals concentrate
+# around 0 across cells, so one shared codebook set serves every cell, and
+# the query side compensates with a PER-CELL ADC table on the query's
+# residual against each probed centroid. Bytes read per query at scale:
+# ~(nprobe/n_cells) × rows × 8 B for the shortlist + shortlist × row bytes
+# for the exact rerank — both factors are independent knobs.
+
+
+def assign_cells_expr(
+    vector_col: Column | str, centroids: Sequence[Sequence[float]]
+) -> Column:
+    """argmin_i euclidean(v, centroids[i]) as a pure Column expression, ties
+    -> lowest cell id (array_min's lexicographic struct order — the
+    ann.ivf_assign discipline). Cell ids are the list positions 0..n-1."""
+    v = V.as_double(vector_col)
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    V.euclidean_distance(v, V.vector_literal(c)).alias("d"),
+                    F.lit(i).cast("int").alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )["cid"]
+
+
+def residual_expr(
+    vector_col: Column | str,
+    centroids: Sequence[Sequence[float]],
+    cell_col: Column | str,
+) -> Column:
+    """v - centroids[cell], element-wise: the per-row residual against the
+    assigned centroid. The centroid table is inlined (O(cells) literals,
+    the ivf_assign small-table contract) and indexed by the cell id, so
+    this stays a scan-side projection — no join, no shuffle."""
+    cell = F.col(cell_col) if isinstance(cell_col, str) else cell_col
+    cents = F.array(*[V.vector_literal(c) for c in centroids])
+    return F.zip_with(
+        V.as_double(vector_col),
+        F.element_at(cents, cell + F.lit(1)),
+        lambda a, b: a - b,
+    )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "centroid_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Index-build projection: (id, cell, packed residual code) in one
+    codegen'd scan — encoding a 100 TB corpus is a single pass with no
+    shuffle. Write the result ``partitionBy(cell_col)`` and the probe's
+    cell predicate becomes partition pruning over an 8-byte-per-row
+    table."""
+    assigned = df.withColumn(cell_col, assign_cells_expr(vector_col, centroids))
+    return assigned.select(
+        F.col(id_col),
+        F.col(cell_col),
+        pq_encode_expr(
+            residual_expr(vector_col, centroids, cell_col), codebooks
+        ).alias(code_col),
+    )
+
+
+def _sq_euclid(a: Sequence[float], b: Sequence[float]) -> float:
+    """Driver-side squared euclid with the shared left-to-right IEEE fold
+    (functions/vector.py euclidean_distance's aggregate order), so probe
+    selection here and in the SQL oracle rank cells identically."""
+    s = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        s = s + d * d
+    return s
+
+
+def probe_cells(
+    query_vector: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    nprobe: int,
+) -> list[int]:
+    """The nprobe nearest cell ids to the query (dist ASC, cid ASC — sqrt is
+    monotonic so squared distance ranks identically)."""
+    ranked = sorted(
+        (_sq_euclid(query_vector, c), i) for i, c in enumerate(centroids)
+    )
+    return [cid for _, cid in ranked[:nprobe]]
+
+
+def knn_ivfpq(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    codes: DataFrame | None = None,
+    cell_col: str = "centroid_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ serving: probe the ``nprobe`` nearest cells, ADC over residual
+    codes with a per-cell distance table (a CASE over the probed cells —
+    nprobe literal tables), shortlist by approximate distance (adc ASC, id
+    ASC), exact re-score of the shortlist rows, top-k. Pass a pre-encoded
+    ``codes`` frame (:func:`ivfpq_encode`'s output, ideally read back from
+    a ``partitionBy(cell_col)`` parquet layout) to make the probe a
+    partition-pruned scan of the code column only."""
+    probes = probe_cells(query_vector, centroids, nprobe)
+    if codes is None:
+        codes = ivfpq_encode(
+            df, centroids, codebooks,
+            vector_col=vector_col, id_col=id_col,
+            cell_col=cell_col, code_col=code_col,
+        )
+    adc = None
+    for cid in probes:
+        qres = [
+            float(a) - float(b)
+            for a, b in zip(query_vector, centroids[cid])
+        ]
+        term = pq_adc_dist_expr(code_col, adc_table(qres, codebooks))
+        cond = F.col(cell_col) == cid
+        adc = F.when(cond, term) if adc is None else adc.when(cond, term)
+    short = (
+        codes.filter(F.col(cell_col).isin(probes))
+        .select(F.col(id_col), adc.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    from . import knn as K
+
+    return K.knn(
+        df.join(short, id_col, "left_semi"), query_vector, k=k,
+        metric=metric, vector_col=vector_col, id_col=id_col,
+    )

@@ -130,3 +130,109 @@ def test_pq_variable_width_packing(spark, sf_dir):
 def test_pq_overflow_guard():
     with pytest.raises(ValueError, match="BIGINT"):
         PQ.code_bits([[[0.0] * 4] * 256] * 16)  # 16 subspaces x 8 bits = 128
+
+
+def _numpy_cells(mat, cents):
+    """argmin euclid ties->lowest cid, the ivf_assign discipline."""
+    d = np.sqrt(((mat[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(-1))
+    return d.argmin(1)
+
+
+def test_ivfpq_residual_encode_matches_numpy(spark, sf_dir):
+    """ivfpq_encode's packed codes equal a numpy replica: assign cell,
+    subtract the centroid, per-subspace argmin against the codebooks."""
+    ids, mat = _rows(spark, sf_dir, 200)
+    cents = mat[:4].tolist()
+    cbs = PQ.pq_codebooks_from_rows(mat[:16].tolist())
+    got = {
+        r.vec_id: (r.centroid_id, r.pq_code)
+        for r in PQ.ivfpq_encode(
+            _emb(spark, sf_dir).orderBy("vec_id").limit(200), cents, cbs
+        ).collect()
+    }
+    cells = _numpy_cells(mat, cents)
+    for i, vid in enumerate(ids):
+        res = mat[i] - np.array(cents[cells[i]])
+        packed = 0
+        for j in range(PQ.N_SUB):
+            sub = res[j * 8 : (j + 1) * 8]
+            d = [np.sqrt(((sub - np.array(c)) ** 2).sum()) for c in cbs[j]]
+            packed |= int(np.argmin(d)) << (4 * j)
+        assert got[int(vid)] == (cells[i], packed), vid
+
+
+def test_knn_ivfpq_matches_numpy_replica(spark, sf_dir):
+    """End-to-end IVF-PQ vs a numpy replica of the whole pipeline: probe 2
+    cells, per-cell residual ADC shortlist, exact cosine rerank."""
+    ids, mat = _rows(spark, sf_dir)
+    cents = mat[:4].tolist()
+    cbs = PQ.pq_codebooks_from_rows(mat[:16].tolist())
+    qv = mat[7]
+    cells = _numpy_cells(mat, cents)
+    probes = PQ.probe_cells(qv.tolist(), cents, 2)
+    assert sorted(probes) == sorted(
+        np.sqrt(((qv - np.array(cents)) ** 2).sum(-1)).argsort()[:2].tolist()
+    )
+    # ADC over probed rows from the packed codes + per-cell tables
+    adc = {}
+    for i, vid in enumerate(ids):
+        if cells[i] not in probes:
+            continue
+        res = mat[i] - np.array(cents[cells[i]])
+        dt = PQ.adc_table((qv - np.array(cents[cells[i]])).tolist(), cbs)
+        s = 0.0
+        for j in range(PQ.N_SUB):
+            sub = res[j * 8 : (j + 1) * 8]
+            d = [np.sqrt(((sub - np.array(c)) ** 2).sum()) for c in cbs[j]]
+            s += dt[j][int(np.argmin(d))]
+        adc[int(vid)] = s
+    short = sorted(adc, key=lambda v: (adc[v], v))[:50]
+    sims = {
+        v: float(
+            mat[list(ids).index(v)] @ qv
+            / (np.linalg.norm(mat[list(ids).index(v)]) * np.linalg.norm(qv))
+        )
+        for v in short
+    }
+    want = sorted(sims, key=lambda v: (-sims[v], v))[:10]
+    got = [
+        r.vec_id
+        for r in PQ.knn_ivfpq(
+            _emb(spark, sf_dir).select("vec_id", "embedding"),
+            qv.tolist(), cents, cbs, k=10, nprobe=2, shortlist=50,
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_ivfpq_disk_probe_is_partition_pruned_code_only(spark, sf_dir, tmp_path):
+    """The 100 TB serving shape, plan-asserted: codes written
+    partitionBy(centroid_id) probe with (a) a partition filter on the cell
+    (reads nprobe/n_cells of the files) and (b) a ReadSchema of just
+    (vec_id, pq_code) — the vector column is never scanned until the
+    shortlist rerank. Results identical to the on-the-fly encode path."""
+    ids, mat = _rows(spark, sf_dir)
+    cents = mat[:4].tolist()
+    cbs = PQ.pq_codebooks_from_rows(mat[:16].tolist())
+    qv = mat[7].tolist()
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq_codes")
+    PQ.ivfpq_encode(e, cents, cbs).write.partitionBy("centroid_id").parquet(path)
+    codes = spark.read.parquet(path)
+    disk = PQ.knn_ivfpq(e, qv, cents, cbs, k=10, nprobe=2, shortlist=50,
+                        codes=codes)
+    fly = PQ.knn_ivfpq(e, qv, cents, cbs, k=10, nprobe=2, shortlist=50)
+    assert [tuple(r) for r in disk.collect()] == [tuple(r) for r in fly.collect()]
+    import re
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = disk._jdf.queryExecution().explainString(mode)
+    # the codes scan: partition filter on centroid_id, code-only ReadSchema
+    assert re.search(r"PartitionFilters: \[[^\]]*centroid_id", plan), plan
+    code_scan = re.search(
+        r"ivfpq_codes[\s\S]{0,600}?ReadSchema: struct<([^>]*)>", plan
+    )
+    assert code_scan and "pq_code" in code_scan.group(1), plan
+    assert "embedding" not in code_scan.group(1), plan
