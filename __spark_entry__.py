@@ -6342,6 +6342,81 @@ def _knn_ivfpq_oracle() -> str:
     return sql
 
 
+def _knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch compressed-domain kNN join (the knn_join_topk shape with PQ
+    scoring): each of 8 query rows carries its ADC table as a scan-side
+    array<double> column — no per-query literals, so the query side
+    scales — and pair scores are pure expressions over (packed code,
+    table). Per-query ADC shortlist, exact rerank, top-5."""
+    from educational_vector_database_spark.operators import pq as PQ
+
+    cbs = _pq_codebooks(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return PQ.knn_join_pq(
+        e.select("vec_id", "embedding"), queries, cbs,
+        k=5, shortlist=PQ_SHORTLIST,
+    )
+
+
+_BPQ_DIFF = (
+    "list_transform(range(1, 9), i ->"
+    " list_extract(list_slice(qs.qv, 1 + 8 * jj.j, 8 + 8 * jj.j), i)"
+    " - list_extract(list_slice(cb.cv, 1 + 8 * jj.j, 8 + 8 * jj.j), i))"
+)
+_BPQ_ADC_JOINS = "\n    ".join(
+    f"JOIN qdtab d{j} ON d{j}.query_id = d0.query_id AND d{j}.j = {j}"
+    f" AND d{j}.c = (enc.pq_code >> {4 * j}) % 16"
+    for j in range(1, 8)
+)
+
+
+def _knn_join_pq_oracle() -> str:
+    cos = _COS.format(a="e2.embedding::DOUBLE[]", b="q.qv")
+    sql = f"""
+    WITH {_PQ_ENC_CTE},
+    qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+    qdtab AS (
+        SELECT qs.query_id, jj.j, cb.c,
+               list_dot_product({_BPQ_DIFF}, {_BPQ_DIFF}) AS sqd
+        FROM qs CROSS JOIN jj CROSS JOIN cb
+    ),
+    adc AS (
+        SELECT d0.query_id, enc.vec_id,
+               ({" + ".join(f"d{j}.sqd" for j in range(8))}) AS adc_dist
+        FROM enc
+        JOIN qdtab d0 ON d0.j = 0 AND d0.c = (enc.pq_code >> 0) % 16
+        {_BPQ_ADC_JOINS}
+    ),
+    short AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_dist ASC, vec_id ASC) AS srn
+            FROM adc
+        ) WHERE srn <= {PQ_SHORTLIST}
+    )
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id, score FROM (
+        SELECT s.query_id, e2.vec_id, {cos} AS score,
+               row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY {cos} DESC, e2.vec_id ASC) AS rn
+        FROM short s
+        JOIN embeddings e2 ON e2.vec_id = s.vec_id
+        JOIN qs q ON q.query_id = s.query_id
+    ) WHERE rn <= 5
+"""
+    # qdtab is referenced 8 times, enc's chain once per reference under
+    # DuckDB's CTE inlining — materialize both (the knn_ivfpq lesson)
+    for cte in ("enc", "qs", "qdtab"):
+        sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (")
+    return sql
+
+
 def _neardup_brp_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN distance→similarity (≙ reference api.py:81-91, the euclidean
     branch 1/(1+d); operators/ann.py ann_distance_to_similarity is the
@@ -7095,7 +7170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Fifth rotation: IN knn_ivfpq (the composed IVF-PQ serving
         # architecture — new operator, window policy); OUT
         # search_hybrid_rrf (breadth row; search family keeps
-        # search_text_topk §2 U5).
+        # search_text_topk §2 U5). Sixth: IN knn_join_pq (batch
+        # compressed-domain join); OUT bucketed_colocated_join (scale
+        # demo, plan-asserted in tests/test_plans.py).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -7110,7 +7187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_context": _rag_context,
         "stream_ingest_chunks": _stream_ingest_chunks,
         "store_upsert_merge": _store_upsert_merge,
-        "bucketed_colocated_join": _bucketed_colocated_join,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "dedup_minhash_capped": _dedup_minhash_capped,
@@ -7136,6 +7212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_adc": _knn_pq_adc,
         "knn_pq_rerank": _knn_pq_rerank,
         "knn_ivfpq": _knn_ivfpq,
+        "knn_join_pq": _knn_join_pq,
         "rag_answer": _rag_answer,
         "neardup_brp_lsh": _neardup_brp_lsh,
         "doc_quality": _doc_quality,
@@ -7156,6 +7233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_sessionize": _stream_events_sessionize,
         "store_partitioned_by_lang": _store_partitioned_by_lang,
         "search_hybrid_rrf": _search_hybrid_rrf,
+        "bucketed_colocated_join": _bucketed_colocated_join,
         "docs_tfidf_keywords": _docs_tfidf_keywords,
         "docs_kmv_distinct": _docs_kmv_distinct,
         "embeddings_random_projection": _embeddings_random_projection,
@@ -7529,6 +7607,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq_adc": _knn_pq_adc_oracle(),
         "knn_pq_rerank": _knn_pq_rerank_oracle(),
         "knn_ivfpq": _knn_ivfpq_oracle(),
+        "knn_join_pq": _knn_join_pq_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

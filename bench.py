@@ -183,6 +183,7 @@ HEADLINE = [
     "knn_pq_adc",
     "knn_pq_rerank",
     "knn_ivfpq",
+    "knn_join_pq",
 ]
 
 

@@ -386,3 +386,123 @@ def knn_ivfpq(
         df.join(short, id_col, "left_semi"), query_vector, k=k,
         metric=metric, vector_col=vector_col, id_col=id_col,
     )
+
+
+# --- Batch PQ: distributed ADC, no per-query literals ----------------------
+
+
+def adc_table_expr(
+    query_vec_col: Column | str,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+) -> Column:
+    """Per-ROW ADC distance table as one ``array<double>`` of
+    n_sub*k_codes entries (layout ``j*k_codes + c``): the distributed
+    counterpart of driver-side :func:`adc_table`, computed scan-side for
+    each query row — a batch kNN join needs no per-query literal tables,
+    so the query side can be arbitrarily large. Same squared-euclid
+    left-fold as adc_table (zip_with (x-y)² then aggregate), so values
+    are bit-identical to the literal path and to the SQL oracle's
+    list_dot_product(diff, diff)."""
+    qv = V.as_double(query_vec_col)
+    sub_dim = len(codebooks[0][0])
+    entries = []
+    for j, cb in enumerate(codebooks):
+        qs = F.slice(qv, j * sub_dim + 1, sub_dim)
+        for c in cb:
+            entries.append(
+                F.aggregate(
+                    F.zip_with(
+                        qs, V.vector_literal(c), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+    return F.array(*entries)
+
+
+def pq_adc_dist_from_table_col(
+    code_col: Column | str, dt_col: Column | str, n_sub: int = N_SUB,
+    k_codes: int = K_CODES,
+) -> Column:
+    """ADC distance from a packed code and a TABLE COLUMN (adc_table_expr's
+    array): Σ_j dt[j*k_codes + code_j], left-associated over j — the same
+    sum order as pq_adc_dist_expr and the oracle's 8-join chain."""
+    code = F.col(code_col) if isinstance(code_col, str) else code_col
+    dt = F.col(dt_col) if isinstance(dt_col, str) else dt_col
+    bits = max(1, (k_codes - 1).bit_length())
+    total = None
+    for j in range(n_sub):
+        nib = F.pmod(
+            F.shiftright(code, bits * j).cast("bigint"), F.lit(1 << bits)
+        ).cast("int")
+        term = F.element_at(dt, nib + F.lit(j * k_codes + 1))
+        total = term if total is None else total + term
+    return total
+
+
+def knn_join_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    codes: DataFrame | None = None,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Batch PQ kNN join (the knn_join_topk shape with compressed-domain
+    scoring): every query row carries its ADC table as an array column,
+    the corpus side carries only packed codes, and the pair score is a
+    pure expression over (code, table) — so the join moves 8-byte codes
+    and one 128-double array per query, never vectors. Per-query ADC
+    shortlist (adc ASC, id ASC), exact re-score of shortlist rows, top-k
+    as (query_id, rank, vec_id, score). Queries are broadcast (the small
+    side); at scale the shortlist pass scans codes once for ALL queries."""
+    from pyspark.sql import Window
+
+    n_sub, k_codes = len(codebooks), len(codebooks[0])
+    qd = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        adc_table_expr(query_vec_col, codebooks).alias("_dt"),
+    )
+    if codes is None:
+        codes = corpus.select(
+            F.col(id_col), pq_encode_expr(vector_col, codebooks).alias(code_col)
+        )
+    pairs = codes.join(F.broadcast(qd)).select(
+        query_id_col, query_vec_col, id_col,
+        pq_adc_dist_from_table_col(code_col, "_dt", n_sub, k_codes).alias(
+            "adc_dist"
+        ),
+    )
+    ws = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    short = (
+        pairs.withColumn("_srn", F.row_number().over(ws))
+        .filter(F.col("_srn") <= shortlist)
+        .select(query_id_col, query_vec_col, id_col)
+    )
+    rescored = short.join(
+        corpus.select(id_col, vector_col), id_col
+    ).select(
+        query_id_col,
+        F.col(id_col),
+        V.similarity(
+            metric, V.as_double(vector_col), V.as_double(query_vec_col)
+        ).alias("score"),
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )

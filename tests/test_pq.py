@@ -236,3 +236,39 @@ def test_ivfpq_disk_probe_is_partition_pruned_code_only(spark, sf_dir, tmp_path)
     )
     assert code_scan and "pq_code" in code_scan.group(1), plan
     assert "embedding" not in code_scan.group(1), plan
+
+
+def test_knn_join_pq_matches_single_query_rerank(spark, sf_dir):
+    """The batch ADC join restricted to one query equals the single-query
+    literal-table rerank path — table-as-column and table-as-literal are
+    the same numbers."""
+    ids, mat = _rows(spark, sf_dir)
+    cbs = PQ.pq_codebooks_from_rows(mat[:16].tolist())
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = PQ.knn_join_pq(e, queries, cbs, k=10, shortlist=50).collect()
+    single = PQ.knn_pq_rerank(e, mat[7].tolist(), cbs, k=10, shortlist=50).collect()
+    assert [(r.vec_id, r.score) for r in batch] == [
+        (r.vec_id, r.score) for r in single
+    ]
+
+
+def test_knn_join_pq_window_group_limit(spark, sf_dir):
+    """The per-query shortlist window must run as a WindowGroupLimit
+    (map-side partial top-k BEFORE the Exchange) — at scale the shuffle
+    carries ~shortlist rows per query per partition, not corpus×queries."""
+    ids, mat = _rows(spark, sf_dir, 20)
+    cbs = PQ.pq_codebooks_from_rows(mat[:16].tolist())
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = PQ.knn_join_pq(e, queries, cbs, k=5, shortlist=50)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
