@@ -6342,6 +6342,63 @@ def _knn_ivfpq_oracle() -> str:
     return sql
 
 
+def _knn_ivfpq_disk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-index lifecycle under gate (the knn_ivf_disk_roundtrip
+    pattern for IVF-PQ): build IVFPQIndex with the fixture
+    centroids/codebooks, SAVE (partitionBy(centroid_id) code table + JSON
+    sidecar carrying the centroids/codebooks), drop in-memory state, LOAD,
+    and serve the knn_ivfpq query off the loaded code table — the result
+    must hash-match the on-the-fly plan exactly (codes, probes and ADC
+    tables all roundtrip bit-exactly). layout_ok asserts the physical
+    contract: every populated cell has its partition directory, cells ⊆
+    known centroids, sidecar present."""
+    import tempfile
+    import uuid
+
+    from educational_vector_database_spark.operators import pq as PQ
+
+    cents = _ivf_centroids(spark, sf_dir)
+    cbs = _pq_codebooks(spark, sf_dir)
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    idx = PQ.IVFPQIndex(n_cells=N_IVF_CELLS).build(
+        e, centroids=cents, codebooks=cbs
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"evdb_ivfpq_disk_{uuid.uuid4().hex[:8]}"
+    )
+    idx.save(path)
+    idx.invalidate()
+    loaded = PQ.IVFPQIndex.load(spark, path)
+    dirs = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("centroid_id=")
+    )
+    populated = sorted(
+        int(r.centroid_id)
+        for r in loaded._codes.select("centroid_id").distinct().collect()
+    )
+    layout_ok = (
+        dirs == populated
+        and set(populated) <= set(range(len(loaded._centroids)))
+        and os.path.exists(os.path.join(path, PQ.IVFPQIndex.SIDECAR))
+    )
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    res = loaded.query(
+        e, qv, k=TOP_K, nprobe=IVF_NPROBE, shortlist=PQ_SHORTLIST,
+        assume_fresh=True,
+    )
+    return res.withColumn("layout_ok", F.lit(bool(layout_ok)))
+
+
+def _knn_ivfpq_disk_roundtrip_oracle() -> str:
+    sql = _knn_ivfpq_oracle()
+    return sql.replace(
+        "SELECT e2.vec_id,",
+        "SELECT e2.vec_id, TRUE AS layout_ok,", 1
+    )
+
+
 def _knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch compressed-domain kNN join (the knn_join_topk shape with PQ
     scoring): each of 8 query rows carries its ADC table as a scan-side
@@ -7172,7 +7229,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # search_hybrid_rrf (breadth row; search family keeps
         # search_text_topk §2 U5). Sixth: IN knn_join_pq (batch
         # compressed-domain join); OUT bucketed_colocated_join (scale
-        # demo, plan-asserted in tests/test_plans.py).
+        # demo, plan-asserted in tests/test_plans.py). Seventh: IN
+        # knn_ivfpq_disk_roundtrip (compressed-index lifecycle); OUT
+        # docs_contamination (curation family keeps its pass* rows past
+        # the window; the pipeline row docs_curation_pipeline covers the
+        # composition).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -7196,7 +7257,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _dedup_survivors,
         "neardup_embedding_bucketed": _neardup_embedding_bucketed,
         "neardup_embedding_incremental": _neardup_embedding_incremental,
-        "docs_contamination": _docs_contamination,
         "ivf_cells": _ivf_cells,
         "knn_ivf": _knn_ivf,
         "knn_lsh_bucket": _knn_lsh_bucket,
@@ -7213,6 +7273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_rerank": _knn_pq_rerank,
         "knn_ivfpq": _knn_ivfpq,
         "knn_join_pq": _knn_join_pq,
+        "knn_ivfpq_disk_roundtrip": _knn_ivfpq_disk_roundtrip,
         "rag_answer": _rag_answer,
         "neardup_brp_lsh": _neardup_brp_lsh,
         "doc_quality": _doc_quality,
@@ -7234,6 +7295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_partitioned_by_lang": _store_partitioned_by_lang,
         "search_hybrid_rrf": _search_hybrid_rrf,
         "bucketed_colocated_join": _bucketed_colocated_join,
+        "docs_contamination": _docs_contamination,
         "docs_tfidf_keywords": _docs_tfidf_keywords,
         "docs_kmv_distinct": _docs_kmv_distinct,
         "embeddings_random_projection": _embeddings_random_projection,
@@ -7608,6 +7670,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq_rerank": _knn_pq_rerank_oracle(),
         "knn_ivfpq": _knn_ivfpq_oracle(),
         "knn_join_pq": _knn_join_pq_oracle(),
+        "knn_ivfpq_disk_roundtrip": _knn_ivfpq_disk_roundtrip_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

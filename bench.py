@@ -184,6 +184,7 @@ HEADLINE = [
     "knn_pq_rerank",
     "knn_ivfpq",
     "knn_join_pq",
+    "knn_ivfpq_disk_roundtrip",
 ]
 
 

@@ -506,3 +506,191 @@ def knn_join_pq(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "score")
     )
+
+
+# --- IVFPQIndex: the compressed index lifecycle ----------------------------
+
+
+class IVFPQIndex:
+    """Disk-first IVF-PQ index lifecycle (the IVFIndex/GraphIndex
+    orchestration contract — reference api.py:42-62 ``_maybe_init_ann``
+    staleness protocol — applied to the compressed index): the persisted
+    state is the (id, cell, packed code) table, 8 B of payload per row,
+    written ``partitionBy(centroid_id)`` so a probe is partition pruning;
+    centroids and codebooks are driver-side literals stored in a JSON
+    sidecar (floats roundtrip exactly through repr). ``ensure`` rebuilds
+    on drift, but a PURE APPEND folds in one-sided: the delta is encoded
+    with the frozen centroids/codebooks (one scan-side projection over
+    only the new rows — the add_items discipline) and unioned.
+
+    Training: MLlib KMeans centroids (ann.train_ivf_centroids) +
+    per-subspace KMeans codebooks trained on RESIDUALS
+    (:func:`train_pq_codebooks` over a residual projection — Jégou et al.
+    §IV.A); pass explicit ``centroids``/``codebooks`` to ``build`` for the
+    deterministic fixture path the oracle gate uses."""
+
+    SIDECAR = "_ivfpq_index.json"
+
+    def __init__(
+        self,
+        n_cells: int = 4,
+        n_sub: int = N_SUB,
+        k_codes: int = K_CODES,
+        metric: str = "cosine",
+        id_col: str = "vec_id",
+        vector_col: str = "embedding",
+        seed: int = 42,
+    ):
+        self.n_cells = n_cells
+        self.n_sub = n_sub
+        self.k_codes = k_codes
+        self.metric = metric
+        self.id_col = id_col
+        self.vector_col = vector_col
+        self.seed = seed
+        self._centroids: list[list[float]] | None = None
+        self._codebooks: list[list[list[float]]] | None = None
+        self._codes: DataFrame | None = None
+        self._indexed_rows = -1
+
+    def build(
+        self,
+        df: DataFrame,
+        centroids: Sequence[Sequence[float]] | None = None,
+        codebooks: Sequence[Sequence[Sequence[float]]] | None = None,
+    ) -> "IVFPQIndex":
+        self.invalidate()
+        if centroids is None:
+            from . import ann as A
+
+            centroids = [
+                [float(x) for x in r.centroid]
+                for r in A.train_ivf_centroids(
+                    df, self.n_cells, vector_col=self.vector_col,
+                    seed=self.seed,
+                ).orderBy("centroid_id").collect()
+            ]
+        self._centroids = [list(map(float, c)) for c in centroids]
+        if codebooks is None:
+            res = df.select(
+                residual_expr(
+                    self.vector_col, self._centroids,
+                    assign_cells_expr(self.vector_col, self._centroids),
+                ).alias("_res")
+            )
+            codebooks = train_pq_codebooks(
+                res, vector_col="_res", n_sub=self.n_sub,
+                k_codes=self.k_codes, seed=self.seed,
+            )
+        self._codebooks = codebooks
+        codes = ivfpq_encode(
+            df, self._centroids, self._codebooks,
+            vector_col=self.vector_col, id_col=self.id_col,
+        ).persist()
+        self._indexed_rows = codes.count()
+        self._codes = codes
+        return self
+
+    def invalidate(self) -> None:
+        if self._codes is not None:
+            self._codes.unpersist()
+        self._codes = None
+        self._indexed_rows = -1
+
+    def is_stale(self, df: DataFrame) -> bool:
+        return self._codes is None or df.count() != self._indexed_rows
+
+    def ensure(self, df: DataFrame) -> "IVFPQIndex":
+        """Fresh -> no-op; pure append -> encode ONLY the delta with the
+        frozen centroids/codebooks and union (exact — codes are a
+        deterministic function of the row); other drift -> rebuild."""
+        if self._codes is None:
+            return self.build(df)
+        n = df.count()
+        if n == self._indexed_rows:
+            return self
+        indexed = self._codes.select(self.id_col)
+        delta = df.join(indexed, self.id_col, "left_anti")
+        kept = df.join(indexed, self.id_col, "left_semi")
+        if kept.count() == self._indexed_rows and (
+            self._indexed_rows + delta.count() == n
+        ):
+            enc = ivfpq_encode(
+                delta, self._centroids, self._codebooks,
+                vector_col=self.vector_col, id_col=self.id_col,
+            )
+            merged = self._codes.unionByName(enc).persist()
+            merged.count()
+            old = self._codes
+            self._codes = merged
+            old.unpersist()
+            self._indexed_rows = n
+            return self
+        return self.build(df)
+
+    def query(
+        self,
+        df: DataFrame,
+        query_vector: Sequence[float],
+        k: int = 10,
+        nprobe: int = 2,
+        shortlist: int = 50,
+        assume_fresh: bool = False,
+    ) -> DataFrame:
+        if not assume_fresh or self._codes is None:
+            self.ensure(df)
+        return knn_ivfpq(
+            df, query_vector, self._centroids, self._codebooks,
+            k=k, nprobe=nprobe, shortlist=shortlist, metric=self.metric,
+            id_col=self.id_col, vector_col=self.vector_col,
+            codes=self._codes,
+        )
+
+    def save(self, path: str) -> "IVFPQIndex":
+        import json
+        import os
+
+        if self._codes is None:
+            raise ValueError("index not built; call build()/ensure() first")
+        self._codes.write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(path)
+        sidecar = {
+            "n_cells": self.n_cells,
+            "n_sub": self.n_sub,
+            "k_codes": self.k_codes,
+            "metric": self.metric,
+            "id_col": self.id_col,
+            "vector_col": self.vector_col,
+            "seed": self.seed,
+            "centroids": self._centroids,
+            "codebooks": self._codebooks,
+            "indexed_rows": self._indexed_rows,
+        }
+        with open(os.path.join(path, self.SIDECAR), "w", encoding="utf-8") as f:
+            json.dump(sidecar, f)
+        return self
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFPQIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, cls.SIDECAR), encoding="utf-8") as f:
+            meta = json.load(f)
+        idx = cls(
+            n_cells=int(meta["n_cells"]),
+            n_sub=int(meta["n_sub"]),
+            k_codes=int(meta["k_codes"]),
+            metric=meta["metric"],
+            id_col=meta["id_col"],
+            vector_col=meta["vector_col"],
+            seed=int(meta["seed"]),
+        )
+        idx._centroids = [[float(x) for x in c] for c in meta["centroids"]]
+        idx._codebooks = [
+            [[float(x) for x in c] for c in cb] for cb in meta["codebooks"]
+        ]
+        idx._codes = spark.read.parquet(path)
+        idx._indexed_rows = int(meta["indexed_rows"])
+        return idx
