@@ -6270,9 +6270,9 @@ _RPQ_ADC_JOINS = "\n    ".join(
 _RPQ_ADC_SUM = "(" + " + ".join(f"d{j}.sqd" for j in range(8)) + ")"
 
 
-def _knn_ivfpq_oracle() -> str:
-    sql = f"""
-    WITH {_IVF_ASSIGN_CTE},
+# residual-encode CTE chain (assign/c come from _IVF_ASSIGN_CTE): shared
+# by every residual-PQ oracle below
+_RPQ_ENC_CTE = f"""
     ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cbq AS (SELECT vec_id AS qc, embedding::DOUBLE[] AS qcv FROM embeddings
             WHERE vec_id < {PQ_K_ROWS}),
@@ -6303,7 +6303,14 @@ def _knn_ivfpq_oracle() -> str:
                CAST(sum(qc * (CAST(1 AS BIGINT) << (4 * CAST(j AS INT))))
                     AS BIGINT) AS pq_code
         FROM rcode GROUP BY vec_id
-    ),
+    )
+"""
+
+
+def _knn_ivfpq_oracle() -> str:
+    sql = f"""
+    WITH {_IVF_ASSIGN_CTE},
+    {_RPQ_ENC_CTE},
     q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
           WHERE vec_id = {IVF_QUERY_ID}),
     qprobe AS (SELECT CAST(cid AS INT) AS pcid FROM d
@@ -6470,6 +6477,200 @@ def _knn_join_pq_oracle() -> str:
     # qdtab is referenced 8 times, enc's chain once per reference under
     # DuckDB's CTE inlining — materialize both (the knn_ivfpq lesson)
     for cte in ("enc", "qs", "qdtab"):
+        sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (")
+    return sql
+
+
+def _knn_join_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch residual IVF-PQ join — the production serving shape for many
+    queries at once: each of 8 query rows explodes into its IVF_NPROBE
+    probed cells carrying a per-(query, cell) ADC table on the query
+    RESIDUAL, candidates come from an equi-join of codes on the probed
+    cell, shortlist + exact rerank per query. The many-query counterpart
+    of knn_ivfpq (same quantization, same probes)."""
+    from educational_vector_database_spark.operators import pq as PQ
+
+    cents = _ivf_centroids(spark, sf_dir)
+    cbs = _pq_codebooks(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return PQ.knn_join_ivfpq(
+        e.select("vec_id", "embedding"), queries, cents, cbs,
+        k=5, nprobe=IVF_NPROBE, shortlist=PQ_SHORTLIST,
+    )
+
+
+# batch residual ADC tables: one table per (query, probed cell), derived in
+# SQL with the same diff/dot arithmetic the Spark side computes scan-side
+_BRPQ_DIFF = (
+    "list_transform(range(1, 9), i ->"
+    " list_extract(list_slice(bqres.rqv, 1 + 8 * jq.j, 8 + 8 * jq.j), i)"
+    " - list_extract(list_slice(cbq.qcv, 1 + 8 * jq.j, 8 + 8 * jq.j), i))"
+)
+
+
+def _brpq_cte(q_filter: str, nprobe: int) -> str:
+    """CTEs for the batch residual pipeline: probed cells per query
+    (bqprobe), query residual per probed cell (bqres), per-(query, cell)
+    ADC tables (bdtab), ADC-scored candidates (badc). ``q_filter`` is a
+    SQL predicate over vec_id selecting the query rows."""
+    joins = "\n        ".join(
+        f"JOIN bdtab d{j} ON d{j}.qid = d0.qid"
+        f" AND d{j}.pcid = a2.centroid_id AND d{j}.j = {j}"
+        f" AND d{j}.qc = (renc.pq_code >> {4 * j}) % 16"
+        for j in range(1, 8)
+    )
+    adc_sum = "(" + " + ".join(f"d{j}.sqd" for j in range(8)) + ")"
+    return f"""
+    bqs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE {q_filter}),
+    bqprobe AS (
+        SELECT d.vec_id AS qid, CAST(d.cid AS INT) AS pcid
+        FROM d JOIN bqs ON bqs.qid = d.vec_id
+        WHERE d.rn <= {nprobe}
+    ),
+    bqres AS (
+        SELECT p.qid, p.pcid,
+               list_transform(range(1, 65),
+                   i -> list_extract(bqs.qv, i) - list_extract(c.cv, i))
+                   AS rqv
+        FROM bqprobe p JOIN bqs ON bqs.qid = p.qid
+        JOIN c ON c.cid = p.pcid
+    ),
+    bdtab AS (
+        SELECT bqres.qid, bqres.pcid, jq.j, cbq.qc,
+               list_dot_product({_BRPQ_DIFF}, {_BRPQ_DIFF}) AS sqd
+        FROM bqres CROSS JOIN jq CROSS JOIN cbq
+    ),
+    badc AS (
+        SELECT d0.qid, renc.vec_id, {adc_sum} AS adc_dist
+        FROM renc
+        JOIN assign a2 ON a2.vec_id = renc.vec_id
+        JOIN bdtab d0 ON d0.pcid = a2.centroid_id AND d0.j = 0
+             AND d0.qc = (renc.pq_code >> 0) % 16
+        {joins}
+    )
+"""
+
+
+def _knn_join_ivfpq_oracle() -> str:
+    cos = _COS.format(a="e2.embedding::DOUBLE[]", b="bqs.qv")
+    sql = f"""
+    WITH {_IVF_ASSIGN_CTE},
+    {_RPQ_ENC_CTE},
+    {_brpq_cte("vec_id < 8", IVF_NPROBE)},
+    bshort AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC) AS srn
+            FROM badc
+        ) WHERE srn <= {PQ_SHORTLIST}
+    )
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id, score FROM (
+        SELECT s.qid AS query_id, e2.vec_id, {cos} AS score,
+               row_number() OVER (
+                   PARTITION BY s.qid
+                   ORDER BY {cos} DESC, e2.vec_id ASC) AS rn
+        FROM bshort s
+        JOIN embeddings e2 ON e2.vec_id = s.vec_id
+        JOIN bqs ON bqs.qid = s.qid
+    ) WHERE rn <= 5
+"""
+    for cte in ("d", "assign", "renc", "bqs", "bdtab"):
+        sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (")
+    return sql
+
+
+def _knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality eval for the compressed index (the knn_ivf_recall
+    pattern): recall of the IVF-PQ pipeline's top-10 (residual codes,
+    nprobe=IVF_NPROBE, ADC shortlist, exact rerank) against the exact
+    cosine top-10 for 20 query vectors — the recall the quantization +
+    probe + shortlist knobs jointly buy. Computed entirely as joins, no
+    per-query driver loop."""
+    from educational_vector_database_spark.operators import pq as PQ
+
+    cents = _ivf_centroids(spark, sf_dir)
+    cbs = _pq_codebooks(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    queries = e.filter(
+        (F.col("vec_id") >= IVF_RECALL_QLO) & (F.col("vec_id") < IVF_RECALL_QHI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    approx = PQ.knn_join_ivfpq(
+        e.select("vec_id", "embedding"), queries, cents, cbs,
+        k=TOP_K, nprobe=IVF_NPROBE, shortlist=PQ_SHORTLIST,
+    ).select(F.col("query_id").alias("qid"), "vec_id")
+    score = V.similarity(
+        "cosine", V.as_double("embedding"), V.as_double("query_vec")
+    )
+    pairs = e.select("vec_id", "embedding").join(F.broadcast(queries)).select(
+        F.col("query_id").alias("qid"), "vec_id", score.alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    exact = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    n_q = IVF_RECALL_QHI - IVF_RECALL_QLO
+    return (
+        exact.join(approx, ["qid", "vec_id"])
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.lit(n_q).cast("long").alias("n_queries"),
+            F.lit(TOP_K).cast("long").alias("k"),
+            "n_hits",
+        )
+    )
+
+
+def _knn_ivfpq_recall_oracle() -> str:
+    cos = _COS.format(a="e.embedding::DOUBLE[]", b="bqs.qv")
+    sql = f"""
+    WITH {_IVF_ASSIGN_CTE},
+    {_RPQ_ENC_CTE},
+    {_brpq_cte(f"vec_id >= {IVF_RECALL_QLO} AND vec_id < {IVF_RECALL_QHI}",
+               IVF_NPROBE)},
+    bshort AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC) AS srn
+            FROM badc
+        ) WHERE srn <= {PQ_SHORTLIST}
+    ),
+    approx AS (
+        SELECT qid, vec_id FROM (
+            SELECT s.qid, e2.vec_id,
+                   row_number() OVER (
+                       PARTITION BY s.qid
+                       ORDER BY {_COS.format(a="e2.embedding::DOUBLE[]",
+                                             b="bqs.qv")} DESC,
+                                e2.vec_id ASC) AS rn
+            FROM bshort s
+            JOIN embeddings e2 ON e2.vec_id = s.vec_id
+            JOIN bqs ON bqs.qid = s.qid
+        ) WHERE rn <= {TOP_K}
+    ),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT bqs.qid, e.vec_id, row_number() OVER (
+                PARTITION BY bqs.qid
+                ORDER BY {cos} DESC, e.vec_id ASC) AS rn
+            FROM embeddings e CROSS JOIN bqs
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT CAST({IVF_RECALL_QHI - IVF_RECALL_QLO} AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM exact JOIN approx USING (qid, vec_id)
+"""
+    for cte in ("d", "assign", "renc", "bqs", "bdtab"):
         sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (")
     return sql
 
@@ -7233,7 +7434,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # knn_ivfpq_disk_roundtrip (compressed-index lifecycle); OUT
         # docs_contamination (curation family keeps its pass* rows past
         # the window; the pipeline row docs_curation_pipeline covers the
-        # composition).
+        # composition). Eighth: IN knn_join_ivfpq + knn_ivfpq_recall
+        # (batch residual serving + its quality eval); OUT knn_lsh_bucket
+        # (bucket-probe variant; the LSH leg keeps neardup_brp_lsh) and
+        # lang_id_eval (text family keeps doc_quality + doc_fingerprint +
+        # docs_stats_by_lang).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -7259,7 +7464,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embedding_incremental": _neardup_embedding_incremental,
         "ivf_cells": _ivf_cells,
         "knn_ivf": _knn_ivf,
-        "knn_lsh_bucket": _knn_lsh_bucket,
         "knn_graph_edges": _knn_graph_edges,
         "knn_graph_beam": _knn_graph_beam,
         "knn_graph_beam_centroids": _knn_graph_beam_centroids,
@@ -7274,10 +7478,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": _knn_ivfpq,
         "knn_join_pq": _knn_join_pq,
         "knn_ivfpq_disk_roundtrip": _knn_ivfpq_disk_roundtrip,
+        "knn_join_ivfpq": _knn_join_ivfpq,
+        "knn_ivfpq_recall": _knn_ivfpq_recall,
         "rag_answer": _rag_answer,
         "neardup_brp_lsh": _neardup_brp_lsh,
         "doc_quality": _doc_quality,
-        "lang_id_eval": _lang_id_eval,
         "knn_dot": _knn_query("dot"),
         "doc_fingerprint": _doc_fingerprint,
         "docs_stats_by_lang": _docs_stats_by_lang,
@@ -7296,6 +7501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf": _search_hybrid_rrf,
         "bucketed_colocated_join": _bucketed_colocated_join,
         "docs_contamination": _docs_contamination,
+        "knn_lsh_bucket": _knn_lsh_bucket,
+        "lang_id_eval": _lang_id_eval,
         "docs_tfidf_keywords": _docs_tfidf_keywords,
         "docs_kmv_distinct": _docs_kmv_distinct,
         "embeddings_random_projection": _embeddings_random_projection,
@@ -7671,6 +7878,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq": _knn_ivfpq_oracle(),
         "knn_join_pq": _knn_join_pq_oracle(),
         "knn_ivfpq_disk_roundtrip": _knn_ivfpq_disk_roundtrip_oracle(),
+        "knn_join_ivfpq": _knn_join_ivfpq_oracle(),
+        "knn_ivfpq_recall": _knn_ivfpq_recall_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

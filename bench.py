@@ -185,6 +185,9 @@ HEADLINE = [
     "knn_ivfpq",
     "knn_join_pq",
     "knn_ivfpq_disk_roundtrip",
+    # round 6, fourth wave: batch residual IVF-PQ serving + its recall eval
+    "knn_join_ivfpq",
+    "knn_ivfpq_recall",
 ]
 
 

@@ -694,3 +694,106 @@ class IVFPQIndex:
         idx._codes = spark.read.parquet(path)
         idx._indexed_rows = int(meta["indexed_rows"])
         return idx
+
+
+def probe_cells_expr(
+    vector_col: Column | str,
+    centroids: Sequence[Sequence[float]],
+    nprobe: int,
+) -> Column:
+    """Array of the ``nprobe`` nearest cell ids for a vector, scan-side:
+    sort (distance, cid) structs lexicographically — (dist ASC, cid ASC),
+    the same total order as :func:`probe_cells` and the oracle's
+    row_number. O(n_cells) per row, no join."""
+    v = V.as_double(vector_col)
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    V.euclidean_distance(v, V.vector_literal(c)).alias("d"),
+                    F.lit(i).cast("int").alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda x: x["cid"])
+
+
+def knn_join_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    codes: DataFrame | None = None,
+    cell_col: str = "centroid_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Batch residual IVF-PQ join — the full production serving shape for
+    MANY queries at once: each query row explodes into its ``nprobe``
+    probed cells and carries a PER-(query, cell) ADC table computed
+    scan-side on the query's residual against that cell's centroid; the
+    candidate join is an EQUI-join of codes on the probed cell (never a
+    cross product; a vector lives in exactly one cell, so distinct probes
+    cannot duplicate candidates); shortlist per query runs as a
+    WindowGroupLimit; exact rerank of shortlist rows only. Candidates ~
+    queries × nprobe/n_cells of the corpus, moved as 8-byte codes."""
+    from pyspark.sql import Window
+
+    n_sub, k_codes = len(codebooks), len(codebooks[0])
+    qd = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.explode(
+            probe_cells_expr(query_vec_col, centroids, nprobe)
+        ).alias("_pcell"),
+    )
+    qd = qd.withColumn(
+        "_dt",
+        adc_table_expr(
+            residual_expr(query_vec_col, centroids, "_pcell"), codebooks
+        ),
+    )
+    if codes is None:
+        codes = ivfpq_encode(
+            corpus, centroids, codebooks,
+            vector_col=vector_col, id_col=id_col,
+            cell_col=cell_col, code_col=code_col,
+        )
+    pairs = codes.join(
+        F.broadcast(qd), codes[cell_col] == qd["_pcell"]
+    ).select(
+        query_id_col, query_vec_col, id_col,
+        pq_adc_dist_from_table_col(code_col, "_dt", n_sub, k_codes).alias(
+            "adc_dist"
+        ),
+    )
+    ws = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    short = (
+        pairs.withColumn("_srn", F.row_number().over(ws))
+        .filter(F.col("_srn") <= shortlist)
+        .select(query_id_col, query_vec_col, id_col)
+    )
+    rescored = short.join(corpus.select(id_col, vector_col), id_col).select(
+        query_id_col,
+        F.col(id_col),
+        V.similarity(
+            metric, V.as_double(vector_col), V.as_double(query_vec_col)
+        ).alias("score"),
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )

@@ -358,3 +358,19 @@ def test_knn_join_graph_equi_join_per_hop(spark):
     # nested loop (tiny by construction; its subtree is replicated through
     # the un-checkpointed lineage, so count CartesianProduct, not BNLJ)
     assert "CartesianProduct" not in plan
+
+
+def test_knn_join_ivfpq_broadcast_probe_equi_candidates(spark):
+    """Batch residual IVF-PQ serving: the probed queries (with their
+    per-(query, cell) ADC tables) ship as a BROADCAST to the codes table,
+    and the candidate join is an equi-join on the probed cell — never a
+    cross product. Shortlist + final top-k are per-query windows over the
+    bounded candidate set; codes move as 8-byte BIGINTs, vectors are only
+    re-read for the shortlist rerank."""
+    plan = _plan(spark, "knn_join_ivfpq")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
+    # shortlist + final rank: windows exist, but no global Sort of the
+    # candidate set outside them (rank-limit handles the top-k)
+    assert "Window" in plan

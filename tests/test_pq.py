@@ -333,3 +333,49 @@ def test_ivfpq_index_trained_build(spark, sf_dir):
     # (cell 1-nearest -> always in nprobe>=1 probes; exact rerank ranks
     # the identical vector first under cosine)
     assert rows[0].vec_id == e.orderBy("vec_id").head().vec_id
+
+
+def test_probe_cells_expr_matches_driver(spark, sf_dir):
+    """Scan-side probe list equals the driver-side probe_cells order
+    (dist ASC, cid ASC) for every vector — the contract that lets
+    knn_join_ivfpq probe per-ROW without a join."""
+    ids, mat = _rows(spark, sf_dir, 60)
+    cents = mat[:5].tolist()
+    got = {
+        r.vec_id: list(r.probes)
+        for r in _emb(spark, sf_dir).orderBy("vec_id").limit(60).select(
+            "vec_id", PQ.probe_cells_expr("embedding", cents, 3).alias("probes")
+        ).collect()
+    }
+    for i, vid in enumerate(ids):
+        assert got[int(vid)] == PQ.probe_cells(mat[i].tolist(), cents, 3), vid
+
+
+def test_knn_join_ivfpq_matches_single_query_path(spark, sf_dir):
+    """The batch residual join reproduces knn_ivfpq per query exactly —
+    same probes, same ADC shortlist, same rerank (the knn_join_pq
+    parity pattern, lifted to the IVF-PQ pipeline)."""
+    ids, mat = _rows(spark, sf_dir)
+    cents = mat[:4].tolist()
+    cbs = PQ.pq_codebooks_from_rows(mat[:16].tolist())
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    qids = [3, 11, 29]
+    queries = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = PQ.knn_join_ivfpq(
+        e, queries, cents, cbs, k=7, nprobe=2, shortlist=40
+    ).collect()
+    by_q = {}
+    for r in sorted(batch, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.score))
+    assert set(by_q) == set(qids)
+    for qid in qids:
+        qv = mat[list(ids).index(qid)].tolist()
+        single = [
+            (r.vec_id, r.score)
+            for r in PQ.knn_ivfpq(
+                e, qv, cents, cbs, k=7, nprobe=2, shortlist=40
+            ).collect()
+        ]
+        assert by_q[qid] == single, qid
