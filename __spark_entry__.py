@@ -6675,6 +6675,242 @@ def _knn_ivfpq_recall_oracle() -> str:
     return sql
 
 
+# --- binary quantization (operators/bq.py): sign-bit codes + Hamming -------
+#
+# The third compression leg: one bit per dimension (64-dim float64 row ->
+# one BIGINT, 64x), Hamming distance = one popcount, the Charikar/SimHash
+# collision bound makes Hamming rank track angular rank. Integer arithmetic
+# end to end after the sign comparison, so the whole family hash-checks
+# with no IEEE-ordering care.
+
+BQ_SHORTLIST = 50
+
+
+def _bq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit encode of the whole corpus — 64 float64 dims (512 B) down
+    to ONE BIGINT (64× compression) in a single codegen'd projection (no
+    shuffle, no Python). The full code table hash-checks against the SQL
+    replica's per-bit CASE sum (bit 63 is the BIGINT sign bit)."""
+    from educational_vector_database_spark.operators import bq as BQ
+
+    return BQ.bq_encode(_emb(spark, sf_dir), 64)
+
+
+_BQ_ENC_CTE = """
+    be AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bb AS (SELECT unnest(range(0, 64)) AS i),
+    benc AS (
+        SELECT vec_id, CAST(sum(
+            CASE WHEN list_extract(be.v, CAST(bb.i AS INT) + 1) > 0 THEN
+                CASE WHEN bb.i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                     ELSE (CAST(1 AS BIGINT) << CAST(bb.i AS INT)) END
+            ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bq_code
+        FROM be CROSS JOIN bb GROUP BY vec_id
+    )
+"""
+
+_BQ_CODES_ORACLE = f"""
+    WITH {_BQ_ENC_CTE}
+    SELECT vec_id, bq_code FROM benc
+"""
+
+
+def _knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain kNN over sign-bit codes: Hamming distance =
+    popcount(code XOR query_code), one instruction per row, the vector
+    column never read. Top-10 smallest (dist ASC, id ASC) — plan is a
+    TakeOrderedAndProject over the 8-byte code projection."""
+    from educational_vector_database_spark.operators import bq as BQ
+
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    return BQ.knn_hamming(_emb(spark, sf_dir), qv, k=TOP_K)
+
+
+def _knn_hamming_oracle() -> str:
+    return f"""
+    WITH {_BQ_ENC_CTE},
+    bq AS (SELECT bq_code AS qc FROM benc WHERE vec_id = {IVF_QUERY_ID})
+    SELECT vec_id,
+           CAST(bit_count(xor(benc.bq_code, bq.qc)) AS INTEGER) AS hamming
+    FROM benc CROSS JOIN bq
+    ORDER BY hamming ASC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+def _knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production binary-quantization serving shape: Hamming shortlist
+    of {BQ_SHORTLIST} (8-byte codes only, per-partition popcount top-N) ->
+    exact cosine re-score of shortlist rows -> top-10. At 100 TB the
+    shortlist pass scans ~1.6 % of the corpus bytes and the exact pass
+    reads ~shortlist vector rows."""
+    from educational_vector_database_spark.operators import bq as BQ
+
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    return BQ.knn_hamming_rerank(
+        _emb(spark, sf_dir).select("vec_id", "embedding"), qv,
+        k=TOP_K, shortlist=BQ_SHORTLIST,
+    )
+
+
+def _knn_hamming_rerank_oracle() -> str:
+    return f"""
+    WITH {_BQ_ENC_CTE},
+    bq AS (SELECT bq_code AS qc FROM benc WHERE vec_id = {IVF_QUERY_ID}),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {IVF_QUERY_ID}),
+    bshort AS (
+        SELECT vec_id FROM benc CROSS JOIN bq
+        ORDER BY bit_count(xor(benc.bq_code, bq.qc)) ASC, vec_id ASC
+        LIMIT {BQ_SHORTLIST}
+    )
+    SELECT e2.vec_id,
+           {_COS.format(a='e2.embedding::DOUBLE[]', b='q.qv')} AS score
+    FROM embeddings e2 CROSS JOIN q
+    WHERE e2.vec_id IN (SELECT vec_id FROM bshort)
+    ORDER BY score DESC, e2.vec_id ASC LIMIT {TOP_K}
+"""
+
+
+def _knn_join_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch Hamming serving — the knn_join_topk shape in the sign-bit
+    domain: every query row carries its own packed code (same scan-side
+    encode expression, no per-query literals), the query side BROADCASTS
+    against the corpus code table, pair distances are one popcount, the
+    per-query shortlist runs as a WindowGroupLimit, exact rerank of
+    shortlist rows only."""
+    from educational_vector_database_spark.operators import bq as BQ
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return BQ.knn_join_hamming(
+        e.select("vec_id", "embedding"), queries, 64,
+        k=5, shortlist=BQ_SHORTLIST,
+    )
+
+
+def _knn_join_hamming_oracle() -> str:
+    cos = _COS.format(a="e2.embedding::DOUBLE[]", b="bqs2.qv")
+    return f"""
+    WITH {_BQ_ENC_CTE},
+    bqs2 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+             WHERE vec_id < 8),
+    bqc AS (SELECT benc.vec_id AS qid, benc.bq_code AS qc FROM benc
+            WHERE benc.vec_id < 8),
+    bham AS (
+        SELECT bqc.qid, benc.vec_id,
+               bit_count(xor(benc.bq_code, bqc.qc)) AS hamming
+        FROM benc CROSS JOIN bqc
+    ),
+    bshort AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY hamming ASC, vec_id ASC) AS srn
+            FROM bham
+        ) WHERE srn <= {BQ_SHORTLIST}
+    )
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id, score FROM (
+        SELECT s.qid AS query_id, e2.vec_id, {cos} AS score,
+               row_number() OVER (
+                   PARTITION BY s.qid
+                   ORDER BY {cos} DESC, e2.vec_id ASC) AS rn
+        FROM bshort s
+        JOIN embeddings e2 ON e2.vec_id = s.vec_id
+        JOIN bqs2 ON bqs2.qid = s.qid
+    ) WHERE rn <= 5
+"""
+
+
+def _knn_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality eval for the sign-bit index (the knn_ivf_recall
+    pattern): recall of the Hamming-shortlist-rerank top-10 against the
+    exact cosine top-10 for 20 query vectors — what one bit per dimension
+    plus a {BQ_SHORTLIST}-row shortlist buys. Joins end to end, no
+    per-query driver loop."""
+    from educational_vector_database_spark.operators import bq as BQ
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(
+        (F.col("vec_id") >= IVF_RECALL_QLO) & (F.col("vec_id") < IVF_RECALL_QHI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    approx = BQ.knn_join_hamming(
+        e.select("vec_id", "embedding"), queries, 64,
+        k=TOP_K, shortlist=BQ_SHORTLIST,
+    ).select(F.col("query_id").alias("qid"), "vec_id")
+    score = V.similarity(
+        "cosine", V.as_double("embedding"), V.as_double("query_vec")
+    )
+    pairs = e.select("vec_id", "embedding").join(F.broadcast(queries)).select(
+        F.col("query_id").alias("qid"), "vec_id", score.alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    exact = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    n_q = IVF_RECALL_QHI - IVF_RECALL_QLO
+    return (
+        exact.join(approx, ["qid", "vec_id"])
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.lit(n_q).cast("long").alias("n_queries"),
+            F.lit(TOP_K).cast("long").alias("k"),
+            "n_hits",
+        )
+    )
+
+
+def _knn_hamming_recall_oracle() -> str:
+    cos = _COS.format(a="e.embedding::DOUBLE[]", b="bqs2.qv")
+    return f"""
+    WITH {_BQ_ENC_CTE},
+    bqs2 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+             WHERE vec_id >= {IVF_RECALL_QLO} AND vec_id < {IVF_RECALL_QHI}),
+    bqc AS (SELECT vec_id AS qid, bq_code AS qc FROM benc
+            WHERE vec_id >= {IVF_RECALL_QLO} AND vec_id < {IVF_RECALL_QHI}),
+    bshort AS (
+        SELECT qid, vec_id FROM (
+            SELECT bqc.qid, benc.vec_id, row_number() OVER (
+                PARTITION BY bqc.qid
+                ORDER BY bit_count(xor(benc.bq_code, bqc.qc)) ASC,
+                         benc.vec_id ASC) AS srn
+            FROM benc CROSS JOIN bqc
+        ) WHERE srn <= {BQ_SHORTLIST}
+    ),
+    approx AS (
+        SELECT qid, vec_id FROM (
+            SELECT s.qid, e2.vec_id,
+                   row_number() OVER (
+                       PARTITION BY s.qid
+                       ORDER BY {_COS.format(a="e2.embedding::DOUBLE[]",
+                                             b="bqs2.qv")} DESC,
+                                e2.vec_id ASC) AS rn
+            FROM bshort s
+            JOIN embeddings e2 ON e2.vec_id = s.vec_id
+            JOIN bqs2 ON bqs2.qid = s.qid
+        ) WHERE rn <= {TOP_K}
+    ),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT bqs2.qid, e.vec_id, row_number() OVER (
+                PARTITION BY bqs2.qid
+                ORDER BY {cos} DESC, e.vec_id ASC) AS rn
+            FROM embeddings e CROSS JOIN bqs2
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT CAST({IVF_RECALL_QHI - IVF_RECALL_QLO} AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM exact JOIN approx USING (qid, vec_id)
+"""
+
+
 def _neardup_brp_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN distance→similarity (≙ reference api.py:81-91, the euclidean
     branch 1/(1+d); operators/ann.py ann_distance_to_similarity is the
@@ -7438,7 +7674,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (batch residual serving + its quality eval); OUT knn_lsh_bucket
         # (bucket-probe variant; the LSH leg keeps neardup_brp_lsh) and
         # lang_id_eval (text family keeps doc_quality + doc_fingerprint +
-        # docs_stats_by_lang).
+        # docs_stats_by_lang). Ninth (binary-quantization family): IN
+        # bq_codes + knn_hamming + knn_hamming_rerank + knn_join_hamming +
+        # knn_hamming_recall (sign-bit compression leg, new this round);
+        # OUT stream_events_tumbling (streaming keeps ingest_chunks §2
+        # S6/I1), doc_fingerprint (text keeps doc_quality +
+        # docs_stats_by_lang §2 A3), dedup_ngram (dedup keeps
+        # exact/minhash/capped/incremental/simhash/survivors in-window),
+        # neardup_embedding_incremental (covered by the in-window
+        # dedup_incremental one-sided pattern + neardup_embedding_bucketed)
+        # and knn_ivf (IVF keeps ivf_cells §2 N2, train_converged N2,
+        # rebalanced N3 and the whole IVF-PQ composition in-window).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -7457,13 +7703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _dedup_minhash,
         "dedup_minhash_capped": _dedup_minhash_capped,
         "dedup_incremental": _dedup_incremental,
-        "dedup_ngram": _dedup_ngram,
         "dedup_simhash": _dedup_simhash,
         "dedup_survivors": _dedup_survivors,
         "neardup_embedding_bucketed": _neardup_embedding_bucketed,
-        "neardup_embedding_incremental": _neardup_embedding_incremental,
         "ivf_cells": _ivf_cells,
-        "knn_ivf": _knn_ivf,
         "knn_graph_edges": _knn_graph_edges,
         "knn_graph_beam": _knn_graph_beam,
         "knn_graph_beam_centroids": _knn_graph_beam_centroids,
@@ -7480,17 +7723,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq_disk_roundtrip": _knn_ivfpq_disk_roundtrip,
         "knn_join_ivfpq": _knn_join_ivfpq,
         "knn_ivfpq_recall": _knn_ivfpq_recall,
+        "bq_codes": _bq_codes,
+        "knn_hamming": _knn_hamming,
+        "knn_hamming_rerank": _knn_hamming_rerank,
+        "knn_join_hamming": _knn_join_hamming,
+        "knn_hamming_recall": _knn_hamming_recall,
         "rag_answer": _rag_answer,
         "neardup_brp_lsh": _neardup_brp_lsh,
         "doc_quality": _doc_quality,
         "knn_dot": _knn_query("dot"),
-        "doc_fingerprint": _doc_fingerprint,
         "docs_stats_by_lang": _docs_stats_by_lang,
-        "stream_events_tumbling": _stream_events_tumbling,
         "ivf_train_converged": _ivf_train_converged,
         "knn_ivf_rebalanced": _knn_ivf_rebalanced,
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
+        "stream_events_tumbling": _stream_events_tumbling,
+        "doc_fingerprint": _doc_fingerprint,
+        "dedup_ngram": _dedup_ngram,
+        "neardup_embedding_incremental": _neardup_embedding_incremental,
+        "knn_ivf": _knn_ivf,
         "events_quality_audit": _events_quality_audit,
         "knn_ivf_recall": _knn_ivf_recall,
         "dedup_minhash_recall": _dedup_minhash_recall,
@@ -7880,6 +8131,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq_disk_roundtrip": _knn_ivfpq_disk_roundtrip_oracle(),
         "knn_join_ivfpq": _knn_join_ivfpq_oracle(),
         "knn_ivfpq_recall": _knn_ivfpq_recall_oracle(),
+        "bq_codes": _BQ_CODES_ORACLE,
+        "knn_hamming": _knn_hamming_oracle(),
+        "knn_hamming_rerank": _knn_hamming_rerank_oracle(),
+        "knn_join_hamming": _knn_join_hamming_oracle(),
+        "knn_hamming_recall": _knn_hamming_recall_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

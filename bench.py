@@ -188,6 +188,12 @@ HEADLINE = [
     # round 6, fourth wave: batch residual IVF-PQ serving + its recall eval
     "knn_join_ivfpq",
     "knn_ivfpq_recall",
+    # round 6, fifth wave: binary quantization (sign-bit + Hamming)
+    "bq_codes",
+    "knn_hamming",
+    "knn_hamming_rerank",
+    "knn_join_hamming",
+    "knn_hamming_recall",
 ]
 
 

@@ -1,0 +1,183 @@
+"""Binary-quantization operator tests (operators/bq.py)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from educational_vector_database_spark.operators import bq as BQ
+from educational_vector_database_spark.session import load_table
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _rows(spark, sf_dir, n=None):
+    df = _emb(spark, sf_dir).orderBy("vec_id")
+    if n:
+        df = df.limit(n)
+    rows = df.collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([[float(x) for x in r.embedding] for r in rows])
+    return ids, mat
+
+
+def _np_code(v, thresholds=None):
+    """Unsigned numpy replica of the packed sign-bit word list."""
+    dim = len(v)
+    thr = np.zeros(dim) if thresholds is None else np.asarray(thresholds)
+    out = []
+    for w in range((dim + 63) // 64):
+        word = 0
+        for bit in range(min(dim, 64 * w + 64) - 64 * w):
+            if v[64 * w + bit] > thr[64 * w + bit]:
+                word |= 1 << bit
+        # two's-complement signed view, matching the BIGINT the engines hold
+        out.append(word - (1 << 64) if word >= (1 << 63) else word)
+    return out
+
+
+def test_bq_encode_matches_numpy(spark, sf_dir):
+    """Scan-side packed codes equal the numpy sign-bit replica, including
+    the sign bit (dim 63) as a negative BIGINT."""
+    ids, mat = _rows(spark, sf_dir, 200)
+    got = {
+        r.vec_id: r.code
+        for r in _emb(spark, sf_dir).orderBy("vec_id").limit(200).select(
+            "vec_id", BQ.bq_encode_expr("embedding", 64).alias("code")
+        ).collect()
+    }
+    saw_negative = False
+    for i, vid in enumerate(ids):
+        want = _np_code(mat[i])[0]
+        assert got[int(vid)] == want, vid
+        saw_negative = saw_negative or want < 0
+    # the corpus is zero-centered, so some row must set bit 63 — otherwise
+    # the sign-bit packing path is untested
+    assert saw_negative
+
+
+def test_bq_query_code_matches_expr(spark, sf_dir):
+    """Driver-side query encode equals the scan-side expression row by
+    row — the contract that lets knn_hamming use a literal query code."""
+    ids, mat = _rows(spark, sf_dir, 50)
+    got = {
+        r.vec_id: r.code
+        for r in _emb(spark, sf_dir).orderBy("vec_id").limit(50).select(
+            "vec_id", BQ.bq_encode_expr("embedding", 64).alias("code")
+        ).collect()
+    }
+    for i, vid in enumerate(ids):
+        assert [got[int(vid)]] == BQ.bq_query_code(mat[i].tolist()), vid
+
+
+def test_hamming_expr_matches_numpy(spark, sf_dir):
+    ids, mat = _rows(spark, sf_dir, 100)
+    qv = mat[13]
+    qc = BQ.bq_query_code(qv.tolist())
+    codes = BQ.bq_encode(_emb(spark, sf_dir).orderBy("vec_id").limit(100), 64)
+    got = {
+        r.vec_id: r.h
+        for r in codes.select(
+            "vec_id", BQ.hamming_expr("bq_code", qc).alias("h")
+        ).collect()
+    }
+    for i, vid in enumerate(ids):
+        want = int(bin((_np_code(mat[i])[0] ^ qc[0]) & ((1 << 64) - 1)).count("1"))
+        assert got[int(vid)] == want, vid
+
+
+def test_multiword_roundtrip(spark, sf_dir):
+    """dim > 64 packs into array<bigint>; Hamming sums per-word popcounts.
+    Built from a 128-dim doubled embedding so both words carry sign bits."""
+    df = _emb(spark, sf_dir).limit(80).select(
+        "vec_id", F.concat("embedding", "embedding").alias("embedding")
+    )
+    rows = df.orderBy("vec_id").collect()
+    qv = [float(x) for x in rows[5].embedding]
+    qc = BQ.bq_query_code(qv)
+    assert len(qc) == 2
+    got = {
+        r.vec_id: r.h
+        for r in df.select(
+            "vec_id",
+            BQ.hamming_expr(BQ.bq_encode_expr("embedding", 128), qc).alias("h"),
+        ).collect()
+    }
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        cw = _np_code(v)
+        want = sum(
+            int(bin((cw[w] ^ qc[w]) & ((1 << 64) - 1)).count("1"))
+            for w in range(2)
+        )
+        assert got[r.vec_id] == want, r.vec_id
+    # doubled vector => identical halves => query's distance to itself is 0
+    assert got[rows[5].vec_id] == 0
+
+
+def test_knn_hamming_rerank_recovers_exact_topk(spark, sf_dir):
+    """With shortlist = corpus the rerank IS exact cosine top-k (the
+    Hamming pass only orders the rerank's input), the pre-coded path
+    reading only the code table matches on-the-fly encode, and a modest
+    shortlist still lands the self-match first with real overlap against
+    the exact set (the corpus is near-random, so 64-bit Hamming is a
+    coarse rank estimator — recall here is a floor, not the i.i.d.-cluster
+    number the gated recall eval measures)."""
+    from educational_vector_database_spark.operators.knn import knn
+
+    ids, mat = _rows(spark, sf_dir)
+    qv = mat[21].tolist()
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    n = e.count()
+    exact = [(r.vec_id, r.score) for r in knn(e, qv, k=5).collect()]
+    full = [
+        (r.vec_id, r.score)
+        for r in BQ.knn_hamming_rerank(e, qv, k=5, shortlist=n).collect()
+    ]
+    assert full == exact
+    codes = BQ.bq_encode(e, 64)
+    onfly = [
+        (r.vec_id, r.score)
+        for r in BQ.knn_hamming_rerank(e, qv, k=5, shortlist=120).collect()
+    ]
+    precoded = [
+        (r.vec_id, r.score)
+        for r in BQ.knn_hamming_rerank(
+            e, qv, k=5, shortlist=120, codes=codes
+        ).collect()
+    ]
+    assert precoded == onfly
+    assert onfly[0] == exact[0]  # self-match survives any shortlist
+    assert len({v for v, _ in onfly} & {v for v, _ in exact}) >= 2
+
+
+def test_knn_join_hamming_matches_single_query_path(spark, sf_dir):
+    """The batch join reproduces knn_hamming_rerank per query exactly."""
+    ids, mat = _rows(spark, sf_dir)
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    qids = [2, 17, 44]
+    queries = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = BQ.knn_join_hamming(e, queries, 64, k=6, shortlist=40).collect()
+    by_q = {}
+    for r in sorted(batch, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.score))
+    assert set(by_q) == set(qids)
+    for qid in qids:
+        qv = mat[list(ids).index(qid)].tolist()
+        single = [
+            (r.vec_id, r.score)
+            for r in BQ.knn_hamming_rerank(e, qv, k=6, shortlist=40).collect()
+        ]
+        assert by_q[qid] == single, qid
+
+
+def test_thresholds_shift_the_code(spark, sf_dir):
+    """Per-dim thresholds move the cut: thresholds above every coordinate
+    give the all-zero code, below every coordinate the all-ones code."""
+    e = _emb(spark, sf_dir).limit(10)
+    hi = e.select(BQ.bq_encode_expr("embedding", 64, [10.0] * 64).alias("c"))
+    lo = e.select(BQ.bq_encode_expr("embedding", 64, [-10.0] * 64).alias("c"))
+    assert {r.c for r in hi.collect()} == {0}
+    assert {r.c for r in lo.collect()} == {-1}  # all 64 bits set

@@ -374,3 +374,25 @@ def test_knn_join_ivfpq_broadcast_probe_equi_candidates(spark):
     # shortlist + final rank: windows exist, but no global Sort of the
     # candidate set outside them (rank-limit handles the top-k)
     assert "Window" in plan
+
+
+def test_knn_hamming_take_ordered_no_vector_read(spark):
+    """Compressed-domain Hamming top-k: per-partition popcount top-N via
+    TakeOrderedAndProject (no global sort), over a single scan projection
+    — the vector column feeds only the codegen'd sign-bit encode, no
+    shuffle anywhere before the take."""
+    plan = _plan(spark, "knn_hamming")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("\n\n")[0]
+
+
+def test_knn_join_hamming_broadcast_no_cross_shuffle(spark):
+    """Batch Hamming serving: the query side (id, code, vector) ships as a
+    broadcast; the corpus side is never shuffled for candidate generation
+    (the only Exchanges serve the per-query windows over the bounded
+    shortlist)."""
+    plan = _plan(spark, "knn_join_hamming")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"^\(\d+\) BroadcastNestedLoopJoin|^\(\d+\) BroadcastHashJoin",
+                     plan, re.M)
+    assert "Window" in plan
