@@ -6911,6 +6911,88 @@ def _knn_hamming_recall_oracle() -> str:
 """
 
 
+# --- MMR diversity rerank (operators/mmr.py) --------------------------------
+
+MMR_K, MMR_LAM, MMR_POOL = 3, 0.5, 15  # lam=0.5: 1-lam exactly representable
+
+
+def _search_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware reranking (Carbonell & Goldstein, SIGIR 1998): per
+    query, greedily pick MMR_K of the top-MMR_POOL relevance candidates,
+    each step penalized by max similarity to the rows already picked —
+    the piece a retrieval pipeline adds when near-duplicate passages
+    crowd the context window (the reference returns raw similarity
+    order, reference src/vectordb/rag.py:74-97). The greedy recurrence
+    unrolls into k declarative join+argmax stages over queries × pool
+    rows (the graph walk's hop-unroll precedent) — no driver loop, no
+    Python kernel, bit-exact against the identically-unrolled oracle."""
+    from educational_vector_database_spark.operators import mmr as M
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return M.mmr_rerank_join(
+        e.select("vec_id", "embedding"), queries,
+        k=MMR_K, lam=MMR_LAM, pool=MMR_POOL,
+    )
+
+
+def _search_mmr_diverse_oracle() -> str:
+    rel = _COS.format(a="me.v", b="mq.qv")
+    lam, mu = MMR_LAM, 1.0 - MMR_LAM
+    parts = [f"""
+    me AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    mq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id < 8),
+    mcand AS (
+        SELECT qid, vec_id, v, rel FROM (
+            SELECT mq.qid, me.vec_id, me.v, {rel} AS rel,
+                   row_number() OVER (PARTITION BY mq.qid
+                       ORDER BY {rel} DESC, me.vec_id ASC) AS rn
+            FROM me CROSS JOIN mq
+        ) WHERE rn <= {MMR_POOL}
+    ),
+    s1 AS (
+        SELECT qid, vec_id, v, (({lam!r} * rel) - ({mu!r} * 0.0)) AS mmr
+        FROM (
+            SELECT qid, vec_id, v, rel, row_number() OVER (PARTITION BY qid
+                ORDER BY rel DESC, vec_id ASC) AS rn
+            FROM mcand
+        ) WHERE rn = 1
+    )"""]
+    sel_union = "SELECT qid, vec_id, v FROM s1"
+    for t in range(2, MMR_K + 1):
+        pen_cos = _COS.format(a="c.v", b="s.v")
+        parts.append(f""",
+    sel{t} AS ({sel_union}),
+    p{t} AS (
+        SELECT c.qid, c.vec_id, c.v, c.rel, max({pen_cos}) AS pen
+        FROM mcand c JOIN sel{t} s ON s.qid = c.qid
+        WHERE NOT EXISTS (SELECT 1 FROM sel{t} x
+                          WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+        GROUP BY c.qid, c.vec_id, c.v, c.rel
+    ),
+    s{t} AS (
+        SELECT qid, vec_id, v, (({lam!r} * rel) - ({mu!r} * pen)) AS mmr
+        FROM (
+            SELECT qid, vec_id, v, rel, pen,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY (({lam!r} * rel) - ({mu!r} * pen)) DESC,
+                                vec_id ASC) AS rn
+            FROM p{t}
+        ) WHERE rn = 1
+    )""")
+        sel_union += f" UNION ALL SELECT qid, vec_id, v FROM s{t}"
+    final = " UNION ALL ".join(
+        f"SELECT qid AS query_id, CAST({t} AS INTEGER) AS rank, vec_id,"
+        f" mmr AS mmr_score FROM s{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    return "    WITH " + "".join(parts) + "\n    " + final
+
+
 def _neardup_brp_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN distance→similarity (≙ reference api.py:81-91, the euclidean
     branch 1/(1+d); operators/ann.py ann_distance_to_similarity is the
@@ -7684,7 +7766,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # neardup_embedding_incremental (covered by the in-window
         # dedup_incremental one-sided pattern + neardup_embedding_bucketed)
         # and knn_ivf (IVF keeps ivf_cells §2 N2, train_converged N2,
-        # rebalanced N3 and the whole IVF-PQ composition in-window).
+        # rebalanced N3 and the whole IVF-PQ composition in-window). Tenth:
+        # IN search_mmr_diverse (MMR diversity rerank, new this round);
+        # OUT dedup_minhash_capped (r05-gated green; dedup keeps
+        # exact/minhash §2 J4/incremental/simhash/survivors in-window).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -7701,7 +7786,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_upsert_merge": _store_upsert_merge,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
-        "dedup_minhash_capped": _dedup_minhash_capped,
         "dedup_incremental": _dedup_incremental,
         "dedup_simhash": _dedup_simhash,
         "dedup_survivors": _dedup_survivors,
@@ -7728,6 +7812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hamming_rerank": _knn_hamming_rerank,
         "knn_join_hamming": _knn_join_hamming,
         "knn_hamming_recall": _knn_hamming_recall,
+        "search_mmr_diverse": _search_mmr_diverse,
         "rag_answer": _rag_answer,
         "neardup_brp_lsh": _neardup_brp_lsh,
         "doc_quality": _doc_quality,
@@ -7737,6 +7822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_rebalanced": _knn_ivf_rebalanced,
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
+        "dedup_minhash_capped": _dedup_minhash_capped,
         "stream_events_tumbling": _stream_events_tumbling,
         "doc_fingerprint": _doc_fingerprint,
         "dedup_ngram": _dedup_ngram,
@@ -8136,6 +8222,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_hamming_rerank": _knn_hamming_rerank_oracle(),
         "knn_join_hamming": _knn_join_hamming_oracle(),
         "knn_hamming_recall": _knn_hamming_recall_oracle(),
+        "search_mmr_diverse": _search_mmr_diverse_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

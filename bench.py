@@ -194,6 +194,8 @@ HEADLINE = [
     "knn_hamming_rerank",
     "knn_join_hamming",
     "knn_hamming_recall",
+    # round 6, sixth wave: MMR diversity rerank
+    "search_mmr_diverse",
 ]
 
 

@@ -396,3 +396,15 @@ def test_knn_join_hamming_broadcast_no_cross_shuffle(spark):
     assert re.search(r"^\(\d+\) BroadcastNestedLoopJoin|^\(\d+\) BroadcastHashJoin",
                      plan, re.M)
     assert "Window" in plan
+
+
+def test_search_mmr_diverse_bounded_stages_no_cartesian(spark):
+    """MMR's unrolled greedy: the only non-equi join is the broadcast
+    queries-x-corpus relevance seed (the knn_join_topk shape); every
+    selection stage joins the bounded queries-x-pool candidate set
+    against the tiny selected set as a broadcast equi/anti join, with
+    per-query window argmax — no cartesian product anywhere."""
+    plan = _plan(spark, "search_mmr_diverse")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
+    assert "Window" in plan
