@@ -6939,21 +6939,14 @@ def _search_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _search_mmr_diverse_oracle() -> str:
-    rel = _COS.format(a="me.v", b="mq.qv")
-    lam, mu = MMR_LAM, 1.0 - MMR_LAM
-    parts = [f"""
-    me AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    mq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
-           WHERE vec_id < 8),
-    mcand AS (
-        SELECT qid, vec_id, v, rel FROM (
-            SELECT mq.qid, me.vec_id, me.v, {rel} AS rel,
-                   row_number() OVER (PARTITION BY mq.qid
-                       ORDER BY {rel} DESC, me.vec_id ASC) AS rn
-            FROM me CROSS JOIN mq
-        ) WHERE rn <= {MMR_POOL}
-    ),
+def _mmr_stages_sql(k: int, lam: float) -> str:
+    """The s1..sk greedy-selection CTE chain over an existing
+    ``mcand(qid, vec_id, v, rel)`` candidate CTE — shared by every
+    MMR oracle so the unroll matches operators/mmr.py stage for stage
+    (same lam arithmetic written with repr() full precision, same
+    (score DESC, vec_id ASC) ties, penalty 0.0 at step 1)."""
+    mu = 1.0 - lam
+    parts = [f""",
     s1 AS (
         SELECT qid, vec_id, v, (({lam!r} * rel) - ({mu!r} * 0.0)) AS mmr
         FROM (
@@ -6963,7 +6956,7 @@ def _search_mmr_diverse_oracle() -> str:
         ) WHERE rn = 1
     )"""]
     sel_union = "SELECT qid, vec_id, v FROM s1"
-    for t in range(2, MMR_K + 1):
+    for t in range(2, k + 1):
         pen_cos = _COS.format(a="c.v", b="s.v")
         parts.append(f""",
     sel{t} AS ({sel_union}),
@@ -6985,12 +6978,91 @@ def _search_mmr_diverse_oracle() -> str:
         ) WHERE rn = 1
     )""")
         sel_union += f" UNION ALL SELECT qid, vec_id, v FROM s{t}"
+    return "".join(parts)
+
+
+def _search_mmr_diverse_oracle() -> str:
+    rel = _COS.format(a="me.v", b="mq.qv")
+    head = f"""
+    me AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    mq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id < 8),
+    mcand AS (
+        SELECT qid, vec_id, v, rel FROM (
+            SELECT mq.qid, me.vec_id, me.v, {rel} AS rel,
+                   row_number() OVER (PARTITION BY mq.qid
+                       ORDER BY {rel} DESC, me.vec_id ASC) AS rn
+            FROM me CROSS JOIN mq
+        ) WHERE rn <= {MMR_POOL}
+    )"""
     final = " UNION ALL ".join(
         f"SELECT qid AS query_id, CAST({t} AS INTEGER) AS rank, vec_id,"
         f" mmr AS mmr_score FROM s{t}"
         for t in range(1, MMR_K + 1)
     )
-    return "    WITH " + "".join(parts) + "\n    " + final
+    return ("    WITH " + head + _mmr_stages_sql(MMR_K, MMR_LAM)
+            + "\n    " + final)
+
+
+def _rag_context_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR composed into the RAG read path: chunk -> embed -> relevance
+    top-MMR_POOL -> greedy diversity selection -> context assembled in
+    SELECTION order (rank, not raw score) with the reference's separator
+    and placeholder-answer shape. The answer_query_df result contract,
+    diversified — one hash-checked row."""
+    emb = DummyEmbeddings(DUMMY_DIM)
+    chunks = rag.build_rag_index(_docs(spark, sf_dir), emb, CHUNK_SIZE)
+    qv = [float(x) for x in emb.embed(RAG_QUERY)]
+    return rag.assemble_context_diverse(
+        rag.retrieve_diverse(chunks, qv, k=MMR_K, lam=MMR_LAM, pool=MMR_POOL)
+    )
+
+
+def _rag_context_diverse_oracle() -> str:
+    qv = ", ".join(
+        f"CAST('{float(x)!r}' AS DOUBLE)"
+        for x in _dummy_vector(len(RAG_QUERY), DUMMY_DIM)
+    )
+    cos = _COS.format(a="emb_map.v", b=f"[{qv}]::DOUBLE[]")
+    head = f"""
+    chunks AS (
+        SELECT d.doc_id * 100000 + t.i AS chunk_id,
+               substr(d.text, CAST(t.i * {CHUNK_SIZE} + 1 AS INT), {CHUNK_SIZE}) AS chunk
+        FROM documents d,
+             unnest(range(0, greatest(1,
+                    CAST(ceil(length(d.text) / {CHUNK_SIZE}.0) AS BIGINT)))) AS t(i)
+    ),
+    scored AS (
+        SELECT c.chunk_id, c.chunk, emb_map.v, {cos} AS score
+        FROM chunks c JOIN {_dummy_vec_values()}
+          ON length(c.chunk) = emb_map.text_len
+    ),
+    mcand AS (
+        SELECT qid, vec_id, v, rel FROM (
+            SELECT CAST(0 AS BIGINT) AS qid, chunk_id AS vec_id, v,
+                   score AS rel,
+                   row_number() OVER (ORDER BY score DESC, chunk_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= {MMR_POOL}
+    )"""
+    sel_rows = " UNION ALL ".join(
+        f"SELECT {t} AS rank, vec_id, mmr FROM s{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    return ("    WITH " + head + _mmr_stages_sql(MMR_K, MMR_LAM) + f""",
+    sel AS ({sel_rows})
+    SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+           string_agg(CAST(sel.vec_id AS VARCHAR), ','
+                      ORDER BY sel.rank) AS chunk_ids_csv,
+           string_agg(CAST(CAST(floor(sel.mmr * 1e12) AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY sel.rank) AS mmr_scores_pico_csv,
+           string_agg(c.chunk, e'\\n---\\n'
+                      ORDER BY sel.rank) AS combined_context,
+           'This is a placeholder answer. Relevant context:' || chr(10) ||
+           string_agg(c.chunk, e'\\n---\\n'
+                      ORDER BY sel.rank) AS answer
+    FROM sel JOIN chunks c ON c.chunk_id = sel.vec_id
+""")
 
 
 def _neardup_brp_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7769,7 +7841,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rebalanced N3 and the whole IVF-PQ composition in-window). Tenth:
         # IN search_mmr_diverse (MMR diversity rerank, new this round);
         # OUT dedup_minhash_capped (r05-gated green; dedup keeps
-        # exact/minhash §2 J4/incremental/simhash/survivors in-window).
+        # exact/minhash §2 J4/incremental/simhash/survivors in-window). Eleventh:
+        # IN rag_context_diverse (MMR composed into the RAG read path,
+        # new this round); OUT dedup_simhash (r05-gated green; dedup
+        # keeps exact §2 J4 + minhash + incremental + survivors
+        # in-window, and simhash stays check_oracle-covered).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -7787,7 +7863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "dedup_incremental": _dedup_incremental,
-        "dedup_simhash": _dedup_simhash,
         "dedup_survivors": _dedup_survivors,
         "neardup_embedding_bucketed": _neardup_embedding_bucketed,
         "ivf_cells": _ivf_cells,
@@ -7813,6 +7888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_hamming": _knn_join_hamming,
         "knn_hamming_recall": _knn_hamming_recall,
         "search_mmr_diverse": _search_mmr_diverse,
+        "rag_context_diverse": _rag_context_diverse,
         "rag_answer": _rag_answer,
         "neardup_brp_lsh": _neardup_brp_lsh,
         "doc_quality": _doc_quality,
@@ -7822,6 +7898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_rebalanced": _knn_ivf_rebalanced,
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
+        "dedup_simhash": _dedup_simhash,
         "dedup_minhash_capped": _dedup_minhash_capped,
         "stream_events_tumbling": _stream_events_tumbling,
         "doc_fingerprint": _doc_fingerprint,
@@ -8223,6 +8300,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join_hamming": _knn_join_hamming_oracle(),
         "knn_hamming_recall": _knn_hamming_recall_oracle(),
         "search_mmr_diverse": _search_mmr_diverse_oracle(),
+        "rag_context_diverse": _rag_context_diverse_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

@@ -194,8 +194,9 @@ HEADLINE = [
     "knn_hamming_rerank",
     "knn_join_hamming",
     "knn_hamming_recall",
-    # round 6, sixth wave: MMR diversity rerank
+    # round 6, sixth wave: MMR diversity rerank + its RAG composition
     "search_mmr_diverse",
+    "rag_context_diverse",
 ]
 
 

@@ -185,3 +185,77 @@ def answer_query(
         "combined_context": context,
         "answer": ANSWER_PREFIX + context,
     }
+
+
+def retrieve_diverse(
+    chunks: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 3,
+    lam: float = 0.5,
+    pool: int = 15,
+    metric: str = "cosine",
+) -> DataFrame:
+    """MMR-selected top-k chunks (operators/mmr.py): relevance top-``pool``
+    first, then greedy diversity selection — the retrieve() to reach for
+    when near-duplicate chunks would crowd the context window (the dedup
+    family exists precisely because corpora are full of them; the
+    reference's retrieval is raw similarity order, reference
+    src/vectordb/rag.py:72-84). Returns ``(rank, chunk_id, chunk,
+    mmr_score)`` in selection order."""
+    from .operators import mmr as M
+
+    qdf = chunks.sparkSession.createDataFrame(
+        [(0, [float(x) for x in query_vector])],
+        "query_id BIGINT, query_vec ARRAY<DOUBLE>",
+    )
+    sel = M.mmr_rerank_join(
+        chunks, qdf, k=k, lam=lam, pool=pool, metric=metric,
+        id_col="chunk_id", vector_col="embedding",
+    )
+    return (
+        sel.join(chunks.select("chunk_id", "chunk"), "chunk_id")
+        .select("rank", "chunk_id", "chunk", "mmr_score")
+    )
+
+
+def assemble_context_diverse(selected: DataFrame) -> DataFrame:
+    """Collapse MMR-selected chunk rows into the answer_query_df result
+    shape, ordered by SELECTION rank (not raw score): ``(n_chunks,
+    chunk_ids_csv, mmr_scores_pico_csv, combined_context, answer)``.
+    Ordering rides inside the collected structs (the assemble_context
+    discipline); scores ship as floor(x*1e12) pico-ints so the string
+    column hashes cross-engine."""
+    s = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("rank").alias("rk"),
+                F.col("chunk_id").alias("cid"),
+                F.col("mmr_score").alias("sc"),
+                F.col("chunk").alias("txt"),
+            )
+        )
+    )
+    return (
+        selected.agg(s.alias("s"))
+        .select(
+            F.size("s").cast("long").alias("n_chunks"),
+            F.concat_ws(
+                ",", F.transform("s", lambda x: x["cid"].cast("string"))
+            ).alias("chunk_ids_csv"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "s",
+                    lambda x: F.floor(x["sc"] * F.lit(1e12))
+                    .cast("long")
+                    .cast("string"),
+                ),
+            ).alias("mmr_scores_pico_csv"),
+            F.array_join(
+                F.transform("s", lambda x: x["txt"]), CONTEXT_SEP
+            ).alias("combined_context"),
+        )
+        .withColumn(
+            "answer", F.concat(F.lit(ANSWER_PREFIX), F.col("combined_context"))
+        )
+    )

@@ -93,3 +93,34 @@ def test_answer_query_df_matches_dict_form(spark):
     )
     assert row.combined_context == want["combined_context"]
     assert row.answer == want["answer"]
+
+
+def test_retrieve_diverse_skips_duplicate_chunks(spark):
+    """A chunk store whose two most relevant chunks are copies of each
+    other: plain retrieve() fills the context with both copies,
+    retrieve_diverse() picks one copy then moves to different material —
+    and the assembled context is ordered by SELECTION rank with the
+    reference separator/prefix. Hand-crafted 2-d geometry so the margins
+    are unambiguous: copies at cos 0.995 to the query (mutual sim 1.0),
+    novel chunk at cos 0.9 (sim 0.852 to the copies)."""
+    chunks = spark.createDataFrame(
+        [
+            (0, "copy A", [0.995, 0.0999]),
+            (1, "copy B", [0.995, 0.0999]),
+            (2, "novel", [0.9, -0.436]),
+        ],
+        "chunk_id: long, chunk: string, embedding: array<double>",
+    )
+    qv = [1.0, 0.0]
+    plain = [r.chunk_id for r in rag.retrieve(chunks, qv, k=2).collect()]
+    assert plain == [0, 1]
+    sel = rag.retrieve_diverse(chunks, qv, k=2, lam=0.5, pool=3)
+    rows = sorted(sel.collect(), key=lambda r: r.rank)
+    # step 2 at lam=0.5: copy B scores 0.5*0.995 - 0.5*1.0 < 0 while the
+    # novel chunk scores 0.5*0.9 - 0.5*0.852 > 0 -> diversity wins
+    assert [r.chunk_id for r in rows] == [0, 2]
+    ctx = rag.assemble_context_diverse(sel).head()
+    assert ctx.n_chunks == 2
+    assert ctx.chunk_ids_csv == "0,2"
+    assert ctx.combined_context == "copy A" + rag.CONTEXT_SEP + "novel"
+    assert ctx.answer == rag.ANSWER_PREFIX + ctx.combined_context
