@@ -6911,6 +6911,147 @@ def _knn_hamming_recall_oracle() -> str:
 """
 
 
+def _asym_chain_sql(code: str, qv: str) -> str:
+    """Left-associated 64-term chain of per-bit conditionals — the SQL
+    replica of bq.asym_score_expr's fold (same parenthesization, same
+    exact negation), so asym scores agree bit-for-bit."""
+    terms = [
+        f"(CASE WHEN (({code} >> {i}) & 1) = 1"
+        f" THEN list_extract({qv}, {i + 1})"
+        f" ELSE -list_extract({qv}, {i + 1}) END)"
+        for i in range(64)
+    ]
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"({expr} + {t})"
+    return expr
+
+
+def _knn_bq_asym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-binary serving: the query keeps FULL float precision
+    while the corpus stays 1 bit/dim — shortlist by dot(q, sign(v))
+    (a per-bit conditional chain over the 8-byte code, highest first),
+    exact rerank of shortlist rows. Same storage and scan bytes as
+    knn_hamming_rerank, measured recall 0.875 vs 0.615 at the same
+    shortlist (BASELINE.md) because no query information is quantized
+    away."""
+    from educational_vector_database_spark.operators import bq as BQ
+
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    return BQ.knn_bq_asym(
+        _emb(spark, sf_dir).select("vec_id", "embedding"), qv,
+        k=TOP_K, shortlist=BQ_SHORTLIST,
+    )
+
+
+def _knn_bq_asym_oracle() -> str:
+    asym = _asym_chain_sql("benc.bq_code", "q.qv")
+    return f"""
+    WITH {_BQ_ENC_CTE},
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {IVF_QUERY_ID}),
+    ascore AS (
+        SELECT benc.vec_id, {asym} AS asym
+        FROM benc CROSS JOIN q
+    ),
+    bshort AS (
+        SELECT vec_id FROM ascore
+        ORDER BY asym DESC, vec_id ASC LIMIT {BQ_SHORTLIST}
+    )
+    SELECT e2.vec_id,
+           {_COS.format(a='e2.embedding::DOUBLE[]', b='q.qv')} AS score
+    FROM embeddings e2 CROSS JOIN q
+    WHERE e2.vec_id IN (SELECT vec_id FROM bshort)
+    ORDER BY score DESC, e2.vec_id ASC LIMIT {TOP_K}
+"""
+
+
+def _knn_bq_asym_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of asymmetric-binary shortlist-then-rerank for the same
+    20 queries and shortlist as knn_hamming_recall — the pair of rows IS
+    the measured asym-vs-symmetric comparison (0.875 vs 0.615 at
+    sf0.01), at identical storage."""
+    from educational_vector_database_spark.operators import bq as BQ
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(
+        (F.col("vec_id") >= IVF_RECALL_QLO) & (F.col("vec_id") < IVF_RECALL_QHI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    approx = BQ.knn_join_bq_asym(
+        e.select("vec_id", "embedding"), queries, 64,
+        k=TOP_K, shortlist=BQ_SHORTLIST,
+    ).select(F.col("query_id").alias("qid"), "vec_id")
+    score = V.similarity(
+        "cosine", V.as_double("embedding"), V.as_double("query_vec")
+    )
+    pairs = e.select("vec_id", "embedding").join(F.broadcast(queries)).select(
+        F.col("query_id").alias("qid"), "vec_id", score.alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    exact = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    n_q = IVF_RECALL_QHI - IVF_RECALL_QLO
+    return (
+        exact.join(approx, ["qid", "vec_id"])
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.lit(n_q).cast("long").alias("n_queries"),
+            F.lit(TOP_K).cast("long").alias("k"),
+            "n_hits",
+        )
+    )
+
+
+def _knn_bq_asym_recall_oracle() -> str:
+    asym = _asym_chain_sql("benc.bq_code", "bqs2.qv")
+    cos = _COS.format(a="e.embedding::DOUBLE[]", b="bqs2.qv")
+    return f"""
+    WITH {_BQ_ENC_CTE},
+    bqs2 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+             WHERE vec_id >= {IVF_RECALL_QLO} AND vec_id < {IVF_RECALL_QHI}),
+    bshort AS (
+        SELECT qid, vec_id FROM (
+            SELECT bqs2.qid, benc.vec_id, row_number() OVER (
+                PARTITION BY bqs2.qid
+                ORDER BY {asym} DESC, benc.vec_id ASC) AS srn
+            FROM benc CROSS JOIN bqs2
+        ) WHERE srn <= {BQ_SHORTLIST}
+    ),
+    approx AS (
+        SELECT qid, vec_id FROM (
+            SELECT s.qid, e2.vec_id,
+                   row_number() OVER (
+                       PARTITION BY s.qid
+                       ORDER BY {_COS.format(a="e2.embedding::DOUBLE[]",
+                                             b="bqs2.qv")} DESC,
+                                e2.vec_id ASC) AS rn
+            FROM bshort s
+            JOIN embeddings e2 ON e2.vec_id = s.vec_id
+            JOIN bqs2 ON bqs2.qid = s.qid
+        ) WHERE rn <= {TOP_K}
+    ),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT bqs2.qid, e.vec_id, row_number() OVER (
+                PARTITION BY bqs2.qid
+                ORDER BY {cos} DESC, e.vec_id ASC) AS rn
+            FROM embeddings e CROSS JOIN bqs2
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT CAST({IVF_RECALL_QHI - IVF_RECALL_QLO} AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM exact JOIN approx USING (qid, vec_id)
+"""
+
+
+
 # --- MMR diversity rerank (operators/mmr.py) --------------------------------
 
 MMR_K, MMR_LAM, MMR_POOL = 3, 0.5, 15  # lam=0.5: 1-lam exactly representable
@@ -7845,7 +7986,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IN rag_context_diverse (MMR composed into the RAG read path,
         # new this round); OUT dedup_simhash (r05-gated green; dedup
         # keeps exact §2 J4 + minhash + incremental + survivors
-        # in-window, and simhash stays check_oracle-covered).
+        # in-window, and simhash stays check_oracle-covered). Twelfth:
+        # IN knn_bq_asym + knn_bq_asym_recall (asymmetric binary scoring
+        # — same codes, float query, recall 0.615 -> 0.875); OUT
+        # dedup_survivors and neardup_embedding_bucketed (both r05-gated
+        # green; resolution stays property-tested and both stay
+        # check_oracle-covered, dedup keeps exact §2 J4 + minhash +
+        # incremental in-window).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -7863,8 +8010,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "dedup_incremental": _dedup_incremental,
-        "dedup_survivors": _dedup_survivors,
-        "neardup_embedding_bucketed": _neardup_embedding_bucketed,
         "ivf_cells": _ivf_cells,
         "knn_graph_edges": _knn_graph_edges,
         "knn_graph_beam": _knn_graph_beam,
@@ -7889,6 +8034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hamming_recall": _knn_hamming_recall,
         "search_mmr_diverse": _search_mmr_diverse,
         "rag_context_diverse": _rag_context_diverse,
+        "knn_bq_asym": _knn_bq_asym,
+        "knn_bq_asym_recall": _knn_bq_asym_recall,
         "rag_answer": _rag_answer,
         "neardup_brp_lsh": _neardup_brp_lsh,
         "doc_quality": _doc_quality,
@@ -7898,6 +8045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_rebalanced": _knn_ivf_rebalanced,
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
+        "dedup_survivors": _dedup_survivors,
+        "neardup_embedding_bucketed": _neardup_embedding_bucketed,
         "dedup_simhash": _dedup_simhash,
         "dedup_minhash_capped": _dedup_minhash_capped,
         "stream_events_tumbling": _stream_events_tumbling,
@@ -8301,6 +8450,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_hamming_recall": _knn_hamming_recall_oracle(),
         "search_mmr_diverse": _search_mmr_diverse_oracle(),
         "rag_context_diverse": _rag_context_diverse_oracle(),
+        "knn_bq_asym": _knn_bq_asym_oracle(),
+        "knn_bq_asym_recall": _knn_bq_asym_recall_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

@@ -197,6 +197,9 @@ HEADLINE = [
     # round 6, sixth wave: MMR diversity rerank + its RAG composition
     "search_mmr_diverse",
     "rag_context_diverse",
+    # round 6, seventh wave: asymmetric binary scoring (float query vs bits)
+    "knn_bq_asym",
+    "knn_bq_asym_recall",
 ]
 
 

@@ -271,3 +271,128 @@ def knn_join_hamming(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "score")
     )
+
+
+def asym_score_expr(
+    code_col: Column | str,
+    query_vec_col: Column | str,
+    dim: int,
+) -> Column:
+    """Asymmetric binary score: the query keeps FULL float precision while
+    the corpus side stays 1 bit/dim — score = Σ_i ±q_i with the sign taken
+    from bit i of the packed code (equals dot(q, sign(v)), the asymmetric
+    distance computation of binary codes; recall at a fixed shortlist is
+    substantially higher than symmetric Hamming because no query
+    information is quantized away, at identical storage). Built as a
+    LEFT-ASSOCIATED chain of per-bit conditionals so the SQL oracle can
+    parenthesize identically (the ADC-sum discipline); works with a query
+    VECTOR COLUMN, so batch joins need no per-query literals."""
+    code = F.col(code_col) if isinstance(code_col, str) else code_col
+    qv = V.as_double(query_vec_col)
+    words = n_words(dim)
+    total = None
+    for pos in range(dim):
+        w, bit = pos // 64, pos % 64
+        word = code if words == 1 else F.element_at(code, w + 1)
+        q_i = F.element_at(qv, pos + 1)
+        term = F.when(
+            F.shiftright(word, bit).bitwiseAND(F.lit(1)) == 1, q_i
+        ).otherwise(-q_i)
+        total = term if total is None else total + term
+    return total
+
+
+def knn_bq_asym(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    shortlist: int = 50,
+    metric: str = "cosine",
+    thresholds: Sequence[float] | None = None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    codes: DataFrame | None = None,
+    code_col: str = "bq_code",
+) -> DataFrame:
+    """Asymmetric-binary serving: score codes against the FLOAT query
+    (highest score first, ties id ASC) for the shortlist, then exact
+    re-score of shortlist rows — same 8-byte storage as knn_hamming_rerank
+    with materially higher recall at the same shortlist (measured in
+    BASELINE.md). The query vector rides as one array literal; the
+    shortlist pass still never reads the corpus vector column."""
+    dim = len(query_vector)
+    if codes is not None:
+        src, code = codes, F.col(code_col)
+    else:
+        src = df
+        code = bq_encode_expr(vector_col, dim, thresholds)
+    qlit = V.vector_literal([float(x) for x in query_vector])
+    short = (
+        src.select(
+            F.col(id_col), asym_score_expr(code, qlit, dim).alias("asym")
+        )
+        .orderBy(F.desc("asym"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    from . import knn as K
+
+    return K.knn(
+        df.join(short, id_col, "left_semi"), query_vector, k=k,
+        metric=metric, vector_col=vector_col, id_col=id_col,
+    )
+
+
+def knn_join_bq_asym(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    shortlist: int = 50,
+    metric: str = "cosine",
+    thresholds: Sequence[float] | None = None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    codes: DataFrame | None = None,
+    code_col: str = "bq_code",
+) -> DataFrame:
+    """Batch asymmetric-binary serving: the query side broadcasts with its
+    float vectors (no code quantization of the query at all), pair scores
+    are the per-bit conditional chain over (code, query-vector column),
+    per-query shortlist as a WindowGroupLimit, exact rerank of shortlist
+    rows."""
+    from pyspark.sql import Window
+
+    if codes is None:
+        codes = bq_encode(
+            corpus, dim, thresholds,
+            id_col=id_col, vector_col=vector_col, code_col=code_col,
+        )
+    qd = queries.select(query_id_col, query_vec_col)
+    pairs = codes.join(F.broadcast(qd)).select(
+        query_id_col, query_vec_col, id_col,
+        asym_score_expr(F.col(code_col), F.col(query_vec_col), dim).alias(
+            "asym"
+        ),
+    )
+    ws = Window.partitionBy(query_id_col).orderBy(F.desc("asym"), F.asc(id_col))
+    short = (
+        pairs.withColumn("_srn", F.row_number().over(ws))
+        .filter(F.col("_srn") <= shortlist)
+        .select(query_id_col, query_vec_col, id_col)
+    )
+    rescored = short.join(corpus.select(id_col, vector_col), id_col).select(
+        query_id_col,
+        F.col(id_col),
+        V.similarity(
+            metric, V.as_double(vector_col), V.as_double(query_vec_col)
+        ).alias("score"),
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )

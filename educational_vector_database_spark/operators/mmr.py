@@ -46,6 +46,7 @@ def mmr_rerank_join(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     candidates: DataFrame | None = None,
+    persists_out: list | None = None,
 ) -> DataFrame:
     """Batch MMR: per query, greedily select ``k`` of the top-``pool``
     relevance candidates, each step penalized by the max similarity to the
@@ -56,7 +57,10 @@ def mmr_rerank_join(
     Pass ``candidates`` (query_id, id, vector, rel) to rerank an existing
     shortlist (e.g. a Hamming or IVF shortlist) instead of the brute
     top-``pool``. The candidate frame is cached for the k reuses — it is
-    queries x pool rows, bounded small by construction.
+    queries x pool rows, bounded small by construction. With
+    ``persists_out`` the cached frame is appended for caller-owned
+    cleanup (the dedup-family discipline); without it the cache block
+    lives until the session clears its catalog cache.
 
     Returns (query_id, rank, id, mmr_score): rank t = the t-th pick.
     """
@@ -78,6 +82,8 @@ def mmr_rerank_join(
             .drop("_rn")
         )
     cand = candidates.persist()
+    if persists_out is not None:
+        persists_out.append(cand)
 
     wsel = Window.partitionBy(query_id_col).orderBy(
         F.desc("_mmr"), F.asc(id_col)

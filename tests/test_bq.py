@@ -181,3 +181,83 @@ def test_thresholds_shift_the_code(spark, sf_dir):
     lo = e.select(BQ.bq_encode_expr("embedding", 64, [-10.0] * 64).alias("c"))
     assert {r.c for r in hi.collect()} == {0}
     assert {r.c for r in lo.collect()} == {-1}  # all 64 bits set
+
+
+def test_asym_score_matches_numpy(spark, sf_dir):
+    """The per-bit conditional chain equals dot(q, sign(v)) computed with
+    the same left-to-right fold."""
+    ids, mat = _rows(spark, sf_dir, 100)
+    qv = mat[13]
+    codes = BQ.bq_encode(_emb(spark, sf_dir).orderBy("vec_id").limit(100), 64)
+    from educational_vector_database_spark.functions import vector as V
+
+    got = {
+        r.vec_id: r.a
+        for r in codes.select(
+            "vec_id",
+            BQ.asym_score_expr(
+                "bq_code", V.vector_literal(qv.tolist()), 64
+            ).alias("a"),
+        ).collect()
+    }
+    for i, vid in enumerate(ids):
+        s = None
+        for pos in range(64):
+            t = float(qv[pos]) if mat[i, pos] > 0 else -float(qv[pos])
+            s = t if s is None else s + t
+        assert got[int(vid)] == s, vid
+
+
+def test_knn_join_bq_asym_matches_single_query_path(spark, sf_dir):
+    """Batch asym join reproduces knn_bq_asym per query exactly."""
+    ids, mat = _rows(spark, sf_dir)
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    qids = [4, 23, 51]
+    queries = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = BQ.knn_join_bq_asym(e, queries, 64, k=6, shortlist=40).collect()
+    by_q = {}
+    for r in sorted(batch, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.score))
+    for qid in qids:
+        qv = mat[list(ids).index(qid)].tolist()
+        single = [
+            (r.vec_id, r.score)
+            for r in BQ.knn_bq_asym(e, qv, k=6, shortlist=40).collect()
+        ]
+        assert by_q[qid] == single, qid
+
+
+def test_asym_beats_symmetric_recall(spark, sf_dir):
+    """The whole point of asym: at the same shortlist and the same 8-byte
+    codes, keeping the query at float precision recovers more of the exact
+    top-k than symmetric Hamming (measured 0.875 vs 0.615 at sf0.01)."""
+    from educational_vector_database_spark.functions import vector as V
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    queries = e.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 120)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    score = V.similarity("cosine", V.as_double("embedding"), V.as_double("query_vec"))
+    pairs = e.join(F.broadcast(queries)).select(
+        F.col("query_id").alias("qid"), "vec_id", score.alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    exact = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10).select("qid", "vec_id")
+    ).cache()
+    def hits(approx):
+        return exact.join(
+            approx.select(F.col("query_id").alias("qid"), "vec_id"),
+            ["qid", "vec_id"],
+        ).count()
+    h_sym = hits(BQ.knn_join_hamming(e, queries, 64, k=10, shortlist=50))
+    h_asym = hits(BQ.knn_join_bq_asym(e, queries, 64, k=10, shortlist=50))
+    exact.unpersist()
+    assert h_asym > h_sym
+    assert h_asym >= 150  # >= 0.75 recall@10 where symmetric gets ~0.615
