@@ -7052,6 +7052,48 @@ def _knn_bq_asym_recall_oracle() -> str:
 
 
 
+def _knn_ivf_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × binary quantization composed (the knn_ivfpq architecture on
+    the sign-bit leg): the probe reads nprobe/n_cells of the corpus, each
+    probed row costs 8 bytes + one popcount, exact rerank of the
+    shortlist. With codes on disk partitionBy(centroid_id) the probe is
+    file-listing pruning, same as the IVF-PQ layout."""
+    from educational_vector_database_spark.operators import bq as BQ
+
+    cents = _ivf_centroids(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    return BQ.knn_ivf_hamming(
+        _emb(spark, sf_dir).select("vec_id", "embedding"), qv, cents,
+        k=TOP_K, nprobe=IVF_NPROBE, shortlist=BQ_SHORTLIST,
+    )
+
+
+def _knn_ivf_hamming_oracle() -> str:
+    return f"""
+    WITH {_IVF_ASSIGN_CTE},
+    {_BQ_ENC_CTE},
+    bq AS (SELECT bq_code AS qc FROM benc WHERE vec_id = {IVF_QUERY_ID}),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {IVF_QUERY_ID}),
+    qprobe AS (SELECT CAST(cid AS INT) AS pcid FROM d
+               WHERE vec_id = {IVF_QUERY_ID} AND rn <= {IVF_NPROBE}),
+    bshort AS (
+        SELECT benc.vec_id FROM benc
+        JOIN assign a ON a.vec_id = benc.vec_id
+        JOIN qprobe p ON p.pcid = a.centroid_id
+        CROSS JOIN bq
+        ORDER BY bit_count(xor(benc.bq_code, bq.qc)) ASC, benc.vec_id ASC
+        LIMIT {BQ_SHORTLIST}
+    )
+    SELECT e2.vec_id,
+           {_COS.format(a='e2.embedding::DOUBLE[]', b='q.qv')} AS score
+    FROM embeddings e2 CROSS JOIN q
+    WHERE e2.vec_id IN (SELECT vec_id FROM bshort)
+    ORDER BY score DESC, e2.vec_id ASC LIMIT {TOP_K}
+"""
+
+
+
 # --- MMR diversity rerank (operators/mmr.py) --------------------------------
 
 MMR_K, MMR_LAM, MMR_POOL = 3, 0.5, 15  # lam=0.5: 1-lam exactly representable
@@ -7992,7 +8034,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_survivors and neardup_embedding_bucketed (both r05-gated
         # green; resolution stays property-tested and both stay
         # check_oracle-covered, dedup keeps exact §2 J4 + minhash +
-        # incremental in-window).
+        # incremental in-window). knn_ivf_hamming
+        # (IVF x BQ composition) stays PAST the window: every remaining
+        # in-window row is either §2-cited or round-6-new awaiting its
+        # first driver gate, and the composition's parts (ivf_cells,
+        # bq_codes, knn_hamming_rerank) are all in-window; the row is
+        # check_oracle-covered at three scales.
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -8045,6 +8092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_rebalanced": _knn_ivf_rebalanced,
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
+        "knn_ivf_hamming": _knn_ivf_hamming,
         "dedup_survivors": _dedup_survivors,
         "neardup_embedding_bucketed": _neardup_embedding_bucketed,
         "dedup_simhash": _dedup_simhash,
@@ -8452,6 +8500,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_context_diverse": _rag_context_diverse_oracle(),
         "knn_bq_asym": _knn_bq_asym_oracle(),
         "knn_bq_asym_recall": _knn_bq_asym_recall_oracle(),
+        "knn_ivf_hamming": _knn_ivf_hamming_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

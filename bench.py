@@ -200,6 +200,7 @@ HEADLINE = [
     # round 6, seventh wave: asymmetric binary scoring (float query vs bits)
     "knn_bq_asym",
     "knn_bq_asym_recall",
+    "knn_ivf_hamming",
 ]
 
 

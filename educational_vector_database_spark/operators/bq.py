@@ -396,3 +396,52 @@ def knn_join_bq_asym(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "score")
     )
+
+
+def knn_ivf_hamming(
+    corpus: DataFrame,
+    query_vector: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    metric: str = "cosine",
+    thresholds: Sequence[float] | None = None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    codes: DataFrame | None = None,
+    cell_col: str = "centroid_id",
+    code_col: str = "bq_code",
+) -> DataFrame:
+    """IVF × binary quantization — the two pruning axes composed exactly
+    as IVF-PQ composes them (operators/pq.py knn_ivfpq): IVF prunes WHICH
+    rows the probe scans (nprobe/n_cells of the corpus; partition pruning
+    when the code table is written partitionBy(cell)), the sign-bit code
+    shrinks WHAT each probed row costs (8 B + one popcount). Probed cells
+    are computed driver-side from the literal query (probe_cells — the
+    same total order as the SQL oracle); Hamming shortlist over probed
+    codes only; exact rerank of shortlist rows."""
+    from .pq import assign_cells_expr, probe_cells
+
+    dim = len(query_vector)
+    if codes is None:
+        codes = corpus.select(
+            F.col(id_col),
+            assign_cells_expr(vector_col, centroids).alias(cell_col),
+            bq_encode_expr(vector_col, dim, thresholds).alias(code_col),
+        )
+    probed = probe_cells(query_vector, centroids, nprobe)
+    qc = bq_query_code(query_vector, thresholds)
+    short = (
+        codes.filter(F.col(cell_col).isin([int(p) for p in probed]))
+        .select(F.col(id_col), hamming_expr(F.col(code_col), qc).alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    from . import knn as K
+
+    return K.knn(
+        corpus.join(short, id_col, "left_semi"), query_vector, k=k,
+        metric=metric, vector_col=vector_col, id_col=id_col,
+    )

@@ -261,3 +261,39 @@ def test_asym_beats_symmetric_recall(spark, sf_dir):
     exact.unpersist()
     assert h_asym > h_sym
     assert h_asym >= 150  # >= 0.75 recall@10 where symmetric gets ~0.615
+
+
+def test_knn_ivf_hamming_composes_pruning(spark, sf_dir):
+    """IVF x BQ: candidates come ONLY from probed cells (an id outside
+    them can never surface), and with nprobe = n_cells + shortlist =
+    corpus the result degrades to exact top-k — the composition contract
+    knn_ivfpq has, on the sign-bit leg."""
+    from educational_vector_database_spark.operators.knn import knn
+    from educational_vector_database_spark.operators.pq import (
+        assign_cells_expr, probe_cells,
+    )
+
+    ids, mat = _rows(spark, sf_dir)
+    cents = mat[:4].tolist()
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    qv = mat[33].tolist()
+    n = e.count()
+    full = [
+        (r.vec_id, r.score)
+        for r in BQ.knn_ivf_hamming(
+            e, qv, cents, k=5, nprobe=4, shortlist=n
+        ).collect()
+    ]
+    exact = [(r.vec_id, r.score) for r in knn(e, qv, k=5).collect()]
+    assert full == exact
+    probed = set(probe_cells(qv, cents, 2))
+    in_cells = {
+        r.vec_id
+        for r in e.select(
+            "vec_id", assign_cells_expr("embedding", cents).alias("c")
+        ).collect()
+        if r.c in probed
+    }
+    got = {r.vec_id for r in BQ.knn_ivf_hamming(
+        e, qv, cents, k=5, nprobe=2, shortlist=40).collect()}
+    assert got <= in_cells
