@@ -51,8 +51,10 @@ class VectorDB:
     ):
         if metric.lower() not in V.SUPPORTED_METRICS:
             raise ValueError(f"Unknown metric: {metric!r}")
-        if index_type not in ("ivf", "graph"):
-            raise ValueError(f"Unknown index_type: {index_type!r} (ivf|graph)")
+        if index_type not in ("ivf", "graph", "ivfpq"):
+            raise ValueError(
+                f"Unknown index_type: {index_type!r} (ivf|graph|ivfpq)"
+            )
         self.spark = spark
         self.dim = dim
         self.metric = metric.lower()
@@ -64,11 +66,14 @@ class VectorDB:
         # next search — never on the write path.
         self.use_approx = use_approx
         # which approximate index serves reads: "ivf" (cell-probe, the
-        # partition-pruning disk path) or "graph" (beam walk over the k-NN
-        # graph — ≙ the reference's HNSW serving, api.py:26-35 use_ann)
+        # partition-pruning disk path), "graph" (beam walk over the k-NN
+        # graph — ≙ the reference's HNSW serving, api.py:26-35 use_ann) or
+        # "ivfpq" (cell-probe over 8-byte residual PQ codes + exact rerank
+        # — the compressed-index serving path)
         self.index_type = index_type
         self._ivf = None
         self._graph = None
+        self._ivfpq = None
         self._n_cells = n_cells
         self._df = df if df is not None else spark.createDataFrame(
             [], f"{id_col} bigint, {vector_col} array<double>, text string"
@@ -156,6 +161,23 @@ class VectorDB:
                 )
             self._graph.ensure(self._df)  # lazy rebuild / exact fold-in
             res = self._graph.query(
+                self._df, query_vector, k=k, assume_fresh=True
+            )
+            if extra:
+                res = res.join(
+                    self._df.select(self.id_col, *extra), self.id_col, "left"
+                ).orderBy(F.desc("score"), F.asc(self.id_col))
+            return res
+        if self.use_approx and self.index_type == "ivfpq":
+            from .operators.pq import IVFPQIndex
+
+            if self._ivfpq is None:
+                self._ivfpq = IVFPQIndex(
+                    n_cells=self._n_cells, metric=self.metric,
+                    vector_col=self.vector_col, id_col=self.id_col,
+                )
+            self._ivfpq.ensure(self._df)  # lazy rebuild / one-sided append
+            res = self._ivfpq.query(
                 self._df, query_vector, k=k, assume_fresh=True
             )
             if extra:
@@ -261,6 +283,8 @@ class VectorDB:
                 self._ivf.save(os.path.join(path, "_ivf_index"))
             if self._graph is not None and self._graph._edges is not None:
                 self._graph.save(os.path.join(path, "_graph_index"))
+            if self._ivfpq is not None and self._ivfpq._codes is not None:
+                self._ivfpq.save(os.path.join(path, "_ivfpq_index"))
 
     @classmethod
     def load(
@@ -295,4 +319,13 @@ class VectorDB:
                 db.index_type = "graph"
             except (OSError, json.JSONDecodeError, KeyError, ValueError):
                 db._graph = None  # same lazy-rebuild fallback as IVF
+        pidx_dir = os.path.join(path, "_ivfpq_index")
+        if cfg.use_approx and os.path.isdir(pidx_dir):
+            from .operators.pq import IVFPQIndex
+
+            try:
+                db._ivfpq = IVFPQIndex.load(spark, pidx_dir)
+                db.index_type = "ivfpq"
+            except (OSError, json.JSONDecodeError, KeyError, ValueError):
+                db._ivfpq = None  # same lazy-rebuild fallback
         return db

@@ -245,3 +245,45 @@ def test_vectordb_unknown_index_type_raises(spark):
 
     with _pytest.raises(ValueError, match="index_type"):
         VectorDB(spark, dim=4, index_type="hnsw")
+
+
+def test_vectordb_ivfpq_index_search_and_roundtrip(spark, tmp_path):
+    """index_type="ivfpq": searches route through the compressed
+    IVFPQIndex (trained lazily on first search, one-sided fold-in on pure
+    appends), and save/load persists the partitionBy(cell) code table +
+    sidecar under <store>/_ivfpq_index so the reloaded DB serves probes
+    without a rebuild."""
+    import numpy as np
+
+    from educational_vector_database_spark.api import VectorDB
+
+    rng = np.random.RandomState(29)
+    rows = [(i, [float(x) for x in rng.randn(8)], None) for i in range(120)]
+    db = VectorDB(spark, dim=8, use_approx=True, index_type="ivfpq", n_cells=4)
+    db.add_vectors(spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, text: string"))
+    q = rows[7][1]
+    got = db.search_vector(q, k=3).collect()
+    assert len(got) == 3
+    # the query vector itself is in the store: nearest cell is always
+    # probed and the exact rerank puts the identical vector first
+    assert got[0].vec_id == 7
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    assert db._ivfpq is not None and db._ivf is None and db._graph is None
+
+    path = str(tmp_path / "store_ivfpq_idx")
+    db.save(path)
+    db2 = VectorDB.load(spark, path)
+    assert db2.index_type == "ivfpq"
+    assert db2._ivfpq is not None and db2._ivfpq._indexed_rows == 120
+    got2 = db2.search_vector(q, k=3).collect()
+    assert [(r.vec_id, r.score) for r in got2] == [
+        (r.vec_id, r.score) for r in got
+    ]
+    # the store itself stays a readable plain table
+    assert spark.read.parquet(path).count() == 120
+    # pure append after load: one-sided fold-in, new row findable
+    db2.add_vectors(spark.createDataFrame(
+        [(999, q, None)], "vec_id: long, embedding: array<double>, text: string"))
+    assert 999 in {r.vec_id for r in db2.search_vector(q, k=3).collect()}
