@@ -7094,6 +7094,67 @@ def _knn_ivf_hamming_oracle() -> str:
 
 
 
+# --- BM25 lexical retrieval (operators/bm25.py) -----------------------------
+
+BM25_TERMS = ("spark", "filter", "join", "window")  # RAG_QUERY's tokens
+BM25_K1_X10, BM25_B_X100 = 12, 75  # the standard k1=1.2, b=0.75
+
+
+def _search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked lexical retrieval (Okapi BM25, Lucene idf) for the fixture
+    query's tokens — the lexical leg the hybrid-RRF search can pair with
+    the vector leg. Integer-exact end to end: micro-unit idf (rounding
+    stability verified exhaustively for every reachable df) and a
+    fraction-free tf normalization via one integer division per
+    (doc, term) — see operators/bm25.py."""
+    from educational_vector_database_spark.operators import bm25 as B
+
+    return B.bm25_topk(
+        _docs(spark, sf_dir), list(BM25_TERMS), k=TOP_K,
+        k1_x10=BM25_K1_X10, b_x100=BM25_B_X100,
+    )
+
+
+def _search_bm25_oracle() -> str:
+    c1 = BM25_K1_X10 * (100 - BM25_B_X100) // 100
+    c2 = BM25_K1_X10 * BM25_B_X100 // 100
+    numf = 10 + BM25_K1_X10
+    terms = ", ".join(f"'{t}'" for t in sorted(BM25_TERMS))
+    idf = ("CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))"
+           " * 1000000) AS BIGINT)")
+    return f"""
+    WITH bnorm AS (SELECT doc_id, {_NORM.format(t='text')} AS t FROM documents),
+    btok AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM bnorm
+        ) WHERE tok <> ''
+    ),
+    bdl AS (SELECT doc_id, count(*) AS dl FROM btok GROUP BY doc_id),
+    btf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM btok
+        WHERE tok IN ({terms}) GROUP BY doc_id, tok
+    ),
+    bdf AS (SELECT tok, count(*) AS df FROM btf GROUP BY tok),
+    bstats AS (
+        SELECT (SELECT count(*) FROM btok) AS total,
+               (SELECT count(*) FROM documents) AS n_docs
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(
+               ({numf} * {idf} * t.tf * s.total)
+               // ({10} * s.total * t.tf + {c1} * s.total
+                   + {c2} * l.dl * s.n_docs)
+           ) AS BIGINT) AS bm25_scaled
+    FROM btf t
+    JOIN bdf d USING (tok)
+    JOIN bdl l USING (doc_id)
+    CROSS JOIN bstats s
+    GROUP BY doc_id
+    ORDER BY bm25_scaled DESC, doc_id ASC LIMIT {TOP_K}
+"""
+
+
+
 # --- MMR diversity rerank (operators/mmr.py) --------------------------------
 
 MMR_K, MMR_LAM, MMR_POOL = 3, 0.5, 15  # lam=0.5: 1-lam exactly representable
@@ -8039,7 +8100,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window row is either §2-cited or round-6-new awaiting its
         # first driver gate, and the composition's parts (ivf_cells,
         # bq_codes, knn_hamming_rerank) are all in-window; the row is
-        # check_oracle-covered at three scales.
+        # check_oracle-covered at three scales. Fourteenth: IN
+        # search_bm25 (ranked lexical retrieval — a NEW operator family);
+        # OUT rag_context_diverse (a composition whose operator is gated
+        # in-window via search_mmr_diverse and whose RAG parts are §2-
+        # gated via rag_context/rag_answer; stays check_oracle-covered).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -8080,7 +8145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_hamming": _knn_join_hamming,
         "knn_hamming_recall": _knn_hamming_recall,
         "search_mmr_diverse": _search_mmr_diverse,
-        "rag_context_diverse": _rag_context_diverse,
+        "search_bm25": _search_bm25,
         "knn_bq_asym": _knn_bq_asym,
         "knn_bq_asym_recall": _knn_bq_asym_recall,
         "rag_answer": _rag_answer,
@@ -8093,6 +8158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
         "knn_ivf_hamming": _knn_ivf_hamming,
+        "rag_context_diverse": _rag_context_diverse,
         "dedup_survivors": _dedup_survivors,
         "neardup_embedding_bucketed": _neardup_embedding_bucketed,
         "dedup_simhash": _dedup_simhash,
@@ -8501,6 +8567,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bq_asym": _knn_bq_asym_oracle(),
         "knn_bq_asym_recall": _knn_bq_asym_recall_oracle(),
         "knn_ivf_hamming": _knn_ivf_hamming_oracle(),
+        "search_bm25": _search_bm25_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

@@ -201,6 +201,8 @@ HEADLINE = [
     "knn_bq_asym",
     "knn_bq_asym_recall",
     "knn_ivf_hamming",
+    # round 6, eighth wave: BM25 ranked lexical retrieval
+    "search_bm25",
 ]
 
 
