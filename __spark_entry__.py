@@ -7155,6 +7155,127 @@ def _search_bm25_oracle() -> str:
 
 
 
+def _search_hybrid_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with the lexical leg UPGRADED to ranked BM25
+    (search_hybrid_rrf's leg is raw term frequency): BM25 top-HYBRID_CAND
+    and cosine top-HYBRID_CAND fused by reciprocal-rank fusion. Rank
+    arithmetic stays exact-integer end to end (micro-unit BM25, micro-unit
+    RRF), so the fused score is engine-independent by construction."""
+    from educational_vector_database_spark.operators import bm25 as B
+
+    emb = DummyEmbeddings(DUMMY_DIM)
+    d = _docs(spark, sf_dir)
+
+    lex_top = B.bm25_topk(
+        d, list(BM25_TERMS), k=HYBRID_CAND,
+        k1_x10=BM25_K1_X10, b_x100=BM25_B_X100,
+    )
+    w_lex = Window.orderBy(F.desc("bm25_scaled"), F.asc("doc_id"))
+    lex_ranked = lex_top.withColumn(
+        "r_lex", F.row_number().over(w_lex)
+    ).select("doc_id", "r_lex")
+
+    qv = [float(x) for x in emb.embed(RAG_QUERY)]
+    scored = d.select(
+        "doc_id", emb.embed_col(F.expr("substring(text, 1, 300)")).alias("embedding")
+    )
+    vec_top = K.knn(scored, qv, k=HYBRID_CAND, id_col="doc_id")
+    w_vec = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    vec_ranked = vec_top.withColumn(
+        "r_vec", F.row_number().over(w_vec)
+    ).select("doc_id", "r_vec")
+
+    rrf = lambda r: F.round(F.lit(1_000_000.0) / (F.lit(RRF_K) + r)).cast("long")  # noqa: E731
+    fused = lex_ranked.join(vec_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("r_lex", F.lit(0)).cast("int").alias("r_lex"),
+        F.coalesce("r_vec", F.lit(0)).cast("int").alias("r_vec"),
+        (
+            F.coalesce(rrf(F.col("r_lex")), F.lit(0))
+            + F.coalesce(rrf(F.col("r_vec")), F.lit(0))
+        ).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(TOP_K)
+
+
+def _search_hybrid_bm25_oracle() -> str:
+    c1 = BM25_K1_X10 * (100 - BM25_B_X100) // 100
+    c2 = BM25_K1_X10 * BM25_B_X100 // 100
+    numf = 10 + BM25_K1_X10
+    terms = ", ".join(f"'{t}'" for t in sorted(BM25_TERMS))
+    idf = ("CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))"
+           " * 1000000) AS BIGINT)")
+    qv = ", ".join(
+        f"CAST('{float(x)!r}' AS DOUBLE)"
+        for x in _dummy_vector(len(RAG_QUERY), DUMMY_DIM)
+    )
+    cos = _COS.format(a="emb_map.v", b=f"[{qv}]::DOUBLE[]")
+    return f"""
+    WITH bnorm AS (SELECT doc_id, {_NORM.format(t='text')} AS t FROM documents),
+    btok AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM bnorm
+        ) WHERE tok <> ''
+    ),
+    bdl AS (SELECT doc_id, count(*) AS dl FROM btok GROUP BY doc_id),
+    btf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM btok
+        WHERE tok IN ({terms}) GROUP BY doc_id, tok
+    ),
+    bdf AS (SELECT tok, count(*) AS df FROM btf GROUP BY tok),
+    bstats AS (
+        SELECT (SELECT count(*) FROM btok) AS total,
+               (SELECT count(*) FROM documents) AS n_docs
+    ),
+    bscore AS (
+        SELECT doc_id,
+               CAST(sum(
+                   ({numf} * {idf} * t.tf * s.total)
+                   // (10 * s.total * t.tf + {c1} * s.total
+                       + {c2} * l.dl * s.n_docs)
+               ) AS BIGINT) AS bm25_scaled
+        FROM btf t
+        JOIN bdf d USING (tok)
+        JOIN bdl l USING (doc_id)
+        CROSS JOIN bstats s
+        GROUP BY doc_id
+    ),
+    lex_top AS (
+        SELECT doc_id, bm25_scaled FROM bscore
+        ORDER BY bm25_scaled DESC, doc_id ASC LIMIT {HYBRID_CAND}
+    ),
+    lex_ranked AS (
+        SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY bm25_scaled DESC, doc_id ASC) AS INTEGER) AS r_lex
+        FROM lex_top
+    ),
+    vec_scored AS (
+        SELECT dd.doc_id, {cos} AS score
+        FROM documents dd JOIN {_dummy_vec_values()}
+          ON least(length(dd.text), 300) = emb_map.text_len
+    ),
+    vec_top AS (
+        SELECT doc_id, score FROM vec_scored
+        ORDER BY score DESC, doc_id ASC LIMIT {HYBRID_CAND}
+    ),
+    vec_ranked AS (
+        SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY score DESC, doc_id ASC) AS INTEGER) AS r_vec
+        FROM vec_top
+    )
+    SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           coalesce(l.r_lex, 0) AS r_lex,
+           coalesce(v.r_vec, 0) AS r_vec,
+           coalesce(CAST(round(1000000.0 / ({RRF_K} + l.r_lex)) AS BIGINT), 0)
+           + coalesce(CAST(round(1000000.0 / ({RRF_K} + v.r_vec)) AS BIGINT), 0)
+               AS rrf_micro
+    FROM lex_ranked l FULL OUTER JOIN vec_ranked v USING (doc_id)
+    ORDER BY rrf_micro DESC, doc_id ASC
+    LIMIT {TOP_K}
+"""
+
+
+
 # --- MMR diversity rerank (operators/mmr.py) --------------------------------
 
 MMR_K, MMR_LAM, MMR_POOL = 3, 0.5, 15  # lam=0.5: 1-lam exactly representable
@@ -8159,6 +8280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still oracle-declared and covered by tools/check_oracle.py ---
         "knn_ivf_hamming": _knn_ivf_hamming,
         "rag_context_diverse": _rag_context_diverse,
+        "search_hybrid_bm25": _search_hybrid_bm25,
         "dedup_survivors": _dedup_survivors,
         "neardup_embedding_bucketed": _neardup_embedding_bucketed,
         "dedup_simhash": _dedup_simhash,
@@ -8568,6 +8690,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bq_asym_recall": _knn_bq_asym_recall_oracle(),
         "knn_ivf_hamming": _knn_ivf_hamming_oracle(),
         "search_bm25": _search_bm25_oracle(),
+        "search_hybrid_bm25": _search_hybrid_bm25_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

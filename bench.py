@@ -201,8 +201,9 @@ HEADLINE = [
     "knn_bq_asym",
     "knn_bq_asym_recall",
     "knn_ivf_hamming",
-    # round 6, eighth wave: BM25 ranked lexical retrieval
+    # round 6, eighth wave: BM25 ranked lexical retrieval + hybrid fusion
     "search_bm25",
+    "search_hybrid_bm25",
 ]
 
 
