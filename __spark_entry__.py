@@ -7094,6 +7094,66 @@ def _knn_ivf_hamming_oracle() -> str:
 
 
 
+def _search_doc_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level retrieval by BEST CHUNK (late-interaction max-pooling,
+    the MaxSim idea of ColBERT reduced to chunk granularity): score every
+    chunk against the query, keep each document's best chunk score and its
+    id, rank documents. The retrieval granularity RAG actually wants when
+    chunks are the index unit but documents are the deliverable. Max over
+    doubles is a comparison (no arithmetic), so cross-engine exactness
+    needs only the chunk-score discipline rag_context already has."""
+    emb = DummyEmbeddings(DUMMY_DIM)
+    chunks = rag.build_rag_index(_docs(spark, sf_dir), emb, CHUNK_SIZE)
+    qv = [float(x) for x in emb.embed(RAG_QUERY)]
+    score = V.similarity("cosine", V.as_double("embedding"), V.vector_literal(qv))
+    scored = chunks.select("doc_id", "chunk_id", score.alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("chunk_id"))
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_chunks", F.count("*").over(Window.partitionBy("doc_id")))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("chunk_id").alias("best_chunk_id"),
+            F.col("score").alias("best_score"),
+            F.col("n_chunks").cast("long"),
+        )
+    )
+    return best.orderBy(F.desc("best_score"), F.asc("doc_id")).limit(TOP_K)
+
+
+def _search_doc_maxsim_oracle() -> str:
+    qv = ", ".join(
+        f"CAST('{float(x)!r}' AS DOUBLE)"
+        for x in _dummy_vector(len(RAG_QUERY), DUMMY_DIM)
+    )
+    cos = _COS.format(a="emb_map.v", b=f"[{qv}]::DOUBLE[]")
+    return f"""
+    WITH chunks AS (
+        SELECT d.doc_id, d.doc_id * 100000 + t.i AS chunk_id,
+               substr(d.text, CAST(t.i * {CHUNK_SIZE} + 1 AS INT), {CHUNK_SIZE}) AS chunk
+        FROM documents d,
+             unnest(range(0, greatest(1,
+                    CAST(ceil(length(d.text) / {CHUNK_SIZE}.0) AS BIGINT)))) AS t(i)
+    ),
+    scored AS (
+        SELECT c.doc_id, c.chunk_id, {cos} AS score
+        FROM chunks c JOIN {_dummy_vec_values()}
+          ON length(c.chunk) = emb_map.text_len
+    )
+    SELECT doc_id, best_chunk_id, best_score, n_chunks FROM (
+        SELECT doc_id, chunk_id AS best_chunk_id, score AS best_score,
+               CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chunks,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, chunk_id ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    ORDER BY best_score DESC, doc_id ASC
+    LIMIT {TOP_K}
+"""
+
+
+
 # --- BM25 lexical retrieval (operators/bm25.py) -----------------------------
 
 BM25_TERMS = ("spark", "filter", "join", "window")  # RAG_QUERY's tokens
@@ -8281,6 +8341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_hamming": _knn_ivf_hamming,
         "rag_context_diverse": _rag_context_diverse,
         "search_hybrid_bm25": _search_hybrid_bm25,
+        "search_doc_maxsim": _search_doc_maxsim,
         "dedup_survivors": _dedup_survivors,
         "neardup_embedding_bucketed": _neardup_embedding_bucketed,
         "dedup_simhash": _dedup_simhash,
@@ -8691,6 +8752,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_hamming": _knn_ivf_hamming_oracle(),
         "search_bm25": _search_bm25_oracle(),
         "search_hybrid_bm25": _search_hybrid_bm25_oracle(),
+        "search_doc_maxsim": _search_doc_maxsim_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

@@ -204,6 +204,7 @@ HEADLINE = [
     # round 6, eighth wave: BM25 ranked lexical retrieval + hybrid fusion
     "search_bm25",
     "search_hybrid_bm25",
+    "search_doc_maxsim",
 ]
 
 
