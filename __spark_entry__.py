@@ -7154,6 +7154,73 @@ def _search_doc_maxsim_oracle() -> str:
 
 
 
+def _stream_encode_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CONTINUAL COMPRESSED INDEXING — the maintenance loop a
+    100 TB serving index actually runs: the corpus's code table
+    (vec_id, centroid_id, bq_code — the IVF × BQ disk layout) is seeded
+    from the standing rows, the delta arrives as a stream, and each
+    micro-batch encodes ONLY its own rows with the FROZEN centroids
+    (cell assign + sign-bit pack are deterministic row functions, the
+    IVFPQIndex.ensure one-sided-fold-in discipline) and appends 16 bytes
+    per row. foreachBatch holds no state (the code table is the state).
+    The drained table must equal the batch encode of the whole corpus —
+    the full-table hash proves the incremental path bit-identical to the
+    rebuild, and since encode is deterministic, a replayed batch could
+    only manifest as duplicate rows, which the same hash would catch."""
+    import tempfile
+    import uuid
+
+    from educational_vector_database_spark.operators import bq as BQ
+    from educational_vector_database_spark.operators.pq import assign_cells_expr
+
+    run = uuid.uuid4().hex[:8]
+    code_dir = os.path.join(tempfile.gettempdir(), f"evdb_enc_ingest_{run}")
+    cents = _ivf_centroids(spark, sf_dir)
+
+    def encode(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("vec_id").cast("long"),
+            assign_cells_expr("embedding", cents).alias("centroid_id"),
+            BQ.bq_encode_expr("embedding", 64).alias("bq_code"),
+        )
+
+    e = _emb(spark, sf_dir)
+    encode(e.filter(F.col("vec_id") % 10 != 0)).write.mode("overwrite").parquet(
+        code_dir
+    )
+
+    schema = "vec_id bigint, embedding array<double>, label int"
+    feed = _stream_table(
+        spark, sf_dir, "embeddings", schema, max_files_per_trigger=1_000_000
+    )
+    delta = feed.filter(F.col("vec_id") % 10 == 0)
+
+    def apply_batch(bdf, batch_id: int) -> None:
+        encode(bdf).write.mode("append").parquet(code_dir)
+
+    q = (
+        delta.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{code_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(code_dir).select(
+        "vec_id", F.col("centroid_id").cast("int"), "bq_code"
+    )
+
+
+def _stream_encode_ingest_oracle() -> str:
+    """The drained code table = the batch encode of the WHOLE corpus."""
+    return f"""
+    WITH {_IVF_ASSIGN_CTE},
+    {_BQ_ENC_CTE}
+    SELECT a.vec_id, a.centroid_id, b.bq_code
+    FROM assign a JOIN benc b USING (vec_id)
+"""
+
+
+
 # --- BM25 lexical retrieval (operators/bm25.py) -----------------------------
 
 BM25_TERMS = ("spark", "filter", "join", "window")  # RAG_QUERY's tokens
@@ -8342,6 +8409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_context_diverse": _rag_context_diverse,
         "search_hybrid_bm25": _search_hybrid_bm25,
         "search_doc_maxsim": _search_doc_maxsim,
+        "stream_encode_ingest": _stream_encode_ingest,
         "dedup_survivors": _dedup_survivors,
         "neardup_embedding_bucketed": _neardup_embedding_bucketed,
         "dedup_simhash": _dedup_simhash,
@@ -8753,6 +8821,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25": _search_bm25_oracle(),
         "search_hybrid_bm25": _search_hybrid_bm25_oracle(),
         "search_doc_maxsim": _search_doc_maxsim_oracle(),
+        "stream_encode_ingest": _stream_encode_ingest_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

@@ -205,6 +205,8 @@ HEADLINE = [
     "search_bm25",
     "search_hybrid_bm25",
     "search_doc_maxsim",
+    # round 6, ninth wave: streaming continual compressed indexing
+    "stream_encode_ingest",
 ]
 
 
