@@ -7221,6 +7221,153 @@ def _stream_encode_ingest_oracle() -> str:
 
 
 
+RAG_BUDGET_TOKENS = 120  # context token budget for the budget-packed variant
+RAG_BUDGET_POOL = 20
+
+
+def _rag_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget context packing: fill the context window with the
+    best-scoring chunks whose CUMULATIVE whitespace-token count fits
+    RAG_BUDGET_TOKENS — the greedy prefix in (score DESC, chunk_id ASC)
+    order, computed as one running-sum window over the bounded top-
+    RAG_BUDGET_POOL candidate list (no iteration, no driver loop). The
+    shape real RAG serving needs: the constraint is the model's context
+    length in TOKENS, not a fixed k."""
+    emb = DummyEmbeddings(DUMMY_DIM)
+    chunks = rag.build_rag_index(_docs(spark, sf_dir), emb, CHUNK_SIZE)
+    qv = [float(x) for x in emb.embed(RAG_QUERY)]
+    topk = rag.retrieve(chunks, qv, k=RAG_BUDGET_POOL)
+    w = Window.orderBy(F.desc("score"), F.asc("chunk_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = (
+        topk.withColumn("n_tok", T.token_count("chunk").cast("long"))
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= RAG_BUDGET_TOKENS)
+    )
+    s = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("score")).alias("neg"),
+                F.col("chunk_id").alias("cid"),
+                F.col("chunk").alias("txt"),
+            )
+        )
+    )
+    return packed.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tok").alias("n_tokens_used"),
+        s.alias("s"),
+    ).select(
+        "n_chunks",
+        "n_tokens_used",
+        F.concat_ws(",", F.transform("s", lambda x: x["cid"].cast("string"))).alias(
+            "chunk_ids_csv"
+        ),
+        F.array_join(F.transform("s", lambda x: x["txt"]), rag.CONTEXT_SEP).alias(
+            "combined_context"
+        ),
+    ).withColumn(
+        "answer", F.concat(F.lit(rag.ANSWER_PREFIX), F.col("combined_context"))
+    )
+
+
+def _rag_context_budget_oracle() -> str:
+    qv = ", ".join(
+        f"CAST('{float(x)!r}' AS DOUBLE)"
+        for x in _dummy_vector(len(RAG_QUERY), DUMMY_DIM)
+    )
+    cos = _COS.format(a="emb_map.v", b=f"[{qv}]::DOUBLE[]")
+    ntok = ("CASE WHEN length(trim(chunk)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(chunk), '\\s+')) END")
+    return f"""
+    WITH chunks AS (
+        SELECT d.doc_id * 100000 + t.i AS chunk_id,
+               substr(d.text, CAST(t.i * {CHUNK_SIZE} + 1 AS INT), {CHUNK_SIZE}) AS chunk
+        FROM documents d,
+             unnest(range(0, greatest(1,
+                    CAST(ceil(length(d.text) / {CHUNK_SIZE}.0) AS BIGINT)))) AS t(i)
+    ),
+    scored AS (
+        SELECT c.chunk_id, c.chunk, {cos} AS score
+        FROM chunks c JOIN {_dummy_vec_values()}
+          ON length(c.chunk) = emb_map.text_len
+    ),
+    topk AS (
+        SELECT * FROM scored
+        ORDER BY score DESC, chunk_id ASC LIMIT {RAG_BUDGET_POOL}
+    ),
+    packed AS (
+        SELECT * FROM (
+            SELECT chunk_id, chunk, score,
+                   CAST({ntok} AS BIGINT) AS n_tok,
+                   sum(CAST({ntok} AS BIGINT)) OVER (
+                       ORDER BY score DESC, chunk_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum_tok
+            FROM topk
+        ) WHERE cum_tok <= {RAG_BUDGET_TOKENS}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens_used,
+           string_agg(CAST(chunk_id AS VARCHAR), ','
+                      ORDER BY score DESC, chunk_id ASC) AS chunk_ids_csv,
+           string_agg(chunk, e'\n---\n'
+                      ORDER BY score DESC, chunk_id ASC) AS combined_context,
+           'This is a placeholder answer. Relevant context:' || chr(10) ||
+           string_agg(chunk, e'\n---\n'
+                      ORDER BY score DESC, chunk_id ASC) AS answer
+    FROM packed
+"""
+
+
+
+def _docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assign by NEAR-DUP CLUSTER, not
+    by document — the split a training pipeline must use, because random
+    per-doc splits put near-duplicates of training documents into the
+    test set and inflate eval (the contamination mechanism
+    docs_contamination measures after the fact; this PREVENTS it). Split
+    = hash(cluster representative) mod 10 → 8/1/1, so membership is a
+    pure function of the cluster id and no cluster can span splits BY
+    CONSTRUCTION. Reuses the full dedup resolution (minhash pairs →
+    connected components); the oracle recomputes clusters with the
+    recursive-CTE closure and the same md5 bucket arithmetic."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_near_dup(docs)
+    clusters = D.dedup_clusters(docs, pairs)
+    bucket = F.pmod(
+        T.fingerprint64(F.col("cluster_id").cast("string")), F.lit(10)
+    ).cast("int")
+    return clusters.select(
+        "id",
+        "cluster_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _docs_leakage_safe_split_oracle() -> str:
+    closure = _DEDUP_SURVIVORS_ORACLE
+    return f"""
+    WITH labeled AS ({closure}),
+    bucketed AS (
+        SELECT id, cluster_id,
+               CAST((('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+                     ::BIGINT % 10) AS INT) AS bucket
+        FROM labeled
+    )
+    SELECT id, cluster_id, bucket,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed
+"""
+
+
+
 # --- BM25 lexical retrieval (operators/bm25.py) -----------------------------
 
 BM25_TERMS = ("spark", "filter", "join", "window")  # RAG_QUERY's tokens
@@ -8410,6 +8557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_bm25": _search_hybrid_bm25,
         "search_doc_maxsim": _search_doc_maxsim,
         "stream_encode_ingest": _stream_encode_ingest,
+        "rag_context_budget": _rag_context_budget,
+        "docs_leakage_safe_split": _docs_leakage_safe_split,
         "dedup_survivors": _dedup_survivors,
         "neardup_embedding_bucketed": _neardup_embedding_bucketed,
         "dedup_simhash": _dedup_simhash,
@@ -8822,6 +8971,8 @@ def oracle_sql() -> dict[str, str]:
         "search_hybrid_bm25": _search_hybrid_bm25_oracle(),
         "search_doc_maxsim": _search_doc_maxsim_oracle(),
         "stream_encode_ingest": _stream_encode_ingest_oracle(),
+        "rag_context_budget": _rag_context_budget_oracle(),
+        "docs_leakage_safe_split": _docs_leakage_safe_split_oracle(),
         "neardup_brp_similarity": _BRP_SIMILARITY_ORACLE,
         "tpch_q14_promo": _Q14_ORACLE,
         "events_markov_transitions": _MARKOV_ORACLE,

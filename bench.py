@@ -205,8 +205,11 @@ HEADLINE = [
     "search_bm25",
     "search_hybrid_bm25",
     "search_doc_maxsim",
-    # round 6, ninth wave: streaming continual compressed indexing
+    # round 6, ninth wave: streaming continual compressed indexing,
+    # budget-packed context, leakage-safe split
     "stream_encode_ingest",
+    "rag_context_budget",
+    "docs_leakage_safe_split",
 ]
 
 
