@@ -297,3 +297,36 @@ def test_knn_ivf_hamming_composes_pruning(spark, sf_dir):
     got = {r.vec_id for r in BQ.knn_ivf_hamming(
         e, qv, cents, k=5, nprobe=2, shortlist=40).collect()}
     assert got <= in_cells
+
+
+def test_asym_multiword(spark, sf_dir):
+    """asym_score_expr on dim > 64 (array<bigint> codes): the chain spans
+    words; a doubled embedding gives exactly twice the 64-dim score."""
+    from educational_vector_database_spark.functions import vector as V
+
+    ids, mat = _rows(spark, sf_dir, 40)
+    qv = mat[3].tolist()
+    e64 = _emb(spark, sf_dir).orderBy("vec_id").limit(40)
+    s64 = {
+        r.vec_id: r.a
+        for r in e64.select(
+            "vec_id",
+            BQ.asym_score_expr(
+                BQ.bq_encode_expr("embedding", 64),
+                V.vector_literal(qv), 64,
+            ).alias("a"),
+        ).collect()
+    }
+    e128 = e64.select("vec_id", F.concat("embedding", "embedding").alias("embedding"))
+    s128 = {
+        r.vec_id: r.a
+        for r in e128.select(
+            "vec_id",
+            BQ.asym_score_expr(
+                BQ.bq_encode_expr("embedding", 128),
+                V.vector_literal(qv + qv), 128,
+            ).alias("a"),
+        ).collect()
+    }
+    for vid, v in s64.items():
+        assert s128[vid] == v + v, vid

@@ -261,3 +261,61 @@ def test_graph_beam_search_matches_reference_walker(
         for i in sorted(visited, key=lambda i: (-scores[i], i))[:4]
     ]
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-8, max_value=8, allow_nan=False, width=64),
+            min_size=3, max_size=3,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=2, max_size=7,
+    ),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=2, max_value=5),
+)
+@settings(**SETTINGS)
+def test_mmr_unrolled_equals_sequential_greedy(spark, vecs, k, pool):
+    """The k unrolled declarative MMR stages equal the sequential greedy
+    recurrence (lam*rel - (1-lam)*max-sim-to-picked, ties score DESC id
+    ASC) on arbitrary vector sets — the connected_components-vs-union-find
+    pattern for the diversity rerank."""
+    from educational_vector_database_spark.operators import mmr as M
+
+    k = min(k, min(pool, len(vecs)))
+    qv = vecs[0]
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id: long, embedding: array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, qv)], "query_id: long, query_vec: array<double>"
+    )
+    got = sorted(
+        (r.rank, r.vec_id, r.mmr_score)
+        for r in M.mmr_rerank_join(corpus, queries, k=k, lam=0.5, pool=pool).collect()
+    )
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    rel = {i: cos(v, qv) for i, v in enumerate(vecs)}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:pool]
+    picked, want = [], []
+    for t in range(1, k + 1):
+        best = None
+        for c in cand:
+            if c in picked:
+                continue
+            pen = max((cos(vecs[c], vecs[s]) for s in picked), default=0.0)
+            sc = 0.5 * rel[c] - 0.5 * pen
+            if best is None or (-sc, c) < best[0]:
+                best = ((-sc, c), sc)
+        picked.append(best[0][1])
+        want.append((t, best[0][1], best[1]))
+    assert got == sorted(want)
