@@ -162,6 +162,12 @@ def test_global_order_windows_are_allowlisted():
     allowed = {
         ("__spark_entry__.py", "_docs_length_deciles"): 1,
         ("__spark_entry__.py", "_search_hybrid_rrf"): 2,
+        # BM25 hybrid: the two windows rank 50-row candidate lists (each
+        # leg is TakeOrdered top-HYBRID_CAND before ranking)
+        ("__spark_entry__.py", "_search_hybrid_bm25"): 2,
+        # budget packing: the running sum runs over the bounded
+        # top-RAG_BUDGET_POOL (20-row) candidate list
+        ("__spark_entry__.py", "_rag_context_budget"): 1,
     }
     root = pathlib.Path(__file__).resolve().parent.parent
     found: dict = {}
