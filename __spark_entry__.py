@@ -8500,6 +8500,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OUT rag_context_diverse (a composition whose operator is gated
         # in-window via search_mmr_diverse and whose RAG parts are §2-
         # gated via rag_context/rag_answer; stays check_oracle-covered).
+        # Fifteenth (retrieval/pipeline wave — the remaining new FAMILIES
+        # get their first driver gate): IN search_doc_maxsim (doc-level
+        # retrieval by best chunk), docs_leakage_safe_split (cluster-level
+        # train/val/test split), rag_context_budget (token-budget packing)
+        # and stream_encode_ingest (continual compressed indexing); OUT
+        # knn_hamming_recall + knn_bq_asym_recall (quality EVALS whose
+        # scored ops knn_hamming / knn_bq_asym stay in-window),
+        # knn_pq_rerank (shortlist+rerank composition of the in-window
+        # pq_codes + knn_pq_adc) and knn_join_hamming (batch variant of
+        # the in-window knn_hamming). search_hybrid_bm25 stays past the
+        # window: both legs are gated (search_bm25 in-window now;
+        # the RRF fusion pattern was driver-gated as search_hybrid_rrf
+        # in r05) and the row is check_oracle-covered at three scales.
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -8528,7 +8541,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_dedup_reps": _knn_graph_dedup_reps,
         "pq_codes": _pq_codes,
         "knn_pq_adc": _knn_pq_adc,
-        "knn_pq_rerank": _knn_pq_rerank,
         "knn_ivfpq": _knn_ivfpq,
         "knn_join_pq": _knn_join_pq,
         "knn_ivfpq_disk_roundtrip": _knn_ivfpq_disk_roundtrip,
@@ -8537,12 +8549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_codes": _bq_codes,
         "knn_hamming": _knn_hamming,
         "knn_hamming_rerank": _knn_hamming_rerank,
-        "knn_join_hamming": _knn_join_hamming,
-        "knn_hamming_recall": _knn_hamming_recall,
         "search_mmr_diverse": _search_mmr_diverse,
         "search_bm25": _search_bm25,
         "knn_bq_asym": _knn_bq_asym,
-        "knn_bq_asym_recall": _knn_bq_asym_recall,
         "rag_answer": _rag_answer,
         "neardup_brp_lsh": _neardup_brp_lsh,
         "doc_quality": _doc_quality,
@@ -8550,15 +8559,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stats_by_lang": _docs_stats_by_lang,
         "ivf_train_converged": _ivf_train_converged,
         "knn_ivf_rebalanced": _knn_ivf_rebalanced,
-        # --- past the 50-entry window: variants and breadth queries,
-        # still oracle-declared and covered by tools/check_oracle.py ---
-        "knn_ivf_hamming": _knn_ivf_hamming,
-        "rag_context_diverse": _rag_context_diverse,
-        "search_hybrid_bm25": _search_hybrid_bm25,
         "search_doc_maxsim": _search_doc_maxsim,
         "stream_encode_ingest": _stream_encode_ingest,
         "rag_context_budget": _rag_context_budget,
         "docs_leakage_safe_split": _docs_leakage_safe_split,
+        # --- past the 50-entry window: variants and breadth queries,
+        # still oracle-declared and covered by tools/check_oracle.py ---
+        "knn_ivf_hamming": _knn_ivf_hamming,
+        "knn_pq_rerank": _knn_pq_rerank,
+        "knn_join_hamming": _knn_join_hamming,
+        "knn_hamming_recall": _knn_hamming_recall,
+        "knn_bq_asym_recall": _knn_bq_asym_recall,
+        "rag_context_diverse": _rag_context_diverse,
+        "search_hybrid_bm25": _search_hybrid_bm25,
         "dedup_survivors": _dedup_survivors,
         "neardup_embedding_bucketed": _neardup_embedding_bucketed,
         "dedup_simhash": _dedup_simhash,
