@@ -776,6 +776,146 @@ def _neardup_embedding_bucketed_oracle() -> str:
     """
 
 
+SEMDEDUP_EPS = 0.45
+
+
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster-then-dedup,
+    the LLM-corpus curation move between exact dedup and raw all-pairs:
+    assign each vector to its nearest centroid (scan-side argmin, the
+    ivf_cells expression), mine cosine>=eps pairs ONLY inside each cluster
+    via the exact block-GEMM kernel, connect components, and keep each
+    duplicate group's member FARTHEST from its cluster centroid (the
+    paper's diversity-preserving keep-rule; ties -> lowest id). Full
+    verdict table: (vec_id, centroid_id, cluster_id, keep) for every row —
+    the whole pipeline (assignment, pair mining, components, keep-rule)
+    hash-checks in one 500-row result. The reference's store is
+    duplicate-tolerant (src/vectordb/store.py add_vectors); this is the
+    curation pass its corpus needs before flat-graph indexing (the
+    measured clone pathology, GRAPH_SERVING_SF10_CLONES.json)."""
+    cents = _ivf_centroids(spark, sf_dir)
+    return D.semantic_dedup(_emb(spark, sf_dir), cents, eps=SEMDEDUP_EPS)
+
+
+def _dedup_semantic_oracle() -> str:
+    cos_c = _COS.format(a="e.v", b="c.cv")
+    return f"""
+    WITH RECURSIVE {_IVF_ASSIGN_CTE},
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    un AS (SELECT vec_id,
+                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+           FROM e),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM un a JOIN un b ON a.vec_id < b.vec_id
+        JOIN assign aa ON aa.vec_id = a.vec_id
+        JOIN assign ab ON ab.vec_id = b.vec_id
+        WHERE aa.centroid_id = ab.centroid_id
+          AND list_dot_product(a.u, b.u) >= {SEMDEDUP_EPS}
+    ),
+    und AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION SELECT r.a, u2.b FROM reach r JOIN und u2 ON r.b = u2.a
+    ),
+    lab AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a),
+    simc AS (
+        SELECT e.vec_id, asg.centroid_id, {cos_c} AS sim_c
+        FROM e JOIN assign asg ON asg.vec_id = e.vec_id
+        JOIN c ON c.cid = asg.centroid_id
+    ),
+    lbl AS (
+        SELECT s.vec_id, s.centroid_id,
+               CAST(coalesce(l.cluster_id, s.vec_id) AS BIGINT) AS cluster_id,
+               s.sim_c
+        FROM simc s LEFT JOIN lab l ON s.vec_id = l.id
+    )
+    SELECT vec_id, centroid_id, cluster_id,
+           (row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY sim_c ASC, vec_id ASC) = 1) AS keep
+    FROM lbl
+    """
+
+
+#: Declared corpus mixture: 5 head domains get ~4.6x the per-domain budget
+#: share of the 15 tail domains; global budget = 40% of total chars.
+MIX_WEIGHTS_PPM = {f"src{i}": (120_000 if i < 5 else 26_000) for i in range(20)}
+MIX_BUDGET_PPM = 400_000
+
+
+def _docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (Pile / DoReMi-style corpus composition):
+    downsample each source so its share of a 40%-of-corpus char budget
+    matches the declared mixture weights — the curation step that turns a
+    crawl into a training MIX (quality sampling reweights rows, THIS
+    reweights domains). One aggregate for the totals, broadcast rate
+    table back, scan-side md5 verdict (operators/sample.py
+    mixture_sample); per-source audit row checked here: declared weight,
+    computed rate, kept docs/chars and the id-sum witness of WHICH docs
+    survived. Membership is bit-reproducible across engines — rates come
+    from a pinned-op-order float64 expression, the verdict from the md5
+    bucket."""
+    from educational_vector_database_spark.operators import sample as SM
+
+    d = SM.mixture_sample(
+        _docs(spark, sf_dir),
+        group_col="source",
+        cost_col="n_chars",
+        key_col="doc_id",
+        weights_ppm=MIX_WEIGHTS_PPM,
+        budget_ppm=MIX_BUDGET_PPM,
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.max("weight_ppm").alias("weight_ppm"),
+        F.max("rate_ppm").alias("rate_ppm"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_chars").cast("long")).otherwise(0))
+            .alias("kept_chars"),
+        F.sum(F.when(F.col("keep"), F.col("doc_id")).otherwise(0))
+            .alias("kept_id_sum"),
+    )
+
+
+def _mixture_sample_oracle() -> str:
+    w_case = " ".join(
+        f"WHEN '{g}' THEN {w}" for g, w in sorted(MIX_WEIGHTS_PPM.items())
+    )
+    rate = (
+        "LEAST(1000000, CAST(floor(1000000.0 * ((CAST(total_cost AS DOUBLE) * "
+        f"(CAST({MIX_BUDGET_PPM} AS DOUBLE) * CAST(weight_ppm AS DOUBLE) "
+        "/ 1000000000000.0)) / CAST(grp_cost AS DOUBLE))) AS BIGINT))"
+    )
+    bucket = _HASH_BUCKET_SQL.format(k="d.doc_id")
+    return f"""
+    WITH tot AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS grp_cost,
+               (CASE source {w_case} ELSE 0 END) AS weight_ppm
+        FROM documents GROUP BY source
+    ),
+    gtot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total_cost FROM documents),
+    rates AS (
+        SELECT source, weight_ppm, {rate} AS rate_ppm
+        FROM tot CROSS JOIN gtot
+    ),
+    verdict AS (
+        SELECT d.source, d.doc_id, d.n_chars, r.weight_ppm, r.rate_ppm,
+               ({bucket} < r.rate_ppm) AS keep
+        FROM documents d JOIN rates r ON d.source = r.source
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(max(weight_ppm) AS BIGINT) AS weight_ppm,
+           max(rate_ppm) AS rate_ppm,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars,
+           CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+               AS kept_id_sum
+    FROM verdict GROUP BY source
+    """
+
+
 _DEDUP_EXACT_ORACLE = """
     WITH fp AS (
         SELECT doc_id, substr(md5(text), 1, 15) AS h FROM documents
@@ -8513,6 +8653,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window: both legs are gated (search_bm25 in-window now;
         # the RRF fusion pattern was driver-gated as search_hybrid_rrf
         # in r05) and the row is check_oracle-covered at three scales.
+        # Sixteenth (new operators this session): IN dedup_semantic
+        # (SemDeDup cluster-then-dedup, a NEW dedup family) and
+        # docs_mixture_sample (domain-mixture corpus composition, a NEW
+        # curation family); OUT knn_ivfpq_recall (quality EVAL whose
+        # scored architecture knn_ivfpq + knn_join_ivfpq stays in-window)
+        # and knn_hamming_rerank (shortlist+rerank composition of the
+        # in-window bq_codes + knn_hamming; the rerank pattern was
+        # driver-gated via this row's r06 predecessor window and stays
+        # check_oracle-covered at three scales).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -8545,10 +8694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_pq": _knn_join_pq,
         "knn_ivfpq_disk_roundtrip": _knn_ivfpq_disk_roundtrip,
         "knn_join_ivfpq": _knn_join_ivfpq,
-        "knn_ivfpq_recall": _knn_ivfpq_recall,
         "bq_codes": _bq_codes,
         "knn_hamming": _knn_hamming,
-        "knn_hamming_rerank": _knn_hamming_rerank,
         "search_mmr_diverse": _search_mmr_diverse,
         "search_bm25": _search_bm25,
         "knn_bq_asym": _knn_bq_asym,
@@ -8563,9 +8710,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_encode_ingest": _stream_encode_ingest,
         "rag_context_budget": _rag_context_budget,
         "docs_leakage_safe_split": _docs_leakage_safe_split,
+        "dedup_semantic": _dedup_semantic,
+        "docs_mixture_sample": _docs_mixture_sample,
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
         "knn_ivf_hamming": _knn_ivf_hamming,
+        "knn_ivfpq_recall": _knn_ivfpq_recall,
+        "knn_hamming_rerank": _knn_hamming_rerank,
         "knn_pq_rerank": _knn_pq_rerank,
         "knn_join_hamming": _knn_join_hamming,
         "knn_hamming_recall": _knn_hamming_recall,
@@ -8768,6 +8919,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_ORACLE,
         "neardup_embedding": _NEARDUP_EMB_ORACLE,
         "neardup_embedding_bucketed": _neardup_embedding_bucketed_oracle(),
+        "dedup_semantic": _dedup_semantic_oracle(),
         "knn_lsh_bucket": _lsh_oracle(),
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
@@ -8935,6 +9087,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pagerank_neardup": _pagerank_oracle(),
         "events_unpivot": _EVENTS_UNPIVOT_ORACLE,
         "docs_quality_weighted_sample": _quality_weighted_oracle(),
+        "docs_mixture_sample": _mixture_sample_oracle(),
         "events_retention_cohorts": _EVENTS_RETENTION_ORACLE,
         "dedup_containment": _CONTAINMENT_ORACLE,
         "knn_join_ivf": _knn_join_ivf_oracle(),

@@ -210,6 +210,8 @@ HEADLINE = [
     "stream_encode_ingest",
     "rag_context_budget",
     "docs_leakage_safe_split",
+    "dedup_semantic",
+    "docs_mixture_sample",
 ]
 
 

@@ -1352,3 +1352,111 @@ def embedding_near_dup_bucketed(
     return pairs.mapInPandas(
         _make_block_scorer(m, float(threshold)), "id_a long, id_b long, score double"
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    eps: float = 0.45,
+    blocks_per_cell: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-dedup.
+    Assign every row to its nearest centroid (a pure scan expression — the
+    corpus never shuffles for the assignment), find cosine>=eps pairs ONLY
+    within each cluster via the exact block-GEMM kernel, resolve duplicate
+    groups with connected components, and within each group KEEP the member
+    farthest from its cluster centroid (the paper's keep-rule: low-centroid-
+    similarity members preserve diversity; everything near the centroid is
+    semantic boilerplate). Ties break by lowest id.
+
+    Returns one row per input row:
+    ``(id_col, centroid_id int, cluster_id, keep boolean)`` — ``cluster_id``
+    is the min-id of the duplicate group (own id when unduplicated), ``keep``
+    marks the group survivor.
+
+    Scale shape (100 TB): assignment is scan-side argmin over the centroid
+    literals (the IVF contract — centroids are O(cells) by definition); the
+    candidate pairs are Sigma_c O((n_c/blocks)^2) block GEMMs keyed on the
+    cluster id — with k-means cells kept at ~10k rows (scale n_cells with
+    the corpus, exactly the SemDeDup paper's setup: 50k clusters for LAION)
+    the pair volume per cell is bounded; components run on the small pair
+    list, never the corpus; the keep-rule window partitions by cluster_id
+    (bounded by the largest duplicate group, contraction-guarded upstream).
+    No global-order window, no driver loop, no collect.
+
+    The reference's nearest analog is its duplicate-tolerant store
+    (``add_vectors`` never dedups — src/vectordb/store.py); this is the
+    batch curation move its corpus would need before HNSW indexing
+    (duplicate embeddings are the measured flat-graph recall pathology,
+    GRAPH_SERVING_SF10_CLONES.json)."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    V.euclidean_distance(
+                        F.col("v"), V.vector_literal(list(c))
+                    ).alias("d"),
+                    F.lit(i).cast("int").alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )["cid"]
+    # cosine(row, OWN centroid): chained whens over the same centroid
+    # literals — still one scan-side expression, evaluated once per row.
+    sim_c = F.lit(None).cast("double")
+    for i in range(len(centroids) - 1, -1, -1):
+        sim_c = F.when(
+            F.col("centroid_id") == i,
+            V.cosine_similarity(F.col("v"), V.vector_literal(list(centroids[i]))),
+        ).otherwise(sim_c)
+    assigned = (
+        df.select(F.col(id_col).alias("id"), V.as_double(vector_col).alias("v"))
+        .withColumn("centroid_id", best)
+        .withColumn("sim_c", sim_c)
+    )
+    packed = (
+        assigned.withColumn(
+            "blk", F.pmod(F.hash("id"), F.lit(blocks_per_cell)).cast("int")
+        )
+        .groupBy("centroid_id", "blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+    )
+    pairs = (
+        packed.alias("a")
+        .join(
+            packed.alias("b"),
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.blk") <= F.col("b.blk")),
+        )
+        .select(
+            (F.col("a.blk") == F.col("b.blk")).alias("same"),
+            F.col("a.rows").alias("rows_a"),
+            F.col("b.rows").alias("rows_b"),
+        )
+        .mapInPandas(
+            _make_block_scorer("cosine", float(eps)),
+            "id_a long, id_b long, score double",
+        )
+    )
+    comp = connected_components(pairs)
+    labeled = (
+        assigned.join(comp, on="id", how="left")
+        .select(
+            "id",
+            "centroid_id",
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+            "sim_c",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("sim_c").asc(), F.col("id").asc()
+    )
+    return labeled.select(
+        F.col("id").alias(id_col),
+        "centroid_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -96,3 +96,74 @@ def split_train_holdout(
     thresh = int(round(float(holdout_fraction) * DENOM))
     b = _hash_bucket(key_col, salt)
     return df.filter(b >= thresh), df.filter(b < thresh)
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    cost_col: str,
+    key_col: str,
+    weights_ppm: dict[str, int],
+    budget_ppm: int,
+    salt: str = "",
+) -> DataFrame:
+    """Domain-mixture sampling (the Pile / DoReMi-style corpus-composition
+    move): downsample each group (domain/source) so its share of a global
+    cost budget matches a declared mixture weight. ``budget_ppm`` is the
+    global budget as parts-per-million of the corpus's total cost (chars,
+    tokens, bytes — whatever ``cost_col`` holds); ``weights_ppm[g]`` is
+    group g's share of that budget. A group absent from the map gets
+    weight 0 (an explicit mixture spec — silently passing unknown domains
+    through would un-declare the mixture).
+
+    Per-group acceptance rate:
+        rate_ppm(g) = min(DENOM, floor(DENOM * total*budget*weight / cost_g))
+    computed in float64 with a PINNED op order (one literal factor
+    ``budget*weight/DENOM²`` folded driver-side, then
+    ``total * factor / cost_g * DENOM``), so the rate — and therefore
+    membership — is bit-reproducible on any engine up to 2^53 cost units
+    (~9 PB of chars). A doc survives iff ``md5_bucket(key) < rate_ppm``,
+    the same deterministic-membership contract as every sampler here:
+    expectation-exact on cost, reproducible row-exact.
+
+    Scale shape (100 TB): ONE aggregate over the corpus (grp totals +
+    global total — partial-aggregated map-side, O(groups) rows out), the
+    tiny rate table broadcast back, and the verdict is a scan-side
+    predicate. No second shuffle, no window, no driver loop. Skewed
+    domains cost nothing extra: the rate join is a broadcast hash join.
+
+    Returns the input rows + ``(weight_ppm, rate_ppm, keep)``."""
+    grp = F.col(group_col)
+    tot = df.groupBy(group_col).agg(
+        F.sum(F.col(cost_col).cast("long")).alias("grp_cost")
+    )
+    glob = df.agg(F.sum(F.col(cost_col).cast("long")).alias("total_cost"))
+    w_expr = F.lit(0).cast("long")
+    for g, w in sorted(weights_ppm.items()):
+        w_expr = F.when(grp == g, F.lit(int(w)).cast("long")).otherwise(w_expr)
+    rates = (
+        tot.crossJoin(F.broadcast(glob))
+        .withColumn("weight_ppm", w_expr)
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(DENOM).cast("long"),
+                F.floor(
+                    F.lit(float(DENOM))
+                    * (
+                        F.col("total_cost").cast("double")
+                        * (
+                            F.lit(int(budget_ppm)).cast("double")
+                            * F.col("weight_ppm").cast("double")
+                            / F.lit(float(DENOM) * float(DENOM))
+                        )
+                        / F.col("grp_cost").cast("double")
+                    )
+                ).cast("long"),
+            ),
+        )
+        .select(group_col, "weight_ppm", "rate_ppm")
+    )
+    return df.join(F.broadcast(rates), on=group_col).withColumn(
+        "keep", _hash_bucket(key_col, salt) < F.col("rate_ppm")
+    )

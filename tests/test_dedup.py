@@ -351,3 +351,89 @@ def test_embedding_neardup_incremental_classifies_delta(spark):
                corpus, new, planes, threshold=0.9).collect()}
     assert got[100] == ("near_dup", 7)
     assert got[101][0] == "kept"
+
+
+def test_semantic_dedup_matches_python_replica(spark, sf_dir):
+    """SemDeDup end-to-end vs a sequential NumPy replica: same assignment,
+    same intra-cluster pairs, same components, same keep-rule winner."""
+    import numpy as np
+    from educational_vector_database_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        ((int(r.vec_id), np.array(r.embedding, dtype=np.float64))
+         for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    cents = [v for i, v in rows if i < 4]
+    eps = 0.45
+
+    # replica: assignment (argmin euclid, lowest-id ties)
+    assign = {}
+    for i, v in rows:
+        dists = [float(np.sqrt(np.sum((v - c) ** 2))) for c in cents]
+        assign[i] = int(np.argmin(dists))  # argmin takes first == lowest id
+    # intra-cluster pairs above eps (exact cosine)
+    ids = [i for i, _ in rows]
+    vecs = {i: v / np.sqrt(v @ v) for i, v in rows}
+    adj = {i: set() for i in ids}
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if assign[a] == assign[b] and float(vecs[a] @ vecs[b]) >= eps:
+                adj[a].add(b); adj[b].add(a)
+    # components -> min-id label
+    label = {}
+    for i in ids:
+        if i in label:
+            continue
+        stack, comp = [i], []
+        seen = {i}
+        while stack:
+            x = stack.pop(); comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y); stack.append(y)
+        m = min(comp)
+        for x in comp:
+            label[x] = m
+    # keep-rule: farthest from own centroid (lowest sim), ties -> lowest id
+    def sim_c(i):
+        v = np.array(dict(rows)[i], dtype=np.float64)
+        c = cents[assign[i]]
+        return float((v @ c) / (np.sqrt(v @ v) * np.sqrt(c @ c)))
+    groups = {}
+    for i in ids:
+        groups.setdefault(label[i], []).append(i)
+    keep = {}
+    for g, members in groups.items():
+        winner = min(members, key=lambda i: (sim_c(i), i))
+        for i in members:
+            keep[i] = i == winner
+
+    got = {
+        int(r.vec_id): (int(r.centroid_id), int(r.cluster_id), bool(r.keep))
+        for r in D.semantic_dedup(emb, [list(c) for c in cents], eps=eps).collect()
+    }
+    assert len(got) == len(ids)
+    for i in ids:
+        assert got[i] == (assign[i], label[i], keep[i]), i
+
+
+def test_semantic_dedup_keeps_exactly_one_per_group(spark):
+    """Clones collapse to one survivor; the survivor is the member farthest
+    from the centroid of its cell."""
+    base = [1.0, 0.0, 0.0, 0.0]
+    off = [0.9, 0.1, 0.0, 0.0]   # near-dup of base, farther from centroid
+    far = [0.0, 0.0, 1.0, 0.0]   # own cluster
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, off), (3, far)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [base, far]
+    out = {int(r.vec_id): r for r in D.semantic_dedup(df, cents, eps=0.8).collect()}
+    assert [out[i].centroid_id for i in range(4)] == [0, 0, 0, 1]
+    assert [out[i].cluster_id for i in range(4)] == [0, 0, 0, 3]
+    kept = [i for i in range(4) if out[i].keep]
+    # group {0,1,2}: vec 2 has the lowest cosine to centroid -> survivor
+    assert kept == [2, 3]

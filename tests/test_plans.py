@@ -414,3 +414,35 @@ def test_search_mmr_diverse_bounded_stages_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert re.search(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
     assert "Window" in plan
+
+
+def test_mixture_sample_broadcast_rates_no_second_shuffle(spark):
+    """Mixture sampling: the per-group rate table (O(groups) rows) joins
+    back to the corpus as a BROADCAST hash join — the corpus is aggregated
+    once for totals but never shuffled for the verdict; the md5 keep
+    predicate is scan-side."""
+    plan = _plan(spark, "docs_mixture_sample")
+    assert re.search(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
+    assert "CartesianProduct" not in plan
+    # exactly the aggregation exchanges (group totals + final audit agg +
+    # the O(1)-row global total), never an exchange of the verdict rows
+    # keyed by doc: every Exchange is hashpartitioning on source or a
+    # single-partition one for the global sum (Arguments line follows the
+    # node header in formatted explain)
+    for m in re.finditer(
+        r"^\(\d+\) Exchange\n(?:.*\n)*?Arguments: ([^\n]*)", plan, re.M
+    ):
+        args = m.group(1)
+        assert ("hashpartitioning(source" in args) or ("SinglePartition" in args), args
+
+
+def test_semantic_dedup_no_global_window_no_cartesian(spark):
+    """SemDeDup: pair mining is the block-GEMM equi-join keyed on
+    centroid_id (never a row-level cross join); the keep-rule window
+    partitions by cluster_id (bounded by the largest duplicate group)."""
+    plan = _plan(spark, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    # every Window node must declare a partition spec (no global-order sort)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "cluster_id" in spec or "centroid_id" in spec, spec

@@ -48,3 +48,64 @@ def test_split_disjoint_and_exhaustive(spark, sf_dir):
     # stable across reruns/partitioning
     t2, h2 = SM.split_train_holdout(docs.repartition(13), "doc_id", 0.2)
     assert {r.doc_id for r in h2.collect()} == h
+
+
+def test_mixture_sample_rates_and_membership(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    weights = {f"src{i}": (120_000 if i < 5 else 26_000) for i in range(20)}
+    out = SM.mixture_sample(
+        docs, "source", "n_chars", "doc_id",
+        weights_ppm=weights, budget_ppm=400_000,
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()  # verdict per row, nothing dropped
+
+    # rates replicate the pinned-op-order formula exactly
+    import math
+    total = sum(r.n_chars for r in rows if True)
+    # total from the raw table (rows carries each doc once)
+    raw = docs.select("source", "n_chars", "doc_id").collect()
+    total = sum(r.n_chars for r in raw)
+    grp = {}
+    for r in raw:
+        grp[r.source] = grp.get(r.source, 0) + r.n_chars
+    for r in rows:
+        w = weights[r.source]
+        expect = min(
+            1_000_000,
+            math.floor(
+                1_000_000.0
+                * (float(total) * (float(400_000) * float(w) / 1e12)
+                   / float(grp[r.source]))
+            ),
+        )
+        assert r.rate_ppm == expect and r.weight_ppm == w
+
+    # heavier-weighted sources keep a larger cost share
+    kept = {}
+    for r in rows:
+        if r.keep:
+            kept[r.source] = kept.get(r.source, 0) + r.n_chars
+    head = sum(kept.get(f"src{i}", 0) for i in range(5)) / 5
+    tail = sum(kept.get(f"src{i}", 0) for i in range(5, 20)) / 15
+    assert head > tail
+
+    # membership is a pure function of the key: stable across partitioning
+    again = SM.mixture_sample(
+        docs.repartition(13), "source", "n_chars", "doc_id",
+        weights_ppm=weights, budget_ppm=400_000,
+    )
+    a = {(r.doc_id, r.keep) for r in rows}
+    b = {(r.doc_id, r.keep) for r in again.collect()}
+    assert a == b
+
+
+def test_mixture_sample_unknown_group_dropped(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = SM.mixture_sample(
+        docs, "source", "n_chars", "doc_id",
+        weights_ppm={"src0": 1_000_000}, budget_ppm=100_000,
+    )
+    others = out.filter(F.col("source") != "src0")
+    assert others.filter(F.col("keep")).count() == 0  # weight 0 -> rate 0
+    assert others.filter(F.col("rate_ppm") != 0).count() == 0
