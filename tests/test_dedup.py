@@ -437,3 +437,17 @@ def test_semantic_dedup_keeps_exactly_one_per_group(spark):
     kept = [i for i in range(4) if out[i].keep]
     # group {0,1,2}: vec 2 has the lowest cosine to centroid -> survivor
     assert kept == [2, 3]
+
+
+def test_semantic_dedup_no_pairs_everything_kept(spark):
+    """eps above every intra-cluster similarity: the empty edge list flows
+    through components without iteration and every row survives as its own
+    cluster."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.7, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {int(r.vec_id): r for r in
+           D.semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]], eps=0.9999).collect()}
+    assert all(out[i].keep for i in range(3))
+    assert [out[i].cluster_id for i in range(3)] == [0, 1, 2]
