@@ -104,6 +104,44 @@ def _knn_oracle(sim_fragment: str) -> str:
     """
 
 
+def _reap_scratch(prefix: str, max_age_s: int = 1800) -> str:
+    """Allocate a uuid-suffixed scratch path under the system tempdir and
+    best-effort delete STALE siblings with the same prefix first.
+
+    The disk-roundtrip/stream queries return DataFrames that lazily read
+    the scratch they wrote, so a query can never delete its own dir — they
+    accumulate across bench/oracle/test runs instead, and the buildup
+    measurably degrades later benches (observed twice: ~50-70 leftover
+    dirs pushed disk-roundtrip rows 4x over their anchors; cleaning them
+    restored 0.79x). Age-based reaping is concurrency-safe: a dir older
+    than ``max_age_s`` belongs to a finished run (every consumer collects
+    within seconds of allocation), while a concurrent run's fresh dirs are
+    untouched — the reason these paths are uuid-suffixed rather than
+    fixed-named in the first place."""
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    tmp = tempfile.gettempdir()
+    base = os.path.join(tmp, prefix)
+    now = time.time()
+    try:
+        names = os.listdir(tmp)
+    except OSError:
+        names = []
+    for n in names:
+        if not n.startswith(prefix):
+            continue
+        p = os.path.join(tmp, n)
+        try:
+            if now - os.path.getmtime(p) > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    return f"{base}{uuid.uuid4().hex[:8]}"
+
+
 def _scan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb(spark, sf_dir).agg(
         F.count("*").alias("n_rows"),
@@ -618,8 +656,7 @@ def _stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    run = uuid.uuid4().hex[:8]
-    store_dir = os.path.join(tempfile.gettempdir(), f"evdb_dedup_ingest_{run}")
+    store_dir = _reap_scratch("evdb_dedup_ingest_")
     # seed columns CAST to the stream schema: the store dir accumulates the
     # seed's files AND appended batch files, so both writers must agree on
     # physical types (the sf1 rehearsal tables carry int n_chars where the
@@ -1420,8 +1457,7 @@ def _stream_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from educational_vector_database_spark.sources import store as S
 
-    run = uuid.uuid4().hex[:8]
-    store_dir = os.path.join(tempfile.gettempdir(), f"evdb_stream_merge_{run}")
+    store_dir = _reap_scratch("evdb_stream_merge_")
     docs = _docs(spark, sf_dir)
     docs.write.mode("overwrite").parquet(store_dir)
 
@@ -3030,8 +3066,9 @@ def _stream_ingest_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, text string, lang string, source string, n_chars bigint"
     )
     stream = _stream_table(spark, sf_dir, "documents", docs_schema)
-    out_dir = tempfile.mkdtemp(prefix="evdb_stream_out_")
-    ck_dir = tempfile.mkdtemp(prefix="evdb_stream_ck_")
+    out_dir = _reap_scratch("evdb_stream_out_")
+    ck_dir = _reap_scratch("evdb_stream_ck_")
+    os.makedirs(out_dir); os.makedirs(ck_dir)
     q = (
         I.index_stream(stream, emb, chunk_size=CHUNK_SIZE)
         .writeStream.format("parquet")
@@ -5684,9 +5721,7 @@ def _knn_ivf_disk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     idx = A.IVFIndex(n_cells=4).build(e)
-    path = os.path.join(
-        tempfile.gettempdir(), f"evdb_ivf_disk_{uuid.uuid4().hex[:8]}"
-    )
+    path = _reap_scratch("evdb_ivf_disk_")
     idx.save(path)
     idx.invalidate()
     loaded = A.IVFIndex.load(spark, path)
@@ -6098,9 +6133,7 @@ def _knn_graph_disk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = A.GraphIndex(
         n_plane_sets=GRAPH_R, n_planes=4, m=GRAPH_M, seed=A.LSH_SEED,
     ).build(e)
-    path = os.path.join(
-        tempfile.gettempdir(), f"evdb_graph_disk_{uuid.uuid4().hex[:8]}"
-    )
+    path = _reap_scratch("evdb_graph_disk_")
     idx.save(path)
     idx.invalidate()
     loaded = A.GraphIndex.load(spark, path)
@@ -6510,9 +6543,7 @@ def _knn_ivfpq_disk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = PQ.IVFPQIndex(n_cells=N_IVF_CELLS).build(
         e, centroids=cents, codebooks=cbs
     )
-    path = os.path.join(
-        tempfile.gettempdir(), f"evdb_ivfpq_disk_{uuid.uuid4().hex[:8]}"
-    )
+    path = _reap_scratch("evdb_ivfpq_disk_")
     idx.save(path)
     idx.invalidate()
     loaded = PQ.IVFPQIndex.load(spark, path)
@@ -7313,8 +7344,7 @@ def _stream_encode_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from educational_vector_database_spark.operators import bq as BQ
     from educational_vector_database_spark.operators.pq import assign_cells_expr
 
-    run = uuid.uuid4().hex[:8]
-    code_dir = os.path.join(tempfile.gettempdir(), f"evdb_enc_ingest_{run}")
+    code_dir = _reap_scratch("evdb_enc_ingest_")
     cents = _ivf_centroids(spark, sf_dir)
 
     def encode(df: DataFrame) -> DataFrame:
