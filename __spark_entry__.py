@@ -813,6 +813,69 @@ def _neardup_embedding_bucketed_oracle() -> str:
     """
 
 
+SPAN_SHINGLE_TOKENS = 8
+SPAN_MIN_TOKENS = 24
+SPAN_MAX_POSTING = 50
+
+
+def _dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. 2022, arXiv:2107.06499
+    — the granularity between exact doc dedup and doc-level Jaccard):
+    document pairs sharing a verbatim run of >= 24 whitespace tokens,
+    found as diagonal runs over a posting-capped positional-shingle join
+    (operators/dedup.py shared_span_pairs; no suffix array, no cross
+    join). Catches the 30-token boilerplate block two otherwise-different
+    documents share — the case minhash's whole-doc Jaccard dilutes away.
+    Output: (id_a, id_b, longest_span, n_spans), hash-checked."""
+    return D.shared_span_pairs(
+        _docs(spark, sf_dir),
+        shingle_tokens=SPAN_SHINGLE_TOKENS,
+        min_span_tokens=SPAN_MIN_TOKENS,
+        max_posting=SPAN_MAX_POSTING,
+    )
+
+
+def _dedup_spans_oracle() -> str:
+    k = SPAN_SHINGLE_TOKENS
+    return f"""
+    WITH norm AS (
+        SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(
+                   list_slice(w, CAST(i + 1 AS BIGINT), CAST(i + {k} AS BIGINT)),
+                   ' ') AS shingle
+        FROM norm, unnest(range(0, greatest(len(w) - {k} + 1, 0))) AS t(i)
+    ),
+    caps AS (SELECT shingle FROM sh
+             GROUP BY shingle HAVING count(*) <= {SPAN_MAX_POSTING}),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS ia, b.pos AS jb
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE a.shingle IN (SELECT shingle FROM caps)
+    ),
+    runs AS (
+        SELECT id_a, id_b, ia - jb AS d, ia,
+               ia - row_number() OVER (
+                   PARTITION BY id_a, id_b, ia - jb ORDER BY ia) AS isl
+        FROM m
+    ),
+    islands AS (
+        SELECT id_a, id_b, d, isl,
+               CAST(count(*) + {k} - 1 AS BIGINT) AS span_tokens
+        FROM runs GROUP BY id_a, id_b, d, isl
+    )
+    SELECT id_a, id_b,
+           max(span_tokens) AS longest_span,
+           CAST(sum(CASE WHEN span_tokens >= {SPAN_MIN_TOKENS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spans
+    FROM islands GROUP BY id_a, id_b
+    HAVING max(span_tokens) >= {SPAN_MIN_TOKENS}
+    """
+
+
 SEMDEDUP_EPS = 0.45
 
 
@@ -8692,6 +8755,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window bq_codes + knn_hamming; the rerank pattern was
         # driver-gated via this row's r06 predecessor window and stays
         # check_oracle-covered at three scales).
+        # Seventeenth: IN dedup_spans (span-level exact-substring dedup —
+        # a NEW dedup granularity, Lee et al. 2022); OUT knn_join_ivfpq
+        # (batch residual serving: the composition of the in-window
+        # knn_ivfpq architecture row and the in-window knn_join_pq batch
+        # pattern; stays check_oracle-covered at three scales).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -8723,7 +8791,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": _knn_ivfpq,
         "knn_join_pq": _knn_join_pq,
         "knn_ivfpq_disk_roundtrip": _knn_ivfpq_disk_roundtrip,
-        "knn_join_ivfpq": _knn_join_ivfpq,
         "bq_codes": _bq_codes,
         "knn_hamming": _knn_hamming,
         "search_mmr_diverse": _search_mmr_diverse,
@@ -8742,9 +8809,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_leakage_safe_split": _docs_leakage_safe_split,
         "dedup_semantic": _dedup_semantic,
         "docs_mixture_sample": _docs_mixture_sample,
+        "dedup_spans": _dedup_spans,
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
         "knn_ivf_hamming": _knn_ivf_hamming,
+        "knn_join_ivfpq": _knn_join_ivfpq,
         "knn_ivfpq_recall": _knn_ivfpq_recall,
         "knn_hamming_rerank": _knn_hamming_rerank,
         "knn_pq_rerank": _knn_pq_rerank,
@@ -8950,6 +9019,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_embedding": _NEARDUP_EMB_ORACLE,
         "neardup_embedding_bucketed": _neardup_embedding_bucketed_oracle(),
         "dedup_semantic": _dedup_semantic_oracle(),
+        "dedup_spans": _dedup_spans_oracle(),
         "knn_lsh_bucket": _lsh_oracle(),
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -212,6 +212,7 @@ HEADLINE = [
     "docs_leakage_safe_split",
     "dedup_semantic",
     "docs_mixture_sample",
+    "dedup_spans",
 ]
 
 

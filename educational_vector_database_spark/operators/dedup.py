@@ -1460,3 +1460,100 @@ def semantic_dedup(
         "cluster_id",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_tokens: int = 8,
+    min_span_tokens: int = 24,
+    max_posting: int = 50,
+) -> DataFrame:
+    """Span-level (exact-substring) dedup — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) granularity, re-expressed relationally: find document
+    pairs that share a VERBATIM run of >= ``min_span_tokens`` whitespace
+    tokens, without suffix arrays. Doc-level Jaccard (minhash/ngram above)
+    misses a 30-token boilerplate block inside two otherwise-different
+    documents; this catches exactly that.
+
+    Method (diagonal run detection):
+    1. positional K-token shingles per doc (one Generate over the token
+       array — (id, pos, shingle));
+    2. posting-capped equi-join on the shingle's md5 fingerprint — a
+       shared span of L tokens yields L-K+1 matches on the SAME diagonal
+       ``d = pos_a - pos_b``;
+    3. gaps-and-islands per (pair, diagonal): ``island = ia - row_number``
+       over the diagonal ordered by ia, so consecutive matches collapse to
+       one island of span ``run + K - 1`` tokens.
+
+    Returns ``(id_a, id_b, longest_span, n_spans)`` for pairs whose longest
+    shared run >= ``min_span_tokens`` (``n_spans`` counts qualifying
+    islands).
+
+    Scale shape (100 TB): shingling is a scan-side Generate; the ONLY join
+    is an equi-join on an 8-byte fingerprint with the same ``max_posting``
+    discipline as minhash (a shingle in more docs than the cap carries
+    boilerplate, not identity — at this granularity dropped hot shingles
+    cost span SPLITS, never false positives); the islands window partitions
+    by (pair, diagonal) — bounded by document length, never corpus-sized;
+    the final aggregate is keyed on the pair ids. No cross join, no global
+    window, no driver loop."""
+    k = int(shingle_tokens)
+    toks = F.split(T.normalized_text(text_col), " ")
+    shingles = F.when(
+        F.size("w") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - k),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        df.select(F.col(id_col).alias("id"), toks.alias("w"))
+        .select("id", F.posexplode(shingles).alias("pos", "shingle"))
+        .select(
+            "id",
+            "pos",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("sig"),
+        )
+    )
+    ok = (
+        sh.groupBy("sig")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") <= int(max_posting))
+        .select("sig")
+    )
+    capped = sh.join(ok, "sig")
+    m = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.pos").alias("ia"),
+            F.col("b.pos").alias("jb"),
+        )
+        .withColumn("d", F.col("ia") - F.col("jb"))
+    )
+    w_diag = Window.partitionBy("id_a", "id_b", "d").orderBy("ia")
+    islands = (
+        m.withColumn("isl", F.col("ia") - F.row_number().over(w_diag))
+        .groupBy("id_a", "id_b", "d", "isl")
+        .agg((F.count("*") + F.lit(k - 1)).alias("span_tokens"))
+    )
+    return (
+        islands.groupBy("id_a", "id_b")
+        .agg(
+            F.max("span_tokens").alias("longest_span"),
+            F.sum(
+                (F.col("span_tokens") >= int(min_span_tokens)).cast("long")
+            ).alias("n_spans"),
+        )
+        .filter(F.col("longest_span") >= int(min_span_tokens))
+    )

@@ -451,3 +451,61 @@ def test_semantic_dedup_no_pairs_everything_kept(spark):
            D.semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]], eps=0.9999).collect()}
     assert all(out[i].keep for i in range(3))
     assert [out[i].cluster_id for i in range(3)] == [0, 1, 2]
+
+
+def test_shared_span_pairs_detects_verbatim_run(spark):
+    """Two docs share a verbatim 30-token block at DIFFERENT positions;
+    doc C shares nothing; doc D is shorter than one shingle."""
+    block = " ".join(f"tok{i}" for i in range(30))
+    a = "alpha beta " + block + " gamma"
+    b = "x1 y2 z3 " + block
+    c = " ".join(f"other{i}" for i in range(40))
+    d = "tiny doc"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string"
+    )
+    out = D.shared_span_pairs(
+        df, shingle_tokens=8, min_span_tokens=24, max_posting=50
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.longest_span == 30 and r.n_spans == 1
+
+
+def test_shared_span_pairs_splits_on_mutation(spark):
+    """A single substituted token splits one long run into two islands on
+    the same diagonal; spans shorter than the minimum don't qualify."""
+    toks = [f"w{i}" for i in range(60)]
+    orig = " ".join(toks)
+    mutated = toks.copy()
+    mutated[30] = "CHANGED"
+    mut = " ".join(mutated)
+    df = spark.createDataFrame(
+        [(1, orig), (2, mut)], "doc_id long, text string"
+    )
+    out = D.shared_span_pairs(
+        df, shingle_tokens=8, min_span_tokens=24, max_posting=50
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # islands: tokens 0..29 (span 30) and 31..59 (span 29), same diagonal
+    assert r.longest_span == 30 and r.n_spans == 2
+
+
+def test_shared_span_pairs_posting_cap_drops_boilerplate(spark):
+    """A shingle present in more docs than the cap generates no matches —
+    degradation is a dropped span, never a false positive."""
+    block = " ".join(f"b{i}" for i in range(24))
+    docs = [(i, f"pre{i} " + block + f" post{i}") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # every shingle of the block appears in 6 docs; cap at 5 kills them all
+    out = D.shared_span_pairs(
+        df, shingle_tokens=8, min_span_tokens=24, max_posting=5
+    ).collect()
+    assert out == []
+    # raising the cap restores all 15 pairs
+    out2 = D.shared_span_pairs(
+        df, shingle_tokens=8, min_span_tokens=24, max_posting=50
+    ).collect()
+    assert len(out2) == 15 and all(r.longest_span == 24 for r in out2)

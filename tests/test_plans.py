@@ -446,3 +446,16 @@ def test_semantic_dedup_no_global_window_no_cartesian(spark):
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
         assert "cluster_id" in spec or "centroid_id" in spec, spec
+
+
+def test_dedup_spans_equi_join_bounded_windows(spark):
+    """Span dedup: the only join is an equi-join on the 8-byte shingle
+    fingerprint (SortMergeJoin/ShuffledHashJoin — never a cartesian); the
+    islands window partitions by (pair, diagonal), bounded by document
+    length."""
+    plan = _plan(spark, "dedup_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "id_a" in spec and "id_b" in spec, spec
