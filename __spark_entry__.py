@@ -876,6 +876,71 @@ def _dedup_spans_oracle() -> str:
     """
 
 
+def _docs_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of span dedup (Lee et al. 2022 delete the
+    duplicated SUBSTRING, keeping the rest of the document): per-doc count
+    of tokens inside a >=24-token verbatim run shared with an earlier doc
+    — the interval union over qualifying spans, so overlapping spans count
+    once (operators/dedup.py span_mask_stats). Full 500-row audit
+    (doc_id, n_tokens, n_masked, masked_ppm) hash-checked; masked_ppm is
+    exact integer division."""
+    return D.span_mask_stats(
+        _docs(spark, sf_dir),
+        shingle_tokens=SPAN_SHINGLE_TOKENS,
+        min_span_tokens=SPAN_MIN_TOKENS,
+        max_posting=SPAN_MAX_POSTING,
+    )
+
+
+def _docs_span_mask_oracle() -> str:
+    k = SPAN_SHINGLE_TOKENS
+    return f"""
+    WITH norm AS (
+        SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(
+                   list_slice(w, CAST(i + 1 AS BIGINT), CAST(i + {k} AS BIGINT)),
+                   ' ') AS shingle
+        FROM norm, unnest(range(0, greatest(len(w) - {k} + 1, 0))) AS t(i)
+    ),
+    caps AS (SELECT shingle FROM sh
+             GROUP BY shingle HAVING count(*) <= {SPAN_MAX_POSTING}),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS ia, b.pos AS jb
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE a.shingle IN (SELECT shingle FROM caps)
+    ),
+    runs AS (
+        SELECT id_a, id_b, ia - jb AS d, ia, jb,
+               ia - row_number() OVER (
+                   PARTITION BY id_a, id_b, ia - jb ORDER BY ia) AS isl
+        FROM m
+    ),
+    islands AS (
+        SELECT id_a, id_b, d, isl,
+               CAST(count(*) + {k} - 1 AS BIGINT) AS span_tokens,
+               min(jb) AS jb_start
+        FROM runs GROUP BY id_a, id_b, d, isl
+        HAVING count(*) + {k} - 1 >= {SPAN_MIN_TOKENS}
+    ),
+    covered AS (
+        SELECT DISTINCT id_b AS id, jb_start + p AS pos
+        FROM islands, unnest(range(0, span_tokens)) AS t(p)
+    ),
+    cov AS (SELECT id, CAST(count(*) AS BIGINT) AS n_masked
+            FROM covered GROUP BY id),
+    base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM norm)
+    SELECT b.doc_id, b.n_tokens,
+           CAST(coalesce(c.n_masked, 0) AS BIGINT) AS n_masked,
+           CAST((coalesce(c.n_masked, 0) * 1000000) // b.n_tokens AS BIGINT)
+               AS masked_ppm
+    FROM base b LEFT JOIN cov c ON b.doc_id = c.id
+    """
+
+
 SEMDEDUP_EPS = 0.45
 
 
@@ -8760,6 +8825,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (batch residual serving: the composition of the in-window
         # knn_ivfpq architecture row and the in-window knn_join_pq batch
         # pattern; stays check_oracle-covered at three scales).
+        # docs_span_mask (the removal half of span dedup) stays PAST the
+        # window under the knn_ivf_hamming precedent: it is a composition
+        # of the in-window dedup_spans islands core plus an interval-union
+        # explode, every in-window row is either §2-cited or a new
+        # OPERATOR awaiting its first gate, and the row is
+        # check_oracle-covered at three scales.
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -8813,6 +8884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
         "knn_ivf_hamming": _knn_ivf_hamming,
+        "docs_span_mask": _docs_span_mask,
         "knn_join_ivfpq": _knn_join_ivfpq,
         "knn_ivfpq_recall": _knn_ivfpq_recall,
         "knn_hamming_rerank": _knn_hamming_rerank,
@@ -9020,6 +9092,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_embedding_bucketed": _neardup_embedding_bucketed_oracle(),
         "dedup_semantic": _dedup_semantic_oracle(),
         "dedup_spans": _dedup_spans_oracle(),
+        "docs_span_mask": _docs_span_mask_oracle(),
         "knn_lsh_bucket": _lsh_oracle(),
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,

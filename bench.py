@@ -213,6 +213,7 @@ HEADLINE = [
     "dedup_semantic",
     "docs_mixture_sample",
     "dedup_spans",
+    "docs_span_mask",
 ]
 
 

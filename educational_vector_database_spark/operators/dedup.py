@@ -1462,6 +1462,72 @@ def semantic_dedup(
     )
 
 
+def _span_islands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_posting: int,
+) -> DataFrame:
+    """Shared core of the span-dedup family: diagonal match islands.
+
+    Returns one row per maximal run of consecutive shingle matches —
+    ``(id_a, id_b, d, isl, span_tokens, jb_start)`` where ``span_tokens``
+    is the verbatim-run length in TOKENS (run + k - 1) and ``jb_start``
+    the run's first token position in the LATER document (id_b; pairs are
+    emitted with id_a < id_b so masking consumers always keep the earlier
+    copy)."""
+    toks = F.split(T.normalized_text(text_col), " ")
+    shingles = F.when(
+        F.size("w") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - k),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        df.select(F.col(id_col).alias("id"), toks.alias("w"))
+        .select("id", F.posexplode(shingles).alias("pos", "shingle"))
+        .select(
+            "id",
+            "pos",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("sig"),
+        )
+    )
+    ok = (
+        sh.groupBy("sig")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") <= max_posting)
+        .select("sig")
+    )
+    capped = sh.join(ok, "sig")
+    m = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.pos").alias("ia"),
+            F.col("b.pos").alias("jb"),
+        )
+        .withColumn("d", F.col("ia") - F.col("jb"))
+    )
+    w_diag = Window.partitionBy("id_a", "id_b", "d").orderBy("ia")
+    return (
+        m.withColumn("isl", F.col("ia") - F.row_number().over(w_diag))
+        .groupBy("id_a", "id_b", "d", "isl")
+        .agg(
+            (F.count("*") + F.lit(k - 1)).alias("span_tokens"),
+            F.min("jb").alias("jb_start"),
+        )
+    )
+
+
 def shared_span_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1500,52 +1566,8 @@ def shared_span_pairs(
     by (pair, diagonal) — bounded by document length, never corpus-sized;
     the final aggregate is keyed on the pair ids. No cross join, no global
     window, no driver loop."""
-    k = int(shingle_tokens)
-    toks = F.split(T.normalized_text(text_col), " ")
-    shingles = F.when(
-        F.size("w") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("w") - k),
-            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = (
-        df.select(F.col(id_col).alias("id"), toks.alias("w"))
-        .select("id", F.posexplode(shingles).alias("pos", "shingle"))
-        .select(
-            "id",
-            "pos",
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("sig"),
-        )
-    )
-    ok = (
-        sh.groupBy("sig")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") <= int(max_posting))
-        .select("sig")
-    )
-    capped = sh.join(ok, "sig")
-    m = (
-        capped.alias("a")
-        .join(
-            capped.alias("b"),
-            (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.pos").alias("ia"),
-            F.col("b.pos").alias("jb"),
-        )
-        .withColumn("d", F.col("ia") - F.col("jb"))
-    )
-    w_diag = Window.partitionBy("id_a", "id_b", "d").orderBy("ia")
-    islands = (
-        m.withColumn("isl", F.col("ia") - F.row_number().over(w_diag))
-        .groupBy("id_a", "id_b", "d", "isl")
-        .agg((F.count("*") + F.lit(k - 1)).alias("span_tokens"))
+    islands = _span_islands(
+        df, id_col, text_col, int(shingle_tokens), int(max_posting)
     )
     return (
         islands.groupBy("id_a", "id_b")
@@ -1556,4 +1578,65 @@ def shared_span_pairs(
             ).alias("n_spans"),
         )
         .filter(F.col("longest_span") >= int(min_span_tokens))
+    )
+
+
+def span_mask_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_tokens: int = 8,
+    min_span_tokens: int = 24,
+    max_posting: int = 50,
+) -> DataFrame:
+    """The REMOVAL half of span-level dedup (Lee et al. 2022 delete the
+    duplicated substring, not the document): for every doc, how many of its
+    tokens sit inside a verbatim run of >= ``min_span_tokens`` tokens that
+    also appears in an EARLIER doc (lower id — the kept copy). Masked
+    positions are the interval UNION over all qualifying spans (a token
+    covered by two overlapping spans counts once).
+
+    Returns one row per input doc:
+    ``(id_col, n_tokens, n_masked, masked_ppm)`` — ``masked_ppm`` is the
+    integer floor of the masked fraction in parts-per-million (exact
+    integer division, engine-reproducible).
+
+    Scale shape: islands come from the shared posting-capped span core
+    (one fingerprint equi-join + per-(pair,diagonal) windows); the
+    interval union is an explode of covered positions (bounded by corpus
+    token count, 16 B/row) + a distinct keyed on (doc, pos); everything
+    else is per-doc aggregation. No cross join, no global window."""
+    k = int(shingle_tokens)
+    islands = _span_islands(df, id_col, text_col, k, int(max_posting)).filter(
+        F.col("span_tokens") >= int(min_span_tokens)
+    )
+    covered = (
+        islands.select(
+            F.col("id_b").alias("id"),
+            F.explode(
+                F.sequence(
+                    F.col("jb_start"),
+                    F.col("jb_start") + F.col("span_tokens") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.count("*").alias("n_masked"))
+    )
+    toks = F.split(T.normalized_text(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("id"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    return (
+        base.join(covered, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_masked"), F.lit(0)).cast("long").alias("n_masked"),
+        )
+        .withColumn(
+            "masked_ppm",
+            F.expr("(n_masked * 1000000) DIV n_tokens").cast("long"),
+        )
     )

@@ -509,3 +509,26 @@ def test_shared_span_pairs_posting_cap_drops_boilerplate(spark):
         df, shingle_tokens=8, min_span_tokens=24, max_posting=50
     ).collect()
     assert len(out2) == 15 and all(r.longest_span == 24 for r in out2)
+
+
+def test_span_mask_stats_interval_union(spark):
+    """Masking: only the LATER doc masks; overlapping spans from two
+    different earlier docs count each covered token once."""
+    block = " ".join(f"s{i}" for i in range(30))
+    early1 = block + " filler1 x y z"
+    early2 = "aa bb " + block
+    late = "p q " + block + " tail1 tail2"
+    df = spark.createDataFrame(
+        [(1, early1), (2, early2), (3, late)], "doc_id long, text string"
+    )
+    out = {int(r.doc_id): r for r in D.span_mask_stats(
+        df, shingle_tokens=8, min_span_tokens=24, max_posting=50
+    ).collect()}
+    # doc 1 is the earliest copy: nothing masked
+    assert out[1].n_masked == 0
+    # doc 2 shares the block with doc 1 only -> 30 tokens masked
+    assert out[2].n_masked == 30
+    # doc 3 shares the SAME 30 block tokens with docs 1 AND 2 — union = 30
+    assert out[3].n_masked == 30
+    assert out[3].n_tokens == 34
+    assert out[3].masked_ppm == 30 * 1_000_000 // 34
