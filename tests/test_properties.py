@@ -319,3 +319,59 @@ def test_mmr_unrolled_equals_sequential_greedy(spark, vecs, k, pool):
         picked.append(best[0][1])
         want.append((t, best[0][1], best[1]))
     assert got == sorted(want)
+
+
+token_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=25),
+    min_size=2,
+    max_size=5,
+)
+
+
+@given(token_docs)
+@settings(**SETTINGS)
+def test_shared_span_pairs_matches_token_run_reference(spark, docs):
+    """The shingle-island formulation must agree with an INDEPENDENT
+    reference that never builds shingles: per (pair, diagonal), maximal
+    runs of equal tokens of length >= K are exactly the islands, with
+    span_tokens == run length."""
+    from educational_vector_database_spark.operators import dedup as D
+
+    K, MINSPAN = 3, 5
+
+    def runs(A, B):
+        out = []
+        for d in range(-len(B) + 1, len(A)):
+            i, j, run = max(0, d), max(0, d) - d, 0
+            while i <= len(A) and j <= len(B):
+                if i < len(A) and j < len(B) and A[i] == B[j]:
+                    run += 1
+                else:
+                    if run >= K:
+                        out.append(run)
+                    run = 0
+                i += 1
+                j += 1
+        return out
+
+    expect = {}
+    for x in range(len(docs)):
+        for y in range(x + 1, len(docs)):
+            r = runs(docs[x], docs[y])
+            if r and max(r) >= MINSPAN:
+                expect[(x, y)] = (
+                    max(r),
+                    sum(1 for v in r if v >= MINSPAN),
+                )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (int(r.id_a), int(r.id_b)): (int(r.longest_span), int(r.n_spans))
+        for r in D.shared_span_pairs(
+            df, shingle_tokens=K, min_span_tokens=MINSPAN, max_posting=10**6
+        ).collect()
+    }
+    assert got == expect
