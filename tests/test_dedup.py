@@ -532,3 +532,32 @@ def test_span_mask_stats_interval_union(spark):
     assert out[3].n_masked == 30
     assert out[3].n_tokens == 34
     assert out[3].masked_ppm == 30 * 1_000_000 // 34
+
+
+def test_semantic_dedup_with_trained_centroids(spark, sf_dir):
+    """The production composition: MLlib-trained k-means centroids feeding
+    semantic_dedup. Invariants (independent of the trained centers): every
+    row verdicted exactly once, exactly one survivor per cluster, cluster
+    members share the survivor's cell, singletons always kept."""
+    from educational_vector_database_spark.operators import ann as A
+    from educational_vector_database_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents_df = A.train_ivf_centroids(emb, n_cells=8)
+    cents = [
+        [float(x) for x in r.centroid]
+        for r in sorted(cents_df.collect(), key=lambda r: r.centroid_id)
+    ]
+    out = D.semantic_dedup(emb, cents, eps=0.45).collect()
+    assert len(out) == emb.count()
+    by_cluster = {}
+    cell_of = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+        cell_of[r.vec_id] = r.centroid_id
+    for cid, members in by_cluster.items():
+        assert sum(1 for m in members if m.keep) == 1
+        # intra-cluster pairs were mined within one cell only
+        assert len({m.centroid_id for m in members}) == 1
+        if len(members) == 1:
+            assert members[0].keep
