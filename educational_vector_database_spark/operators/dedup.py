@@ -1386,6 +1386,15 @@ def semantic_dedup(
     (bounded by the largest duplicate group, contraction-guarded upstream).
     No global-order window, no driver loop, no collect.
 
+    Centroid-count seam: the scan-side argmin/when-chain inlines every
+    centroid as an expression literal, which is the right trade to a few
+    HUNDRED cells (one projection, zero shuffle) but does not codegen at
+    the paper's 50k clusters — there, assign cells through IVFIndex's
+    partitioned layout (operators/ann.py, the same assignment with the
+    centroid set held as an index, not an expression) and feed the
+    assignment in as a column; the pair-mining/CC/keep stages are
+    unchanged.
+
     The reference's nearest analog is its duplicate-tolerant store
     (``add_vectors`` never dedups — src/vectordb/store.py); this is the
     batch curation move its corpus would need before HNSW indexing

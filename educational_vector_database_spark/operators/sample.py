@@ -133,17 +133,32 @@ def mixture_sample(
     domains cost nothing extra: the rate join is a broadcast hash join.
 
     Returns the input rows + ``(weight_ppm, rate_ppm, keep)``."""
-    grp = F.col(group_col)
     tot = df.groupBy(group_col).agg(
         F.sum(F.col(cost_col).cast("long")).alias("grp_cost")
     )
     glob = df.agg(F.sum(F.col(cost_col).cast("long")).alias("total_cost"))
-    w_expr = F.lit(0).cast("long")
-    for g, w in sorted(weights_ppm.items()):
-        w_expr = F.when(grp == g, F.lit(int(w)).cast("long")).otherwise(w_expr)
+    if len(weights_ppm) <= 64:
+        # few domains: the weight lookup folds into the totals projection
+        grp = F.col(group_col)
+        w_expr = F.lit(0).cast("long")
+        for g, w in sorted(weights_ppm.items()):
+            w_expr = F.when(grp == g, F.lit(int(w)).cast("long")).otherwise(w_expr)
+        tot = tot.withColumn("weight_ppm", w_expr)
+    else:
+        # many domains (a real crawl has thousands): a 64-deep when-chain
+        # per row neither codegens nor reads well — ship the weight table
+        # as a broadcast left join instead (it is O(domains) rows by
+        # definition, the same small-table contract as the rate table)
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            sorted((g, int(w)) for g, w in weights_ppm.items()),
+            f"{group_col} string, weight_ppm long",
+        )
+        tot = tot.join(F.broadcast(wdf), on=group_col, how="left").withColumn(
+            "weight_ppm", F.coalesce(F.col("weight_ppm"), F.lit(0).cast("long"))
+        )
     rates = (
         tot.crossJoin(F.broadcast(glob))
-        .withColumn("weight_ppm", w_expr)
         .withColumn(
             "rate_ppm",
             F.least(

@@ -109,3 +109,25 @@ def test_mixture_sample_unknown_group_dropped(spark, sf_dir):
     others = out.filter(F.col("source") != "src0")
     assert others.filter(F.col("keep")).count() == 0  # weight 0 -> rate 0
     assert others.filter(F.col("rate_ppm") != 0).count() == 0
+
+
+def test_mixture_sample_many_domains_join_path(spark, sf_dir):
+    """>64 declared domains routes the weight lookup through the broadcast
+    join branch; declared weights resolve identically and undeclared
+    domains still get rate 0."""
+    docs = _docs(spark, sf_dir)
+    weights = {f"src{i}": (120_000 if i < 5 else 26_000) for i in range(20)}
+    # same 20 real sources + 50 phantom domains to cross the threshold
+    many = dict(weights)
+    many.update({f"phantom{i}": 1_000 for i in range(50)})
+    small = SM.mixture_sample(
+        docs, "source", "n_chars", "doc_id",
+        weights_ppm=weights, budget_ppm=400_000,
+    )
+    big = SM.mixture_sample(
+        docs, "source", "n_chars", "doc_id",
+        weights_ppm=many, budget_ppm=400_000,
+    )
+    a = sorted((r.doc_id, r.rate_ppm, r.keep) for r in small.collect())
+    b = sorted((r.doc_id, r.rate_ppm, r.keep) for r in big.collect())
+    assert a == b  # phantom weights touch no real row; real weights agree
