@@ -2944,6 +2944,60 @@ _KNN_IVF_ORACLE = f"""
 """
 
 
+def _knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED approximate search — the 'filtered vector search'
+    every serving store advertises, composed from gated parts: probe the
+    query's IVF_NPROBE nearest cells (partition-prunable cell predicate),
+    apply the metadata predicate INSIDE the probe (pre-filter: rows are
+    dropped before any scoring, and at scale before leaving the parquet
+    scan — both predicates reach the scan node), exact top-k on what
+    survives. Multi-probe matters precisely here: a filter that thins the
+    nearest cell below k would starve nprobe=1 (the classic filtered-ANN
+    failure); probing more cells restores the candidate pool. Returns
+    (vec_id, label, score)."""
+    cents = _ivf_centroids(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    cells = _emb(spark, sf_dir).withColumn(
+        "centroid_id", _cell_expr(cents, "embedding")
+    )
+    probes = [
+        r.centroid_id
+        for r in cells.filter(F.col("vec_id") == IVF_QUERY_ID)
+        .select(
+            F.explode(
+                _probe_cells_expr(cents, "embedding", IVF_NPROBE)
+            ).alias("centroid_id")
+        )
+        .collect()
+    ]
+    return K.filtered_knn(
+        cells.filter(F.col("centroid_id").isin(probes)),
+        F.col("label") == 3,
+        qv,
+        k=TOP_K,
+        metric="cosine",
+        extra_cols=("label",),
+    )
+
+
+_KNN_IVF_FILTERED_ORACLE = f"""
+    WITH {_IVF_ASSIGN_CTE},
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {IVF_QUERY_ID}),
+    probe AS (SELECT CAST(cid AS INT) AS centroid_id FROM d
+              WHERE vec_id = {IVF_QUERY_ID} AND rn <= {{nprobe}})
+    SELECT e.vec_id AS vec_id, e.label AS label,
+           {_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS score
+    FROM embeddings e
+    JOIN assign s ON e.vec_id = s.vec_id
+    CROSS JOIN q
+    WHERE s.centroid_id IN (SELECT centroid_id FROM probe)
+      AND e.label = 3
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+"""
+
+
 # --- vector aggregation / fingerprints / tumbling windows -------------------
 
 
@@ -8831,6 +8885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # explode, every in-window row is either §2-cited or a new
         # OPERATOR awaiting its first gate, and the row is
         # check_oracle-covered at three scales.
+        # knn_ivf_filtered (filtered approximate search) likewise: a
+        # composition of the gated multi-probe (knn_join_ivf_nprobe) and
+        # the gated metadata pre-filter (filter_then_knn §2 J3).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -8885,6 +8942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still oracle-declared and covered by tools/check_oracle.py ---
         "knn_ivf_hamming": _knn_ivf_hamming,
         "docs_span_mask": _docs_span_mask,
+        "knn_ivf_filtered": _knn_ivf_filtered,
         "knn_join_ivfpq": _knn_join_ivfpq,
         "knn_ivfpq_recall": _knn_ivfpq_recall,
         "knn_hamming_rerank": _knn_hamming_rerank,
@@ -9195,6 +9253,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_eval": _lang_id_oracle(),
         "ivf_cells": _IVF_CELLS_ORACLE,
         "knn_ivf": _KNN_IVF_ORACLE,
+        "knn_ivf_filtered": _KNN_IVF_FILTERED_ORACLE.format(nprobe=IVF_NPROBE),
         "events_asof": _EVENTS_ASOF_ORACLE,
         "orders_rollup": _ORDERS_ROLLUP_ORACLE,
         "stream_ingest_chunks": _stream_ingest_oracle(),

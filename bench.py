@@ -214,6 +214,7 @@ HEADLINE = [
     "docs_mixture_sample",
     "dedup_spans",
     "docs_span_mask",
+    "knn_ivf_filtered",
 ]
 
 
