@@ -287,3 +287,32 @@ def test_vectordb_ivfpq_index_search_and_roundtrip(spark, tmp_path):
     db2.add_vectors(spark.createDataFrame(
         [(999, q, None)], "vec_id: long, embedding: array<double>, text: string"))
     assert 999 in {r.vec_id for r in db2.search_vector(q, k=3).collect()}
+
+
+def test_reap_scratch_age_gated(tmp_path, monkeypatch):
+    """Stale same-prefix siblings are deleted, fresh ones and other
+    prefixes survive, and the returned path is a new uuid-suffixed name."""
+    import os
+    import time
+
+    import __spark_entry__ as entry
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+
+    stale = tmp_path / "evdb_x_old1"
+    fresh = tmp_path / "evdb_x_new1"
+    other = tmp_path / "evdb_y_old1"
+    for d in (stale, fresh, other):
+        d.mkdir()
+    old = time.time() - 3600
+    os.utime(stale, (old, old))
+    os.utime(other, (old, old))
+
+    p = entry._reap_scratch("evdb_x_", max_age_s=1800)
+    assert p.startswith(str(tmp_path / "evdb_x_"))
+    assert not stale.exists()          # stale same-prefix: reaped
+    assert fresh.exists()              # fresh same-prefix: untouched
+    assert other.exists()              # other prefix: untouched
+    assert not os.path.exists(p)       # allocation returns a name only
