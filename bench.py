@@ -215,6 +215,20 @@ HEADLINE = [
     "dedup_spans",
     "docs_span_mask",
     "knn_ivf_filtered",
+    # round 7: two-level coarse-to-fine graph walk (the HNSW hierarchy in
+    # batch form) + the rest of the streaming family (previously only
+    # stream_encode_ingest was benched — regressions in the other stream
+    # rows were invisible, VERDICT r6 next-round #5). Stream rows time the
+    # full availableNow drain incl. checkpoint setup — coarse, but anchored.
+    "knn_graph_two_level",
+    "stream_ingest_chunks",
+    "stream_events_tumbling",
+    "stream_events_dedup",
+    "stream_events_sessionize",
+    "stream_store_upsert",
+    "stream_dedup_ingest",
+    "stream_events_attribution",
+    "stream_events_late_drop",
 ]
 
 
@@ -353,6 +367,16 @@ def main() -> int:
               if n in anchors and anchors[n] > 0}
     worst = max(ratios.items(), key=lambda kv: kv[1]) if ratios else None
     anchored_total = round(sum(anchors[n] for n in ratios), 2)
+    # Anchor-coverage gate (VERDICT r6 What's-wrong #2: two benched rows sat
+    # outside the 2x regression gate and one drifted 1.74x unwatched). Every
+    # benched row must have a cold anchor; an unanchored row is named LOUDLY
+    # in the payload and on stderr so the gap cannot go unnoticed again.
+    # Full-suite runs only — a --queries subset during anchor MEASUREMENT is
+    # exactly the run that creates the anchor, so it can't be gated on it.
+    unanchored = sorted(n for n in timings if n not in anchors)
+    if unanchored and not args.queries:
+        print(f"WARNING: benched rows WITHOUT a cold anchor (outside the "
+              f"2x gate): {unanchored}", file=sys.stderr)
     summary = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -364,6 +388,7 @@ def main() -> int:
                                / anchored_total, 3) if ratios else None,
         "worst_vs_anchor": {worst[0]: round(worst[1], 2)} if worst else None,
         "over_2x": sorted(n for n, r in ratios.items() if r > 2.0)[:10],
+        "unanchored": unanchored[:10] if not args.queries else [],
         "remeasured": sorted(remeasured)[:10],
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:6]),
         "detail": "BENCH_LOCAL.json",

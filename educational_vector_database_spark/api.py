@@ -276,6 +276,7 @@ class VectorDB:
                     dim=self.dim, metric=self.metric, use_approx=self.use_approx,
                     embeddings_class=type(self.embeddings).__name__ if self.embeddings else None,
                     id_col=self.id_col, vector_col=self.vector_col,
+                    index_type=self.index_type,
                 ),
                 mode=mode,
             )
@@ -295,13 +296,29 @@ class VectorDB:
         ``<path>/_ivf_index`` is reopened (partition-pruned disk probes, no
         rebuild); absent or unreadable, the lazy-rebuild path applies."""
         df, cfg = storemod.load(spark, path)
+        # The serving family is part of the persisted config (a DB
+        # constructed with index_type="graph" but saved before any search
+        # must reload as "graph", not whatever index dirs happen to exist).
+        # Legacy sidecars predate the field: infer from the dirs on disk
+        # with the historical precedence (ivfpq > graph > ivf).
+        index_type = cfg.index_type
+        if index_type is None:
+            if os.path.isdir(os.path.join(path, "_ivfpq_index")):
+                index_type = "ivfpq"
+            elif os.path.isdir(os.path.join(path, "_graph_index")):
+                index_type = "graph"
+            else:
+                index_type = "ivf"
         db = cls(
             spark, dim=cfg.dim, metric=cfg.metric, embeddings=embeddings,
             df=df, id_col=cfg.id_col, vector_col=cfg.vector_col,
-            use_approx=cfg.use_approx,
+            use_approx=cfg.use_approx, index_type=index_type,
         )
+        # Only the saved index matching the configured type is attached; a
+        # stray dir from another family can no longer override serving
+        # behavior across a save/load roundtrip.
         idx_dir = os.path.join(path, "_ivf_index")
-        if cfg.use_approx and os.path.isdir(idx_dir):
+        if cfg.use_approx and index_type == "ivf" and os.path.isdir(idx_dir):
             from .operators.ann import IVFIndex
 
             try:
@@ -311,21 +328,19 @@ class VectorDB:
                 # to the lazy-rebuild path exactly as when the dir is absent
                 db._ivf = None
         gidx_dir = os.path.join(path, "_graph_index")
-        if cfg.use_approx and os.path.isdir(gidx_dir):
+        if cfg.use_approx and index_type == "graph" and os.path.isdir(gidx_dir):
             from .operators.ann import GraphIndex
 
             try:
                 db._graph = GraphIndex.load(spark, gidx_dir)
-                db.index_type = "graph"
             except (OSError, json.JSONDecodeError, KeyError, ValueError):
                 db._graph = None  # same lazy-rebuild fallback as IVF
         pidx_dir = os.path.join(path, "_ivfpq_index")
-        if cfg.use_approx and os.path.isdir(pidx_dir):
+        if cfg.use_approx and index_type == "ivfpq" and os.path.isdir(pidx_dir):
             from .operators.pq import IVFPQIndex
 
             try:
                 db._ivfpq = IVFPQIndex.load(spark, pidx_dir)
-                db.index_type = "ivfpq"
             except (OSError, json.JSONDecodeError, KeyError, ValueError):
                 db._ivfpq = None  # same lazy-rebuild fallback
         return db

@@ -128,8 +128,13 @@ def _decode_image_array(content: bytes, meta) -> np.ndarray:
         except ImportError:
             pass
         else:
-            arr = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
-            if arr.ndim == 2:  # grayscale -> 1-channel
+            img = Image.open(io.BytesIO(content))
+            # Convert conditionally so the decoded shape agrees with the
+            # metadata struct: grayscale ("L"/"1") stays 1-channel instead
+            # of being silently promoted to RGB.
+            img = img.convert("L" if img.mode in ("L", "1", "I", "I;16") else "RGB")
+            arr = np.asarray(img)
+            if arr.ndim == 2:  # grayscale -> explicit 1-channel axis
                 arr = arr[:, :, None]
             return arr
     raise NotImplementedError(

@@ -37,6 +37,80 @@ from . import knn as K
 LSH_SEED = 42
 
 
+def corpus_fingerprint(
+    df: DataFrame, id_col: str = "vec_id", vector_col: str = "embedding"
+) -> int:
+    """Order-independent (id, vector) digest: bit_xor of per-row xxhash64.
+    xor commutes and cannot overflow under ANSI mode; ids are unique so
+    cancellation needs a full 64-bit hash collision. One aggregate job.
+    Composable: fp(A ∪ B) == fp(A) ^ fp(B) for disjoint A, B — which lets
+    an index update its stored fingerprint after a pure-append fold-in
+    without re-scanning the kept corpus."""
+    row = df.select(
+        F.xxhash64(F.col(id_col), F.col(vector_col)).alias("_h")
+    ).agg(F.expr("bit_xor(_h)").alias("h")).collect()[0]
+    return int(row.h) if row.h is not None else 0
+
+
+def estimate_corpus_rows(df: DataFrame, dim: int = 64) -> int | None:
+    """Driver-side row-count ESTIMATE from parquet file bytes — no count()
+    job, no scan. Same estimator discipline as
+    dedup.embedding_near_dup_blocked (operators/dedup.py): ~6 bytes per
+    vector element of parquet for float arrays plus fixed row overhead, so
+    higher dims shift bytes/row up and the estimate down proportionally —
+    the right direction, since every per-row kernel cost scales with dim
+    too. Returns None for non-file sources (in-memory test frames); callers
+    then fall back to a partition-count or explicit-argument path."""
+    bytes_per_row = max(64, 6 * int(dim))
+    total = 0
+    for p in [p.removeprefix("file:") for p in df.inputFiles()]:
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            # unreadable/remote path: skip — underestimating rows only makes
+            # blocks larger, and the per-block row cap still bounds them
+            pass
+    return max(1, total // bytes_per_row) if total > 0 else None
+
+
+def _salted_pack(
+    keyed: DataFrame,
+    group_cols: Sequence[str],
+    blocks: int | None,
+    row_cap: int,
+) -> DataFrame:
+    """Pack ``(id, v)`` rows into per-group blocks of BOUNDED size.
+
+    The block-GEMM kernels aggregate each (group, blk) into ONE
+    ``collect_list`` row; with a fixed block count a hot group (skewed LSH
+    bucket, hot k-means cell) packs ~group_pop/blocks vectors into a single
+    aggregated row — an executor-memory scale-killer at 100× data. Fix is
+    minhash's ``max_posting`` discipline applied to blocking: when
+    ``blocks`` is None, count each group's population first (one partial-agg
+    shuffle of the tiny group-key tuples), broadcast the counts back, and
+    salt with ``ceil(n/row_cap)`` blocks PER GROUP — expected rows per
+    aggregated block ≤ row_cap at ANY group population. The id-hash salt is
+    uniform, so actual block sizes concentrate tightly around the cap
+    (binomial; stddev ~ sqrt(row_cap)) — asserted on a deliberately hot
+    bucket in tests/test_graph.py. Results of every consumer are invariant
+    to the blocking (each pair is scored exactly once either way), so the
+    derived path changes cost shape only, never answers."""
+    gcols = [F.col(c) for c in group_cols]
+    if blocks is not None:
+        nblk = F.lit(int(blocks))
+    else:
+        counts = keyed.groupBy(*group_cols).agg(F.count("*").alias("_grp_n"))
+        keyed = keyed.join(F.broadcast(counts), list(group_cols))
+        nblk = F.greatest(
+            F.lit(1), F.ceil(F.col("_grp_n") / F.lit(int(row_cap)))
+        ).cast("int")
+    return (
+        keyed.withColumn("blk", F.pmod(F.hash("id"), nblk).cast("int"))
+        .groupBy(*gcols, F.col("blk"))
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 4, seed: int = LSH_SEED) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes (fixed seed -> identical on every
     driver, executor, and oracle engine)."""
@@ -270,14 +344,9 @@ class IVFIndex:
         return self._assigned is None or df.count() != self._indexed_rows
 
     def _content_fingerprint(self, df: DataFrame) -> int:
-        """Order-independent (id, vector) digest: bit_xor of per-row
-        xxhash64 (xor commutes and cannot overflow under ANSI mode; ids are
-        unique so cancellation needs a full hash collision). One aggregate
-        job; on the cached assignment it reads in-memory blocks only."""
-        row = df.select(
-            F.xxhash64(F.col(self.id_col), F.col(self.vector_col)).alias("_h")
-        ).agg(F.expr("bit_xor(_h)").alias("h")).collect()[0]
-        return int(row.h) if row.h is not None else 0
+        """See :func:`corpus_fingerprint`; on the cached assignment it
+        reads in-memory blocks only."""
+        return corpus_fingerprint(df, self.id_col, self.vector_col)
 
     def ensure(self, df: DataFrame) -> "IVFIndex":
         """Lazy maintenance orchestration (reference rebuilds on access, not
@@ -734,7 +803,8 @@ def knn_graph(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     metric: str = "cosine",
-    blocks_per_bucket: int = 2,
+    blocks_per_bucket: int | None = None,
+    row_cap: int = 4096,
 ) -> DataFrame:
     """Directed k-NN GRAPH over the corpus — the batch analog of HNSW's
     graph construction (reference src/vectordb/ann.py:21-76 ``HNSWIndex
@@ -751,12 +821,19 @@ def knn_graph(
     shuffle keyed by the small (table, bucket, block) int tuple), in-bucket
     scoring is the dedup block-GEMM kernel with a per-(src, block-pair)
     partial top-M — so shuffle rows OUT of the kernel are bounded by
-    R·blocks_per_bucket·m per node regardless of bucket population, and the
+    R·blocks·m per node regardless of bucket population, and the
     n_b² pair volume exists only inside vectorized GEMM batches. Dedup of the
     same pair colliding in several plane sets (bit-identical score — same
     kernel, same fold) and the final per-node top-M are one groupBy + one
     window over that bounded candidate set. Fully deterministic (score DESC,
     dst ASC), so the whole graph is oracle-checkable in SQL.
+
+    Blocking self-scales by default: ``blocks_per_bucket=None`` sizes the
+    salt PER (plane-set, bucket) from that bucket's population so each
+    aggregated block holds ~``row_cap`` rows no matter how hot the bucket
+    (:func:`_salted_pack` — the executor-memory guard the round-6 fixed
+    ``blocks_per_bucket=2`` default lacked; the graph is blocking-invariant,
+    so answers are unchanged). Pass an int to pin the legacy fixed salt.
     Returns ``(src, dst, score)``."""
     m_l = metric.lower()
     if m_l not in V.SUPPORTED_METRICS:
@@ -775,13 +852,7 @@ def knn_graph(
     keyed = src.select("id", "v", F.explode(keys).alias("k")).select(
         "id", "v", F.col("k.r").alias("r"), F.col("k.bkt").alias("bkt")
     )
-    packed = (
-        keyed.withColumn(
-            "blk", F.pmod(F.hash("id"), F.lit(blocks_per_bucket)).cast("int")
-        )
-        .groupBy("r", "bkt", "blk")
-        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
-    )
+    packed = _salted_pack(keyed, ["r", "bkt"], blocks_per_bucket, row_cap)
     pairs = (
         packed.alias("a")
         .join(
@@ -824,21 +895,36 @@ def _topm_edges(cand: DataFrame, m: int) -> DataFrame:
 
 
 def graph_params_for(n_rows: int) -> dict:
-    """Scale-correct graph/walk parameters for a FLAT k-NN graph (no HNSW
-    hierarchy), encoding the measured degree law (BASELINE.md round-6
+    """Scale-correct graph/walk/BUILD parameters for a FLAT k-NN graph (no
+    HNSW hierarchy), encoding the measured degree law (BASELINE.md round-6
     table): navigability must come from degree, so double ``m`` per 10×
     corpus from m=16 at n≈2,000; beam ≈ 2m; hops ≈ log2(n)/2 rounded up;
     one entry cell per ~500 rows. Measured: n=500 → 0.99 recall@10,
-    n=2,000 → 0.956, n=20,000 → 0.96 (m=32, beam=64, hops=6, 40 cells)."""
+    n=2,000 → 0.956, n=20,000 → 0.96 (m=32, beam=64, hops=6, 40 cells).
+
+    Build-side keys (round 7): ``n_planes`` sizes the LSH bucket count so
+    the EXPECTED bucket population stays near ``row_cap`` — 2^planes ≈
+    n/row_cap, clamped to [3, 16] (recall comes from the R=4 plane-set
+    union, held constant); ``blocks_per_bucket=None`` selects the
+    population-derived salting (:func:`_salted_pack`), so even a skewed
+    bucket far above the expectation is re-chunked to ~``row_cap`` rows per
+    aggregated block. ``n_rows`` may itself come from
+    :func:`estimate_corpus_rows` — no count job needed anywhere on the
+    default path."""
     import math
 
     n = max(2, int(n_rows))
     m = max(8, int(16 * 2 ** max(0, math.log10(n / 2000.0))))
+    row_cap = 4096
     return {
         "m": m,
         "beam": 2 * m,
         "hops": max(2, math.ceil(math.log2(n) / 2)),
         "n_entry_cells": max(4, n // 500),
+        "n_plane_sets": 4,
+        "n_planes": min(16, max(3, math.ceil(math.log2(max(2.0, n / row_cap))))),
+        "blocks_per_bucket": None,
+        "row_cap": row_cap,
     }
 
 
@@ -851,7 +937,8 @@ def knn_graph_incremental(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     metric: str = "cosine",
-    blocks_per_bucket: int = 2,
+    blocks_per_bucket: int | None = None,
+    row_cap: int = 4096,
 ) -> DataFrame:
     """One-sided graph-index maintenance — the graph-specific analog of the
     reference's ``add_items``/``resize_index`` (src/vectordb/ann.py:78-91:
@@ -886,15 +973,10 @@ def knn_graph_incremental(
                 for r, ps in enumerate(plane_sets)
             ]
         )
-        return (
-            src.select("id", "v", F.explode(keys).alias("k"))
-            .select("id", "v", F.col("k.r").alias("r"), F.col("k.bkt").alias("bkt"))
-            .withColumn(
-                "blk", F.pmod(F.hash("id"), F.lit(blocks_per_bucket)).cast("int")
-            )
-            .groupBy("r", "bkt", "blk")
-            .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+        keyed = src.select("id", "v", F.explode(keys).alias("k")).select(
+            "id", "v", F.col("k.r").alias("r"), F.col("k.bkt").alias("bkt")
         )
+        return _salted_pack(keyed, ["r", "bkt"], blocks_per_bucket, row_cap)
 
     delta_p, corp_p = _packed(new), _packed(corpus)
     # delta×corpus: every block combo within (r, bkt), both directions
@@ -1055,9 +1137,26 @@ def graph_beam_search(
         F.col(id_col).alias("id"),
         V.similarity(m_l, V.as_double(vector_col), qv).alias("score"),
     )
-    edges = graph.select("src", "dst")
     entries = [int(x) for x in entry_ids]
-    visited = scored_nodes.filter(F.col("id").isin(entries)).localCheckpoint()
+    seed = scored_nodes.filter(F.col("id").isin(entries))
+    visited = _beam_visited(scored_nodes, graph, seed, beam, hops)
+    return visited.orderBy(F.desc("score"), F.asc("id")).limit(k).select(
+        F.col("id").alias(id_col), "score"
+    )
+
+
+def _beam_visited(
+    scored_nodes: DataFrame, graph: DataFrame, seed: DataFrame,
+    beam: int, hops: int,
+) -> DataFrame:
+    """The beam-walk recurrence shared by :func:`graph_beam_search` and the
+    two-level walk: ``visited`` starts at the scored ``seed`` rows, each hop
+    expands the frontier's out-edges (one equi-join against the edge list),
+    scores only the unvisited ids, and keeps the per-hop top-``beam`` as the
+    next frontier. Returns everything visited. ``hops`` is a fixed small
+    integer; lineage stays flat via localCheckpoint."""
+    edges = graph.select("src", "dst")
+    visited = seed.localCheckpoint()
     frontier = visited
     for _ in range(hops):
         cand = (
@@ -1071,6 +1170,80 @@ def graph_beam_search(
         )
         visited = visited.unionByName(cand).localCheckpoint()
         frontier = cand.orderBy(F.desc("score"), F.asc("id")).limit(beam)
+    return visited
+
+
+def upper_layer(
+    df: DataFrame,
+    level_mult: int = 16,
+    id_col: str = "vec_id",
+    salt: str = "hnsw_upper",
+) -> DataFrame:
+    """The coarse layer's node set: a deterministic ~1/``level_mult``
+    hash-sample of the corpus — HNSW's geometric level assignment
+    (reference src/vectordb/ann.py:21-65 via hnswlib: node level ~
+    Geometric(1/level_mult), so layer 1 holds ~n/level_mult nodes) with the
+    repo's cross-engine md5 membership predicate (operators/sample.py
+    ``hash_fraction_sample``) instead of RNG state, so the layer is
+    bit-reproducible on any engine and any partitioning. Pure scan-side
+    filter — no shuffle, no count."""
+    from .sample import hash_fraction_sample
+
+    return hash_fraction_sample(df, id_col, 1.0 / int(level_mult), salt=salt)
+
+
+def graph_two_level_search(
+    upper_graph: DataFrame,
+    lower_graph: DataFrame,
+    df: DataFrame,
+    query_vector: Sequence[float],
+    upper_entry_ids: Sequence[int],
+    beam_up: int = 8,
+    hops_up: int = 2,
+    n_descend: int = 4,
+    beam: int = 8,
+    hops: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Coarse-to-fine graph walk — HNSW's layered descent (reference
+    src/vectordb/ann.py:21-65: search the top layer to a local optimum,
+    then descend and search layer 0 from there) in batch form, breaking the
+    FLAT graph's degree law (:func:`graph_params_for`: m doubles per 10×
+    corpus to stay navigable from far-away entries). Here navigability
+    comes from the hierarchy instead: walk the ``upper_graph`` (built over
+    the ~n/level_mult :func:`upper_layer` sample with CONSTANT m) from its
+    hub entries, take the ``n_descend`` best visited nodes — upper nodes
+    ARE corpus nodes, so they are valid lower entries — and walk the
+    ``lower_graph`` (full corpus, same constant m) from those
+    already-near-the-query seeds with a SHORT fixed hop budget.
+
+    Cost shape at 100 TB: the upper walk touches
+    O(hops_up · beam_up · m) rows of an edge list 1/level_mult the corpus
+    size; the lower walk touches O(hops · beam · m) — both independent of
+    n, and both layers keep m constant, so total edge storage is
+    n·m·(1 + 1/level_mult) instead of the flat graph's n·m(n). Every stage
+    (hub selection, both walks, the descent top-``n_descend``) is a
+    deterministic recurrence (score DESC, id ASC), so the whole two-level
+    pipeline is hop-unrollable and hash-checkable in SQL.
+    Returns ``(id_col, score)`` top-k."""
+    m_l = metric.lower()
+    if m_l not in V.SUPPORTED_METRICS:
+        raise ValueError(f"Unknown metric: {metric!r}. Supported: {V.SUPPORTED_METRICS}")
+    qv = V.vector_literal([float(x) for x in query_vector])
+    scored_nodes = df.select(
+        F.col(id_col).alias("id"),
+        V.similarity(m_l, V.as_double(vector_col), qv).alias("score"),
+    )
+    entries = [int(x) for x in upper_entry_ids]
+    seed_up = scored_nodes.filter(F.col("id").isin(entries))
+    v_up = _beam_visited(scored_nodes, upper_graph, seed_up, beam_up, hops_up)
+    seeds = (
+        v_up.orderBy(F.desc("score"), F.asc("id")).limit(int(n_descend))
+    ).localCheckpoint()
+    visited = _beam_visited(scored_nodes, lower_graph, seeds, beam, hops)
     return visited.orderBy(F.desc("score"), F.asc("id")).limit(k).select(
         F.col("id").alias(id_col), "score"
     )
@@ -1125,7 +1298,8 @@ class GraphIndex:
         id_col: str = "vec_id",
         vector_col: str = "embedding",
         seed: int = LSH_SEED,
-        blocks_per_bucket: int = 2,
+        blocks_per_bucket: int | None = None,
+        row_cap: int = 4096,
     ):
         self.n_plane_sets = n_plane_sets
         self.n_planes = n_planes
@@ -1135,10 +1309,12 @@ class GraphIndex:
         self.vector_col = vector_col
         self.seed = seed
         self.blocks_per_bucket = blocks_per_bucket
+        self.row_cap = row_cap
         self._edges: DataFrame | None = None
         self._indexed_rows = -1
         self._entries: list[int] | None = None
         self._dim: int | None = None
+        self._corpus_fp: int | None = None
 
     def _plane_sets(self, dim: int) -> list[list[list[float]]]:
         return [
@@ -1162,11 +1338,13 @@ class GraphIndex:
             vector_col=self.vector_col,
             metric=self.metric,
             blocks_per_bucket=self.blocks_per_bucket,
+            row_cap=self.row_cap,
         ).persist()
         edges.count()
         self._edges = edges
         self._indexed_rows = df.count()
         self._entries = None
+        self._corpus_fp = corpus_fingerprint(df, self.id_col, self.vector_col)
         return self
 
     def invalidate(self) -> None:
@@ -1175,6 +1353,7 @@ class GraphIndex:
         self._edges = None
         self._indexed_rows = -1
         self._entries = None
+        self._corpus_fp = None
 
     def is_stale(self, df: DataFrame) -> bool:
         return self._edges is None or df.count() != self._indexed_rows
@@ -1182,9 +1361,17 @@ class GraphIndex:
     def ensure(self, df: DataFrame) -> "GraphIndex":
         """Lazy maintenance: fresh -> no-op; pure append -> one-sided
         incremental fold-in (EXACT, not approximate); other drift ->
-        rebuild. Same reconciliation protocol as IVFIndex.ensure (anti-join
-        + content fingerprint on the overlap), same contract bound:
-        count-preserving in-place rewrites need an explicit invalidate."""
+        rebuild. Same reconciliation protocol as IVFIndex.ensure: anti-join
+        on the id column + an (id, vector) content fingerprint over the
+        overlapping rows. The edge list doesn't carry the raw vectors, so
+        the build-time corpus fingerprint is cached as a scalar (and
+        persisted in the sidecar); the overlap in the NEW df is digested
+        and compared against it — an in-place vector update combined with
+        an append therefore cannot be misclassified as a pure append (it
+        would merge old edges scored on stale vectors). Contract bound
+        (same as IVFIndex / the reference's size-only check,
+        src/vectordb/api.py:63-79): a count-preserving pure in-place
+        rewrite with NO appends needs an explicit :meth:`invalidate`."""
         if self._edges is None:
             return self.build(df)
         n = df.count()
@@ -1193,7 +1380,13 @@ class GraphIndex:
         indexed_ids = self._edges.select(F.col("src").alias(self.id_col)).distinct()
         delta = df.join(indexed_ids, self.id_col, "left_anti")
         corpus = df.join(indexed_ids, self.id_col, "left_semi")
-        if corpus.count() == self._indexed_rows and delta.count() == n - self._indexed_rows:
+        if (
+            corpus.count() == self._indexed_rows
+            and delta.count() == n - self._indexed_rows
+            and self._corpus_fp is not None
+            and corpus_fingerprint(corpus, self.id_col, self.vector_col)
+            == self._corpus_fp
+        ):
             dim = self._infer_dim(df)
             merged = knn_graph_incremental(
                 self._edges,
@@ -1205,6 +1398,7 @@ class GraphIndex:
                 vector_col=self.vector_col,
                 metric=self.metric,
                 blocks_per_bucket=self.blocks_per_bucket,
+                row_cap=self.row_cap,
             ).persist()
             merged.count()
             old = self._edges
@@ -1212,6 +1406,9 @@ class GraphIndex:
             old.unpersist()
             self._indexed_rows = n
             self._entries = None
+            self._corpus_fp ^= corpus_fingerprint(
+                delta, self.id_col, self.vector_col
+            )
             return self
         return self.build(df)
 
@@ -1261,8 +1458,10 @@ class GraphIndex:
             "vector_col": self.vector_col,
             "seed": self.seed,
             "blocks_per_bucket": self.blocks_per_bucket,
+            "row_cap": self.row_cap,
             "indexed_rows": self._indexed_rows,
             "dim": self._dim,
+            "corpus_fp": self._corpus_fp,
         }
         with open(os.path.join(path, self.SIDECAR), "w", encoding="utf-8") as f:
             json.dump(sidecar, f)
@@ -1280,11 +1479,18 @@ class GraphIndex:
             id_col=meta["id_col"],
             vector_col=meta["vector_col"],
             seed=int(meta["seed"]),
-            blocks_per_bucket=int(meta["blocks_per_bucket"]),
+            blocks_per_bucket=(
+                int(meta["blocks_per_bucket"])
+                if meta.get("blocks_per_bucket") is not None
+                else None
+            ),
+            row_cap=int(meta.get("row_cap", 4096)),
         )
         idx._edges = spark.read.parquet(path)
         idx._indexed_rows = int(meta["indexed_rows"])
         idx._dim = int(meta["dim"]) if meta.get("dim") is not None else None
+        fp = meta.get("corpus_fp")
+        idx._corpus_fp = int(fp) if fp is not None else None
         return idx
 
 

@@ -1354,13 +1354,44 @@ def embedding_near_dup_bucketed(
     )
 
 
+def semantic_dedup_params(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    dim: int = 64,
+    cell_target: int = 4096,
+    max_cells: int = 256,
+) -> dict:
+    """Byte-derived SemDeDup sizing — no count job. ``n_cells`` scales with
+    the corpus so cells hold ~``cell_target`` rows (the paper's own setup:
+    cluster count grows with corpus — 50k clusters for LAION), clamped to
+    ``max_cells`` because :func:`semantic_dedup` inlines centroids as scan
+    expressions (the documented centroid-literal seam: beyond a few hundred
+    cells route the assignment through IVFIndex's partitioned layout
+    instead). ``blocks_per_cell=None`` selects the population-derived
+    salting, so a hot cell re-chunks to ~``row_cap`` rows per aggregated
+    block regardless of how the k-means assignment skews."""
+    from .ann import estimate_corpus_rows
+
+    n_est = estimate_corpus_rows(df, dim=dim)
+    if n_est is None:
+        n_est = df.count()
+    import math
+
+    return {
+        "n_cells": min(int(max_cells), max(2, math.ceil(n_est / cell_target))),
+        "blocks_per_cell": None,
+        "row_cap": int(cell_target),
+    }
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     eps: float = 0.45,
-    blocks_per_cell: int = 4,
+    blocks_per_cell: int | None = None,
+    row_cap: int = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-dedup.
     Assign every row to its nearest centroid (a pure scan expression — the
@@ -1384,7 +1415,11 @@ def semantic_dedup(
     the pair volume per cell is bounded; components run on the small pair
     list, never the corpus; the keep-rule window partitions by cluster_id
     (bounded by the largest duplicate group, contraction-guarded upstream).
-    No global-order window, no driver loop, no collect.
+    No global-order window, no driver loop, no collect. Defaults self-scale
+    (round 7): ``blocks_per_cell=None`` derives the per-cell salt from the
+    CELL's population (ann._salted_pack), so a hot cell's aggregated blocks
+    stay ~``row_cap`` rows — results are blocking-invariant; and
+    :func:`semantic_dedup_params` sizes ``n_cells`` from corpus file bytes.
 
     Centroid-count seam: the scan-side argmin/when-chain inlines every
     centroid as an expression literal, which is the right trade to a few
@@ -1426,12 +1461,13 @@ def semantic_dedup(
         .withColumn("centroid_id", best)
         .withColumn("sim_c", sim_c)
     )
-    packed = (
-        assigned.withColumn(
-            "blk", F.pmod(F.hash("id"), F.lit(blocks_per_cell)).cast("int")
-        )
-        .groupBy("centroid_id", "blk")
-        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+    from .ann import _salted_pack
+
+    packed = _salted_pack(
+        assigned.select("id", "v", "centroid_id"),
+        ["centroid_id"],
+        blocks_per_cell,
+        row_cap,
     )
     pairs = (
         packed.alias("a")

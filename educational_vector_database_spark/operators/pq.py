@@ -552,6 +552,7 @@ class IVFPQIndex:
         self._codebooks: list[list[list[float]]] | None = None
         self._codes: DataFrame | None = None
         self._indexed_rows = -1
+        self._corpus_fp: int | None = None
 
     def build(
         self,
@@ -589,6 +590,9 @@ class IVFPQIndex:
         ).persist()
         self._indexed_rows = codes.count()
         self._codes = codes
+        from .ann import corpus_fingerprint
+
+        self._corpus_fp = corpus_fingerprint(df, self.id_col, self.vector_col)
         return self
 
     def invalidate(self) -> None:
@@ -596,6 +600,7 @@ class IVFPQIndex:
             self._codes.unpersist()
         self._codes = None
         self._indexed_rows = -1
+        self._corpus_fp = None
 
     def is_stale(self, df: DataFrame) -> bool:
         return self._codes is None or df.count() != self._indexed_rows
@@ -603,7 +608,18 @@ class IVFPQIndex:
     def ensure(self, df: DataFrame) -> "IVFPQIndex":
         """Fresh -> no-op; pure append -> encode ONLY the delta with the
         frozen centroids/codebooks and union (exact — codes are a
-        deterministic function of the row); other drift -> rebuild."""
+        deterministic function of the row); other drift -> rebuild. The
+        pure-append test is id-membership/count PLUS an (id, vector)
+        xxhash64 bit_xor fingerprint over the kept overlap (compared to the
+        build-time corpus fingerprint, cached as a scalar and persisted in
+        the sidecar): without it, in-place vector updates combined with
+        appends would keep stale PQ codes serving queries — codes that no
+        longer match the vectors used for exact rerank. Contract bound:
+        count-preserving pure in-place rewrites with NO appends still need
+        an explicit :meth:`invalidate` (the reference's own size-only
+        check, src/vectordb/api.py:63-79, shares this bound)."""
+        from .ann import corpus_fingerprint
+
         if self._codes is None:
             return self.build(df)
         n = df.count()
@@ -612,8 +628,12 @@ class IVFPQIndex:
         indexed = self._codes.select(self.id_col)
         delta = df.join(indexed, self.id_col, "left_anti")
         kept = df.join(indexed, self.id_col, "left_semi")
-        if kept.count() == self._indexed_rows and (
-            self._indexed_rows + delta.count() == n
+        if (
+            kept.count() == self._indexed_rows
+            and self._indexed_rows + delta.count() == n
+            and self._corpus_fp is not None
+            and corpus_fingerprint(kept, self.id_col, self.vector_col)
+            == self._corpus_fp
         ):
             enc = ivfpq_encode(
                 delta, self._centroids, self._codebooks,
@@ -625,6 +645,9 @@ class IVFPQIndex:
             self._codes = merged
             old.unpersist()
             self._indexed_rows = n
+            self._corpus_fp ^= corpus_fingerprint(
+                delta, self.id_col, self.vector_col
+            )
             return self
         return self.build(df)
 
@@ -666,6 +689,7 @@ class IVFPQIndex:
             "centroids": self._centroids,
             "codebooks": self._codebooks,
             "indexed_rows": self._indexed_rows,
+            "corpus_fp": self._corpus_fp,
         }
         with open(os.path.join(path, self.SIDECAR), "w", encoding="utf-8") as f:
             json.dump(sidecar, f)
@@ -693,6 +717,8 @@ class IVFPQIndex:
         ]
         idx._codes = spark.read.parquet(path)
         idx._indexed_rows = int(meta["indexed_rows"])
+        fp = meta.get("corpus_fp")
+        idx._corpus_fp = int(fp) if fp is not None else None
         return idx
 
 

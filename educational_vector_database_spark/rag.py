@@ -52,12 +52,29 @@ def build_rag_index(
     """Chunk + embed: the chunks table (reference rag.py:27-52 composed with
     api.py:156-162 ``add_text``). Returns
     ``(doc_id, chunk_index, chunk_id, chunk, embedding)`` where ``chunk_id`` is
-    a dense sortable key (doc_id * 100000 + chunk_index)."""
+    a dense sortable key (doc_id * 100000 + chunk_index). The encoding is
+    guarded: a document producing >= 100000 chunks (a ~50 MB doc at the
+    500-char default) would collide with the next doc_id's key space and
+    corrupt retrieval joins keyed on chunk_id, so that row raises instead
+    (executor-side ``raise_error``, no driver-side count needed); bigint
+    overflow for astronomically large doc_ids is caught by ANSI mode."""
     chunks = chunk_documents(docs, chunk_size, text_col, id_col)
     return chunks.select(
         id_col,
         "chunk_index",
-        (F.col(id_col) * 100_000 + F.col("chunk_index")).alias("chunk_id"),
+        F.when(
+            F.col("chunk_index") < 100_000,
+            F.col(id_col) * 100_000 + F.col("chunk_index"),
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "chunk_id encoding overflow: %s produced chunk_index %s "
+                    ">= 100000; re-chunk with a larger chunk_size",
+                    F.col(id_col).cast("string"),
+                    F.col("chunk_index").cast("string"),
+                )
+            ).cast("long")
+        ).alias("chunk_id"),
         F.col("chunk"),
         embeddings.embed_col("chunk").alias("embedding"),
     )

@@ -40,6 +40,10 @@ class StoreConfig:
     id_col: str = "vec_id"
     vector_col: str = "embedding"
     version: int = FORMAT_VERSION
+    # Which ANN family serves queries ("ivf" | "graph" | "ivfpq"). None =
+    # legacy sidecar written before the field existed; the loader then falls
+    # back to inferring it from which index dirs are present on disk.
+    index_type: str | None = None
 
 
 def _config_path(path: str) -> str:

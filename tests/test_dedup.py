@@ -561,3 +561,43 @@ def test_semantic_dedup_with_trained_centroids(spark, sf_dir):
         assert len({m.centroid_id for m in members}) == 1
         if len(members) == 1:
             assert members[0].keep
+
+
+def test_semantic_dedup_derived_blocking_invariant(spark, sf_dir):
+    """Round-7 self-scaling: blocks_per_cell=None (the new default) derives
+    the per-CELL salt from that cell's population; labels are identical to
+    the round-6 pinned blocks_per_cell=4 (blocking never changes answers)."""
+    from educational_vector_database_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    cents = [[1.0 if i == j else 0.0 for i in range(64)] for j in range(3)]
+    derived = sorted(
+        map(tuple, D.semantic_dedup(emb, cents, eps=0.3, row_cap=64).collect())
+    )
+    fixed = sorted(
+        map(
+            tuple,
+            D.semantic_dedup(emb, cents, eps=0.3, blocks_per_cell=4).collect(),
+        )
+    )
+    assert derived == fixed
+
+
+def test_semantic_dedup_params_byte_derived(spark, sf_dir):
+    """n_cells tracks corpus bytes (cells ~ cell_target rows) and clamps at
+    the centroid-literal seam; non-file sources fall back to a count."""
+    from educational_vector_database_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = D.semantic_dedup_params(emb, cell_target=100)
+    n = emb.count()
+    assert p["blocks_per_cell"] is None and p["row_cap"] == 100
+    # byte-derived estimate lands within 3x of rows/target either way
+    assert max(2, n // 300) <= p["n_cells"] <= max(2, (3 * n) // 100)
+    assert p["n_cells"] <= 256
+    # in-memory frame: count fallback, exact
+    mem = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    assert D.semantic_dedup_params(mem, cell_target=10)["n_cells"] == 5

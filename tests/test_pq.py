@@ -379,3 +379,53 @@ def test_knn_join_ivfpq_matches_single_query_path(spark, sf_dir):
             ).collect()
         ]
         assert by_q[qid] == single, qid
+
+
+def test_ivfpq_ensure_update_plus_append_rebuilds(spark, sf_dir):
+    """ADVICE r6 (medium): id-membership/count alone would classify
+    'in-place vector updates AND appends' as a pure append and keep STALE
+    PQ codes serving queries (codes no longer matching the vectors used
+    for exact rerank); the (id, vector) fingerprint over the kept overlap
+    must force build() instead."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = e.filter("vec_id < 150")
+    idx = PQ.IVFPQIndex(n_cells=4, seed=7).build(base)
+    mutated = e.filter("vec_id < 180").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (x * F.lit(-1.0)).cast("float")),
+    )
+    idx.ensure(mutated)  # 150 overlapping ids rewritten in place + 30 appended
+    assert idx._indexed_rows == mutated.count()
+    # the codes now encode the MUTATED vectors: re-encoding the mutated
+    # corpus with the index's (retrained) params reproduces them exactly
+    want = {
+        (r.vec_id, r.centroid_id, r.pq_code)
+        for r in PQ.ivfpq_encode(
+            mutated, idx._centroids, idx._codebooks
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.centroid_id, r.pq_code) for r in idx._codes.collect()
+    }
+    assert got == want
+    # and the scalar fingerprint tracks the new corpus: a subsequent pure
+    # append IS folded in (no spurious rebuild), fingerprint updated by xor
+    from educational_vector_database_spark.operators.ann import (
+        corpus_fingerprint,
+    )
+
+    fp_before = idx._corpus_fp
+    assert fp_before == corpus_fingerprint(mutated)
+    grown = e.filter("vec_id < 200").withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") < 180,
+            F.transform("embedding", lambda x: (x * F.lit(-1.0)).cast("float")),
+        ).otherwise(F.col("embedding")),
+    )
+    cents_before = idx._centroids
+    idx.ensure(grown)
+    assert idx._indexed_rows == grown.count()
+    assert idx._centroids is cents_before  # fold-in, not a rebuild
+    assert idx._corpus_fp == corpus_fingerprint(grown)
+    idx.invalidate()

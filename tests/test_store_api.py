@@ -316,3 +316,34 @@ def test_reap_scratch_age_gated(tmp_path, monkeypatch):
     assert fresh.exists()              # fresh same-prefix: untouched
     assert other.exists()              # other prefix: untouched
     assert not os.path.exists(p)       # allocation returns a name only
+
+
+def test_index_type_survives_save_load(spark, tmp_path):
+    """ADVICE r6 (low): index_type is part of the persisted config — a DB
+    constructed with index_type='graph' but saved BEFORE any search must
+    reload as 'graph', and a stray index dir from another family must not
+    override the configured type."""
+    db = VectorDB(spark, dim=2, use_approx=True, index_type="graph")
+    db.add_vectors(
+        spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.7, 0.7])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    path = str(tmp_path / "typed_store")
+    db.save(path)  # no search ran: no index dir exists yet
+    loaded = VectorDB.load(spark, path)
+    assert loaded.index_type == "graph"
+
+    # legacy sidecar (no index_type field): dir-based inference still applies
+    import json
+    import os
+
+    cfg_file = os.path.join(path, "_evdb_config.json")
+    with open(cfg_file, encoding="utf-8") as f:
+        raw = json.load(f)
+    raw.pop("index_type")
+    with open(cfg_file, "w", encoding="utf-8") as f:
+        json.dump(raw, f)
+    legacy = VectorDB.load(spark, path)
+    assert legacy.index_type == "ivf"  # no index dirs -> historical default
