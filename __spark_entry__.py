@@ -849,12 +849,14 @@ def _dedup_spans_oracle() -> str:
                    ' ') AS shingle
         FROM norm, unnest(range(0, greatest(len(w) - {k} + 1, 0))) AS t(i)
     ),
-    caps AS (SELECT shingle FROM sh
-             GROUP BY shingle HAVING count(*) <= {SPAN_MAX_POSTING}),
+    shc AS (
+        SELECT doc_id, pos, shingle FROM sh
+        QUALIFY dense_rank() OVER (PARTITION BY shingle ORDER BY doc_id)
+                <= {SPAN_MAX_POSTING}
+    ),
     m AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS ia, b.pos AS jb
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        WHERE a.shingle IN (SELECT shingle FROM caps)
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ),
     runs AS (
         SELECT id_a, id_b, ia - jb AS d, ia,
@@ -906,12 +908,14 @@ def _docs_span_mask_oracle() -> str:
                    ' ') AS shingle
         FROM norm, unnest(range(0, greatest(len(w) - {k} + 1, 0))) AS t(i)
     ),
-    caps AS (SELECT shingle FROM sh
-             GROUP BY shingle HAVING count(*) <= {SPAN_MAX_POSTING}),
+    shc AS (
+        SELECT doc_id, pos, shingle FROM sh
+        QUALIFY dense_rank() OVER (PARTITION BY shingle ORDER BY doc_id)
+                <= {SPAN_MAX_POSTING}
+    ),
     m AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS ia, b.pos AS jb
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        WHERE a.shingle IN (SELECT shingle FROM caps)
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ),
     runs AS (
         SELECT id_a, id_b, ia - jb AS d, ia, jb,

@@ -1058,24 +1058,57 @@ def graph_beam_search_batch(
         F.col(query_id_col).alias("qid"), V.as_double(query_vec_col).alias("qv")
     )
     nodes = df.select(F.col(id_col).alias("id"), V.as_double(vector_col).alias("nv"))
-    edges = graph.select("src", "dst")
     entries = [int(x) for x in entry_ids]
+    seed = q.select("qid").crossJoin(
+        nodes.select("id").filter(F.col("id").isin(entries))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    visited = _beam_visited_batch(
+        q, nodes, graph, seed, beam, hops, m_l, checkpoint
+    )
+    return (
+        visited.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .select(
+            F.col("qid").alias(query_id_col), F.col("id").alias(id_col), "score"
+        )
+    )
+
+
+def _beam_visited_batch(
+    q: DataFrame,
+    nodes: DataFrame,
+    graph: DataFrame,
+    seed: DataFrame,
+    beam: int,
+    hops: int,
+    metric: str,
+    checkpoint: bool,
+) -> DataFrame:
+    """The batched walk recurrence shared by :func:`graph_beam_search_batch`
+    and the batched two-level walk. ``seed`` is an unscored ``(qid, id)``
+    frame; state is keyed by (query, node); each hop is ONE equi-join of
+    the combined frontier against the edge list + one per-query window —
+    job count O(hops), never O(queries·hops). Returns everything visited,
+    scored."""
+    from pyspark.sql import Window
+
+    edges = graph.select("src", "dst")
 
     def score(cand: DataFrame) -> DataFrame:
         return (
             cand.join(nodes, "id")
             .join(q, "qid")
-            .select("qid", "id", V.similarity(m_l, "nv", "qv").alias("score"))
+            .select("qid", "id", V.similarity(metric, "nv", "qv").alias("score"))
         )
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.localCheckpoint() if checkpoint else df
 
-    visited = _ckpt(score(
-        q.select("qid").crossJoin(
-            nodes.select("id").filter(F.col("id").isin(entries))
-        )
-    ))
+    visited = _ckpt(score(seed))
     frontier = visited
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     for _ in range(hops):
@@ -1093,6 +1126,59 @@ def graph_beam_search_batch(
             .filter(F.col("rn") <= beam)
             .drop("rn")
         )
+    return visited
+
+
+def graph_two_level_search_batch(
+    upper_graph: DataFrame,
+    lower_graph: DataFrame,
+    df: DataFrame,
+    queries: DataFrame,
+    upper_entry_ids: Sequence[int],
+    beam_up: int = 8,
+    hops_up: int = 2,
+    n_descend: int = 4,
+    beam: int = 8,
+    hops: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    metric: str = "cosine",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Batched :func:`graph_two_level_search`: N queries descend the
+    hierarchy SIMULTANEOUSLY — upper walk, per-query top-``n_descend``
+    descent cut (one window), lower walk — with job count O(hops_up +
+    hops), never O(queries). Per-query recurrence and tie-breaks are
+    identical to the single-query function (parity-tested). Returns
+    ``(query_id, id_col, score)`` top-k per query."""
+    m_l = metric.lower()
+    if m_l not in V.SUPPORTED_METRICS:
+        raise ValueError(f"Unknown metric: {metric!r}. Supported: {V.SUPPORTED_METRICS}")
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), V.as_double(query_vec_col).alias("qv")
+    )
+    nodes = df.select(F.col(id_col).alias("id"), V.as_double(vector_col).alias("nv"))
+    entries = [int(x) for x in upper_entry_ids]
+    seed_up = q.select("qid").crossJoin(
+        nodes.select("id").filter(F.col("id").isin(entries))
+    )
+    v_up = _beam_visited_batch(
+        q, nodes, upper_graph, seed_up, beam_up, hops_up, m_l, checkpoint
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    seeds = (
+        v_up.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(n_descend))
+        .select("qid", "id")
+    )
+    visited = _beam_visited_batch(
+        q, nodes, lower_graph, seeds, beam, hops, m_l, checkpoint
+    )
     return (
         visited.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)

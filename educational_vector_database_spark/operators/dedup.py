@@ -1292,6 +1292,122 @@ def _make_block_scorer(m: str, thr: float):
     return score_blocks
 
 
+def _make_block_cc_scorer(m: str, thr: float):
+    """Connectivity-preserving variant of :func:`_make_block_scorer` for
+    consumers that feed the pairs ONLY into connected components
+    (semantic_dedup): instead of emitting every matching pair, compute the
+    batch-LOCAL components of the match graph (vectorized min-label
+    propagation with pointer jumping over the GEMM score matrix) and emit
+    one STAR per component (min-id -> member). Emission per batch drops
+    from O(rows^2) to O(rows) — a 10k-copy duplicate clique emits ~20k
+    edges instead of ~50M (HOTCLUSTER_WAVE2.json) — while global CC labels
+    are BIT-IDENTICAL: every dropped edge (i, j) lies inside one batch, and
+    that batch's star connects i and j through its component's min id, so
+    the union over batches has exactly the same connected components.
+    Scoring (fold order, unit-normalize, threshold) is byte-for-byte the
+    shared kernel's."""
+
+    def cc_blocks(batches):
+        import numpy as np
+        import pandas as pd
+
+        def unpack(rows):
+            ids = np.fromiter((r["id"] for r in rows), dtype=np.int64, count=len(rows))
+            mat = np.array([r["v"] for r in rows], dtype=np.float64)
+            return ids, mat
+
+        def unit(mat):
+            sq = np.zeros(len(mat))
+            for i in range(mat.shape[1]):  # exact fold order
+                sq = sq + mat[:, i] * mat[:, i]
+            sq[sq == 0.0] = 1.0
+            return mat / np.sqrt(sq)[:, None]
+
+        def stars(ids, M):
+            """Star edges per local component of the symmetric bool matrix
+            ``M`` over node array ``ids`` (self-matches must be False)."""
+            n = len(ids)
+            lab = np.arange(n)
+            big = n  # sentinel larger than any label
+            while True:
+                nb = np.where(M, lab[None, :], big).min(axis=1)
+                new = np.minimum(lab, nb)
+                new = new[new]  # pointer jumping: O(log n) convergence
+                if np.array_equal(new, lab):
+                    break
+                lab = new
+            # per-component min GLOBAL id as the hub
+            order = np.lexsort((ids, lab))
+            lab_sorted = lab[order]
+            first = np.ones(n, bool)
+            first[1:] = lab_sorted[1:] != lab_sorted[:-1]
+            hub_of = np.zeros(n, dtype=np.int64)
+            hub_of[lab_sorted] = ids[order][np.maximum.accumulate(
+                np.where(first, np.arange(n), 0))]
+            matched = M.any(axis=1)
+            src = hub_of[lab]
+            keep = matched & (ids != src)
+            pa, pb = src[keep], ids[keep]
+            flip = pa > pb
+            pa2 = np.where(flip, pb, pa)
+            pb2 = np.where(flip, pa, pb)
+            return pa2, pb2
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for same, ra, rb in zip(pdf["same"], pdf["rows_a"], pdf["rows_b"]):
+                ids_a, A = unpack(ra)
+                if same:
+                    if m == "cosine":
+                        A = unit(A)
+                    acc = np.zeros((len(A), len(A)))
+                    for i in range(A.shape[1]):
+                        if m == "euclidean":
+                            d = np.subtract.outer(A[:, i], A[:, i])
+                            acc = acc + d * d
+                        else:
+                            acc = acc + np.multiply.outer(A[:, i], A[:, i])
+                    score = (
+                        1.0 / (1.0 + np.sqrt(acc)) if m == "euclidean" else acc
+                    )
+                    M = score >= thr
+                    np.fill_diagonal(M, False)
+                    pa, pb = stars(ids_a, M)
+                else:
+                    ids_b, B = unpack(rb)
+                    if m == "cosine":
+                        A2, B2 = unit(A), unit(B)
+                    else:
+                        A2, B2 = A, B
+                    acc = np.zeros((len(A2), len(B2)))
+                    for i in range(A2.shape[1]):
+                        if m == "euclidean":
+                            d = np.subtract.outer(A2[:, i], B2[:, i])
+                            acc = acc + d * d
+                        else:
+                            acc = acc + np.multiply.outer(A2[:, i], B2[:, i])
+                    score = (
+                        1.0 / (1.0 + np.sqrt(acc)) if m == "euclidean" else acc
+                    )
+                    Mb = score >= thr
+                    na, nb_ = len(ids_a), len(ids_b)
+                    ids = np.concatenate([ids_a, ids_b])
+                    M = np.zeros((na + nb_, na + nb_), bool)
+                    M[:na, na:] = Mb
+                    M[na:, :na] = Mb.T
+                    pa, pb = stars(ids, M)
+                out_a.append(pa)
+                out_b.append(pb)
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+                    "id_b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+                }
+            )
+
+    return cc_blocks
+
+
 def embedding_near_dup_bucketed(
     df: DataFrame,
     planes: Sequence[Sequence[float]],
@@ -1481,9 +1597,13 @@ def semantic_dedup(
             F.col("a.rows").alias("rows_a"),
             F.col("b.rows").alias("rows_b"),
         )
+        # pairs feed ONLY connected components here, so the kernel emits a
+        # spanning STAR per batch-local component instead of every matching
+        # pair — O(rows) emission at any clique size, bit-identical labels
+        # (see _make_block_cc_scorer; rehearsed in HOTCLUSTER_WAVE2.json)
         .mapInPandas(
-            _make_block_scorer("cosine", float(eps)),
-            "id_a long, id_b long, score double",
+            _make_block_cc_scorer("cosine", float(eps)),
+            "id_a long, id_b long",
         )
     )
     comp = connected_components(pairs)
@@ -1541,13 +1661,19 @@ def _span_islands(
             .alias("sig"),
         )
     )
-    ok = (
-        sh.groupBy("sig")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") <= max_posting)
-        .select("sig")
+    # Posting cap with the minhash discipline (keep the ``max_posting``
+    # LOWEST-id docs per shingle, ALL their positions) instead of dropping
+    # the whole over-cap bucket: a 10k-copy duplicate flood (ids always
+    # append-monotone, so floods arrive HIGH) then cannot evict the
+    # earlier copies' postings — base-corpus pairs and masks are
+    # bit-invariant to the flood (rehearsed in HOTCLUSTER_WAVE2.json).
+    # dense_rank ranks DISTINCT ids, so a kept doc keeps every position.
+    w_sig = Window.partitionBy("sig").orderBy("id")
+    capped = (
+        sh.withColumn("_dr", F.dense_rank().over(w_sig))
+        .filter(F.col("_dr") <= max_posting)
+        .drop("_dr")
     )
-    capped = sh.join(ok, "sig")
     m = (
         capped.alias("a")
         .join(
@@ -1605,9 +1731,12 @@ def shared_span_pairs(
 
     Scale shape (100 TB): shingling is a scan-side Generate; the ONLY join
     is an equi-join on an 8-byte fingerprint with the same ``max_posting``
-    discipline as minhash (a shingle in more docs than the cap carries
-    boilerplate, not identity — at this granularity dropped hot shingles
-    cost span SPLITS, never false positives); the islands window partitions
+    discipline as minhash — an over-cap shingle keeps its ``max_posting``
+    LOWEST-id docs (all positions), so a duplicate flood (append-monotone
+    ids arrive high) cannot evict earlier copies' postings: base-corpus
+    pairs are bit-invariant to the flood (HOTCLUSTER_WAVE2.json) and
+    recall degrades only on the flood itself, never as false positives or
+    span splits in the kept docs; the islands window partitions
     by (pair, diagonal) — bounded by document length, never corpus-sized;
     the final aggregate is keyed on the pair ids. No cross join, no global
     window, no driver loop."""

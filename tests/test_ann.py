@@ -799,3 +799,36 @@ def test_two_level_search_descends_to_exact_neighbor(spark, sf_dir):
     ]
     ug.unpersist()
     lg.unpersist()
+
+
+def test_two_level_batch_matches_single(spark, sf_dir):
+    """Batched two-level descent must reproduce the single-query recurrence
+    exactly per query (same protocol as the knn_join_graph parity test)."""
+    e = _emb(spark, sf_dir)
+    ps = [A.hyperplanes(64, n_planes=3, seed=A.LSH_SEED + r) for r in range(4)]
+    up = A.upper_layer(e, 8)
+    ug = A.knn_graph(up, ps, m=8).persist()
+    lg = A.knn_graph(e, ps, m=8).persist()
+    hubs = A.graph_hub_entries(ug, 4)
+    qids = [3, 7, 11]
+    queries = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = A.graph_two_level_search_batch(
+        ug, lg, e, queries, hubs,
+        beam_up=8, hops_up=2, n_descend=4, beam=8, hops=2, k=5,
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r.query_id, []).append((r.vec_id, round(r.score, 9)))
+    for qid in qids:
+        qv = e.filter(F.col("vec_id") == qid).head().embedding
+        single = A.graph_two_level_search(
+            ug, lg, e, qv, hubs,
+            beam_up=8, hops_up=2, n_descend=4, beam=8, hops=2, k=5,
+        ).collect()
+        assert sorted(got[qid]) == sorted(
+            (r.vec_id, round(r.score, 9)) for r in single
+        ), f"batch/single mismatch for query {qid}"
+    ug.unpersist()
+    lg.unpersist()

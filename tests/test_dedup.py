@@ -493,22 +493,39 @@ def test_shared_span_pairs_splits_on_mutation(spark):
     assert r.longest_span == 30 and r.n_spans == 2
 
 
-def test_shared_span_pairs_posting_cap_drops_boilerplate(spark):
-    """A shingle present in more docs than the cap generates no matches —
-    degradation is a dropped span, never a false positive."""
+def test_shared_span_pairs_posting_cap_keeps_lowest_ids(spark):
+    """Round-7 cap discipline (minhash's): an over-cap shingle keeps its
+    ``max_posting`` LOWEST-id docs instead of dropping the whole posting —
+    so earlier copies' pairs survive a high-id duplicate flood unchanged
+    (never a false positive; recall loss lands on the flood only)."""
     block = " ".join(f"b{i}" for i in range(24))
     docs = [(i, f"pre{i} " + block + f" post{i}") for i in range(6)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    # every shingle of the block appears in 6 docs; cap at 5 kills them all
+    # every shingle of the block appears in 6 docs; cap 5 keeps docs 0-4:
+    # all C(5,2)=10 pairs among them, none involving the evicted doc 5
     out = D.shared_span_pairs(
         df, shingle_tokens=8, min_span_tokens=24, max_posting=5
     ).collect()
-    assert out == []
+    assert len(out) == 10 and all(r.longest_span == 24 for r in out)
+    assert all(r.id_a < 5 and r.id_b < 5 for r in out)
     # raising the cap restores all 15 pairs
     out2 = D.shared_span_pairs(
         df, shingle_tokens=8, min_span_tokens=24, max_posting=50
     ).collect()
     assert len(out2) == 15 and all(r.longest_span == 24 for r in out2)
+    # flood invariance: pairs among docs 0-4 identical with/without a
+    # 200-copy high-id flood of the same block
+    flood = [(1000 + i, block) for i in range(200)]
+    df2 = spark.createDataFrame(docs + flood, "doc_id long, text string")
+    base = {(r.id_a, r.id_b, r.longest_span, r.n_spans) for r in out}
+    flooded = {
+        (r.id_a, r.id_b, r.longest_span, r.n_spans)
+        for r in D.shared_span_pairs(
+            df2, shingle_tokens=8, min_span_tokens=24, max_posting=5
+        ).collect()
+        if r.id_a < 1000 and r.id_b < 1000
+    }
+    assert flooded == base
 
 
 def test_span_mask_stats_interval_union(spark):
@@ -601,3 +618,60 @@ def test_semantic_dedup_params_byte_derived(spark, sf_dir):
         "vec_id long, embedding array<double>",
     )
     assert D.semantic_dedup_params(mem, cell_target=10)["n_cells"] == 5
+
+
+def test_cc_star_kernel_labels_match_full_pair_kernel(spark, sf_dir):
+    """The star-emitting CC kernel (semantic_dedup's pair source) must
+    yield bit-identical cluster labels to the full-pair kernel feeding the
+    same connected_components — on real data AND under forced multi-block
+    salting, where connectivity must survive per-batch thinning across
+    block-pair batches."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(400)
+    cents = [r.embedding for r in emb.orderBy("vec_id").limit(4).collect()]
+    for row_cap in (4096, 50):  # 50 forces ~8 blocks -> 36 cross batches
+        out_star = {
+            (int(r.vec_id)): (int(r.cluster_id), bool(r.keep))
+            for r in D.semantic_dedup(
+                emb, cents, eps=0.45, row_cap=row_cap
+            ).collect()
+        }
+        # reference: full-pair scorer -> same CC (the pre-round-7 path)
+        from educational_vector_database_spark.functions import vector as V
+        from educational_vector_database_spark.operators.ann import _salted_pack
+
+        assigned = (
+            emb.select(
+                F.col("vec_id").alias("id"), V.as_double("embedding").alias("v")
+            )
+        )
+        best = F.array_min(F.array(*[
+            F.struct(
+                V.euclidean_distance(F.col("v"), V.vector_literal(list(c))).alias("d"),
+                F.lit(i).cast("int").alias("cid"),
+            ) for i, c in enumerate(cents)
+        ]))["cid"]
+        assigned = assigned.withColumn("centroid_id", best)
+        packed = _salted_pack(
+            assigned.select("id", "v", "centroid_id"),
+            ["centroid_id"], None, row_cap,
+        )
+        pairs = (
+            packed.alias("a").join(
+                packed.alias("b"),
+                (F.col("a.centroid_id") == F.col("b.centroid_id"))
+                & (F.col("a.blk") <= F.col("b.blk")),
+            ).select(
+                (F.col("a.blk") == F.col("b.blk")).alias("same"),
+                F.col("a.rows").alias("rows_a"),
+                F.col("b.rows").alias("rows_b"),
+            ).mapInPandas(
+                D._make_block_scorer("cosine", 0.45),
+                "id_a long, id_b long, score double",
+            )
+        )
+        comp = {int(r.id): int(r.cluster_id)
+                for r in D.connected_components(pairs).collect()}
+        for vid, (cid, _) in out_star.items():
+            assert comp.get(vid, vid) == cid, (
+                f"row_cap={row_cap}: star kernel label {cid} != "
+                f"full-pair label {comp.get(vid, vid)} for {vid}")
