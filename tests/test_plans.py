@@ -458,4 +458,7 @@ def test_dedup_spans_equi_join_bounded_windows(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
-        assert "id_a" in spec and "id_b" in spec, spec
+        # two legitimate bounded windows: the islands run-detection
+        # (per (pair, diagonal)) and the round-7 posting-cap dense_rank
+        # (per shingle fingerprint — minhash's keep-lowest discipline)
+        assert ("id_a" in spec and "id_b" in spec) or "sig" in spec, spec

@@ -1,21 +1,26 @@
 """Two-level coarse-to-fine graph serving at sf10 (200k x 64) — the
-hierarchy-vs-degree measurement (VERDICT r6 What's-missing #2 done
-criterion: beat the flat graph at equal recall or equal cost).
+hierarchy-vs-degree measurement (VERDICT r6 What's-missing #2).
 
 The flat graph at n=200k needs m=64 / beam=128 / hops=9 (the degree law:
-m doubles per 10x corpus — GRAPH_SERVING_SF10_IID.json: 12.8M edges,
-build 191.5s, batch walk 81.4s, recall@10 0.98). The two-level design
-keeps m CONSTANT at 16 on BOTH layers and buys navigability from the
-hierarchy instead: an upper graph over a deterministic ~1/16 hash sample
-(12.5k nodes) walks the query near its neighborhood, then a SHORT lower
-walk refines on the full graph. Edge storage: 200k*16 + 12.5k*16 = 3.4M
-edges vs the flat 12.8M (3.8x smaller), and every walk hop expands m=16
-edges per frontier node instead of 64.
+m doubles per 10x corpus). The two-level design builds an upper graph
+over a deterministic ~1/16 hash sample (12.5k nodes), walks it from hub
+entries, and descends into the full graph — entry quality from the
+hierarchy instead of from degree.
 
-Writes TWO_LEVEL_SF10.json with the measured build/walk/recall and the
-flat-graph reference numbers alongside.
+Measured results (BASELINE.md round-7 table): at EQUAL edge budget
+(m=32/32, ~6.8M edges vs flat m=32's 6.4M) recall parity on iid data
+(0.923 vs 0.918) and within 0.06 of the law-degree flat graph at HALF
+its edges; on the duplicate-heavy clone corpus the hierarchy scores 0.89
+where EVERY flat degree scores ~0 (hub entries collapse into clone
+clusters; the hash-sampled upper layer thins them and stays navigable).
+Wall-clock on this host is contention-noisy (identical configs 68-186 s)
+— recall and structural cost carry the claims.
 
-Usage: python tools/two_level_sf10.py [--dir /tmp/sf10] [--n-queries 256]
+Writes TWO_LEVEL_SF10.json (or --out) with the measured
+build/walk/recall and the flat-graph reference numbers alongside.
+
+Usage: python tools/two_level_sf10.py [--dir /tmp/graph_sf10_iid]
+       [--m-lower 32] [--m-upper 32] [--hops-up 4] [--hops 8] ...
 """
 
 from __future__ import annotations
@@ -45,7 +50,6 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 from educational_vector_database_spark.operators import ann as A  # noqa: E402
 from educational_vector_database_spark.operators import knn as K  # noqa: E402
 
-M = 16  # constant degree, BOTH layers — the point of the hierarchy
 LEVEL_MULT = 16
 
 
@@ -54,6 +58,8 @@ def main() -> int:
     ap.add_argument("--dir", default="/tmp/sf10")
     ap.add_argument("--n-queries", type=int, default=256)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--m-lower", type=int, default=32)
+    ap.add_argument("--m-upper", type=int, default=16)
     ap.add_argument("--beam-up", type=int, default=64)
     ap.add_argument("--hops-up", type=int, default=6)
     ap.add_argument("--n-descend", type=int, default=16)
@@ -90,14 +96,14 @@ def main() -> int:
     t0 = time.monotonic()
     upper = A.upper_layer(corpus, LEVEL_MULT).persist()
     n_up = upper.count()
-    ug = A.knn_graph(upper, plane_sets_for(n_up), m=M).persist()
+    ug = A.knn_graph(upper, plane_sets_for(n_up), m=a.m_upper).persist()
     n_up_edges = ug.count()
     up_build_s = time.monotonic() - t0
     print(f"upper: {n_up} nodes, {n_up_edges} edges in {up_build_s:.1f}s",
           flush=True)
 
     t0 = time.monotonic()
-    lg = A.knn_graph(corpus, plane_sets_for(n), m=M).persist()
+    lg = A.knn_graph(corpus, plane_sets_for(n), m=a.m_lower).persist()
     n_lo_edges = lg.count()
     lo_build_s = time.monotonic() - t0
     print(f"lower: {n_lo_edges} edges in {lo_build_s:.1f}s", flush=True)
@@ -147,7 +153,8 @@ def main() -> int:
         "n_queries": nq,
         "k": a.k,
         "two_level": {
-            "m": M, "level_mult": LEVEL_MULT,
+            "m_lower": a.m_lower, "m_upper": a.m_upper,
+            "level_mult": LEVEL_MULT,
             "upper_nodes": n_up, "upper_edges": n_up_edges,
             "lower_edges": n_lo_edges,
             "total_edges": n_up_edges + n_lo_edges,
