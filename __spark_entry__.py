@@ -6418,6 +6418,43 @@ def _knn_graph_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", "score")
 
 
+def _knn_two_level_disk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoLevelGraphIndex lifecycle under gate (the hierarchy analog of
+    knn_graph_disk_roundtrip): build BOTH layers via the index
+    orchestration, SAVE (two edge-list dirs + meta sidecar), drop
+    in-memory state, LOAD, and run the coarse-to-fine walk off the loaded
+    tables from the loaded upper graph's hub entries. The oracle is the
+    full two-level replica, so save/load losslessness of the whole
+    hierarchy (both graphs + hub derivation + descent) hash-checks as one
+    row set."""
+    e = _emb(spark, sf_dir)
+    idx = A.TwoLevelGraphIndex(
+        level_mult=TL_MULT, m_lower=GRAPH_M, m_upper=GRAPH_M,
+        n_plane_sets=GRAPH_R, n_planes=4, seed=A.LSH_SEED, salt=TL_SALT,
+    ).build(e)
+    path = _reap_scratch("evdb_two_level_disk_")
+    idx.save(path)
+    idx.invalidate()
+    loaded = A.TwoLevelGraphIndex.load(spark, path)
+    layout_ok = os.path.exists(os.path.join(path, A.TwoLevelGraphIndex.META))
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    res = loaded.query(
+        e, qv, k=TOP_K,
+        beam_up=GRAPH_BEAM, hops_up=GRAPH_HOPS, n_descend=TL_DESCEND,
+        beam=GRAPH_BEAM, hops=TL_HOPS_DOWN, n_entries=4, assume_fresh=True,
+    )
+    return res.select("vec_id", "score").withColumn(
+        "layout_ok", F.lit(bool(layout_ok))
+    )
+
+
+def _knn_two_level_disk_roundtrip_oracle() -> str:
+    return f"""
+    SELECT vec_id, score, TRUE AS layout_ok
+    FROM ({_knn_graph_two_level_oracle()})
+"""
+
+
 def _knn_graph_two_level_oracle() -> str:
     hub = """SELECT dst AS entry_id FROM graph_up
              GROUP BY dst ORDER BY count(*) DESC, dst ASC LIMIT 4"""
@@ -9105,6 +9142,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
         "knn_ivf_hamming": _knn_ivf_hamming,
+        # knn_two_level_disk_roundtrip stays PAST the window under the
+        # knn_ivf_hamming precedent: a lifecycle composition whose parts
+        # are all gated (the two-level walk via the in-window
+        # knn_graph_two_level; the save/load+hub lifecycle pattern via the
+        # in-window knn_graph_disk_roundtrip §2 N5); check_oracle-covered
+        # at three scales.
+        "knn_two_level_disk_roundtrip": _knn_two_level_disk_roundtrip,
         "knn_graph_recall": _knn_graph_recall,
         "docs_span_mask": _docs_span_mask,
         "knn_ivf_filtered": _knn_ivf_filtered,
@@ -9508,6 +9552,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_beam": _knn_graph_beam_oracle(),
         "knn_graph_beam_centroids": _knn_graph_beam_centroids_oracle(),
         "knn_graph_two_level": _knn_graph_two_level_oracle(),
+        "knn_two_level_disk_roundtrip": _knn_two_level_disk_roundtrip_oracle(),
         "knn_graph_recall": _knn_graph_recall_oracle(),
         "knn_graph_incremental": _knn_graph_incremental_oracle(),
         "knn_join_graph": _knn_join_graph_oracle(),

@@ -221,6 +221,7 @@ HEADLINE = [
     # rows were invisible, VERDICT r6 next-round #5). Stream rows time the
     # full availableNow drain incl. checkpoint setup — coarse, but anchored.
     "knn_graph_two_level",
+    "knn_two_level_disk_roundtrip",
     "stream_ingest_chunks",
     "stream_events_tumbling",
     "stream_events_dedup",

@@ -1587,6 +1587,148 @@ class GraphIndex:
         return idx
 
 
+class TwoLevelGraphIndex:
+    """Cached two-level (coarse-to-fine) graph index — the HNSW hierarchy
+    (reference src/vectordb/ann.py:21-65 via hnswlib: layered graphs,
+    geometric level assignment, descend-then-refine ``knn_query``) as a
+    COMPOSITION of two :class:`GraphIndex` layers: the lower layer over the
+    full corpus, the upper over the deterministic :func:`upper_layer`
+    md5-hash sample (~1/level_mult of the rows — upper nodes ARE corpus
+    nodes, exactly hnswlib's membership rule). Lifecycle verbs mirror the
+    reference's lazy orchestration: ``ensure`` reconciles EACH layer
+    independently through GraphIndex.ensure (pure append -> one-sided
+    fold-in per layer, where the upper delta is ``upper_layer(delta)`` —
+    the hash predicate is stable, so a corpus append can only APPEND to
+    the upper layer; content drift -> that layer rebuilds); ``query``
+    walks upper-hub entries -> descent -> short lower walk
+    (:func:`graph_two_level_search`). Serving rationale: BASELINE.md
+    round-7 table — recall parity with the flat graph at equal edge
+    budget on iid data, 0.89-vs-0.000 on the duplicate-heavy clone
+    corpus, half the law-degree edge storage."""
+
+    META = "_two_level_meta.json"
+
+    def __init__(
+        self,
+        level_mult: int = 16,
+        m_lower: int = 16,
+        m_upper: int = 16,
+        n_plane_sets: int = 4,
+        n_planes: int = 4,
+        metric: str = "cosine",
+        id_col: str = "vec_id",
+        vector_col: str = "embedding",
+        seed: int = LSH_SEED,
+        salt: str = "hnsw_upper",
+        row_cap: int = 4096,
+    ):
+        self.level_mult = int(level_mult)
+        self.salt = salt
+        kw = dict(
+            n_plane_sets=n_plane_sets, n_planes=n_planes, metric=metric,
+            id_col=id_col, vector_col=vector_col, seed=seed, row_cap=row_cap,
+        )
+        self.lower = GraphIndex(m=m_lower, **kw)
+        self.upper = GraphIndex(m=m_upper, **kw)
+        self.id_col = id_col
+        self.vector_col = vector_col
+        self.metric = metric
+
+    def _upper_df(self, df: DataFrame) -> DataFrame:
+        return upper_layer(
+            df, self.level_mult, id_col=self.id_col, salt=self.salt
+        )
+
+    def build(self, df: DataFrame) -> "TwoLevelGraphIndex":
+        self.lower.build(df)
+        self.upper.build(self._upper_df(df))
+        return self
+
+    def invalidate(self) -> None:
+        self.lower.invalidate()
+        self.upper.invalidate()
+
+    def is_stale(self, df: DataFrame) -> bool:
+        return self.lower.is_stale(df) or self.upper.is_stale(
+            self._upper_df(df)
+        )
+
+    def ensure(self, df: DataFrame) -> "TwoLevelGraphIndex":
+        self.lower.ensure(df)
+        self.upper.ensure(self._upper_df(df))
+        return self
+
+    def query(
+        self,
+        df: DataFrame,
+        query_vector: Sequence[float],
+        k: int = 5,
+        beam_up: int | None = None,
+        hops_up: int | None = None,
+        n_descend: int = 4,
+        beam: int | None = None,
+        hops: int | None = None,
+        n_entries: int = 4,
+        assume_fresh: bool = False,
+    ) -> DataFrame:
+        if not assume_fresh or self.lower._edges is None:
+            self.ensure(df)
+        p_up = graph_params_for(max(2, self.upper._indexed_rows))
+        p_lo = graph_params_for(max(2, self.lower._indexed_rows))
+        return graph_two_level_search(
+            self.upper._edges,
+            self.lower._edges,
+            df,
+            query_vector,
+            self.upper.entries(n_entries),
+            beam_up=beam_up if beam_up is not None else p_up["beam"],
+            hops_up=hops_up if hops_up is not None else p_up["hops"],
+            n_descend=n_descend,
+            beam=beam if beam is not None else p_lo["beam"],
+            # seeds start NEAR the query, so the lower walk refines with
+            # roughly half the flat walk's hop budget
+            hops=hops if hops is not None else max(2, p_lo["hops"] // 2),
+            k=k,
+            id_col=self.id_col,
+            vector_col=self.vector_col,
+            metric=self.metric,
+        )
+
+    def save(self, path: str) -> "TwoLevelGraphIndex":
+        if self.lower._edges is None or self.upper._edges is None:
+            raise ValueError("index not built; call build()/ensure() first")
+        os.makedirs(path, exist_ok=True)
+        self.lower.save(os.path.join(path, "_lower"))
+        self.upper.save(os.path.join(path, "_upper"))
+        meta = {"level_mult": self.level_mult, "salt": self.salt}
+        with open(os.path.join(path, self.META), "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+        return self
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "TwoLevelGraphIndex":
+        with open(os.path.join(path, cls.META), encoding="utf-8") as f:
+            meta = json.load(f)
+        lower = GraphIndex.load(spark, os.path.join(path, "_lower"))
+        upper = GraphIndex.load(spark, os.path.join(path, "_upper"))
+        idx = cls(
+            level_mult=int(meta["level_mult"]),
+            m_lower=lower.m,
+            m_upper=upper.m,
+            n_plane_sets=lower.n_plane_sets,
+            n_planes=lower.n_planes,
+            metric=lower.metric,
+            id_col=lower.id_col,
+            vector_col=lower.vector_col,
+            seed=lower.seed,
+            salt=meta.get("salt", "hnsw_upper"),
+            row_cap=lower.row_cap,
+        )
+        idx.lower = lower
+        idx.upper = upper
+        return idx
+
+
 def ann_distance_to_similarity(dist: Column, metric: str = "euclidean") -> Column:
     """Distance→similarity conversion for ANN results (≙ reference
     src/vectordb/api.py:81-91 ``_convert_ann_distances_to_similarity``):

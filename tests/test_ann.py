@@ -832,3 +832,39 @@ def test_two_level_batch_matches_single(spark, sf_dir):
         ), f"batch/single mismatch for query {qid}"
     ug.unpersist()
     lg.unpersist()
+
+
+def test_two_level_index_lifecycle(spark, sf_dir, tmp_path):
+    """TwoLevelGraphIndex: build both layers; pure append folds into BOTH
+    (upper delta = hash-sampled slice of the corpus delta, bit-equal to a
+    fresh build); update+append forces rebuild via the per-layer content
+    fingerprints; save/load roundtrips losslessly."""
+    e = _emb(spark, sf_dir)
+    base = e.filter("vec_id < 300")
+    idx = A.TwoLevelGraphIndex(
+        level_mult=4, m_lower=6, m_upper=6, n_plane_sets=2, n_planes=3
+    ).build(base)
+    assert idx.lower._indexed_rows == 300
+    assert idx.upper._indexed_rows == A.upper_layer(base, 4).count()
+    # pure append folds both layers, bit-equal to fresh builds
+    idx.ensure(e)
+    fresh = A.TwoLevelGraphIndex(
+        level_mult=4, m_lower=6, m_upper=6, n_plane_sets=2, n_planes=3
+    ).build(e)
+    for layer in ("lower", "upper"):
+        got = {(r.src, r.dst) for r in getattr(idx, layer)._edges.collect()}
+        want = {(r.src, r.dst) for r in getattr(fresh, layer)._edges.collect()}
+        assert got == want, f"{layer} fold-in != fresh build"
+    # save/load roundtrip: identical walk result
+    path = str(tmp_path / "tl_idx")
+    idx.save(path)
+    qv = e.filter("vec_id = 7").head().embedding
+    before = [(r.vec_id, round(r.score, 9)) for r in idx.query(
+        e, qv, k=5, n_descend=4, assume_fresh=True).collect()]
+    idx.invalidate()
+    loaded = A.TwoLevelGraphIndex.load(spark, path)
+    after = [(r.vec_id, round(r.score, 9)) for r in loaded.query(
+        e, qv, k=5, n_descend=4, assume_fresh=True).collect()]
+    assert before == after
+    fresh.invalidate()
+    loaded.invalidate()
