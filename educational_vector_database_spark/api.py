@@ -51,9 +51,10 @@ class VectorDB:
     ):
         if metric.lower() not in V.SUPPORTED_METRICS:
             raise ValueError(f"Unknown metric: {metric!r}")
-        if index_type not in ("ivf", "graph", "ivfpq"):
+        if index_type not in ("ivf", "graph", "ivfpq", "two_level"):
             raise ValueError(
-                f"Unknown index_type: {index_type!r} (ivf|graph|ivfpq)"
+                f"Unknown index_type: {index_type!r} "
+                "(ivf|graph|ivfpq|two_level)"
             )
         self.spark = spark
         self.dim = dim
@@ -69,11 +70,15 @@ class VectorDB:
         # partition-pruning disk path), "graph" (beam walk over the k-NN
         # graph — ≙ the reference's HNSW serving, api.py:26-35 use_ann) or
         # "ivfpq" (cell-probe over 8-byte residual PQ codes + exact rerank
-        # — the compressed-index serving path)
+        # — the compressed-index serving path) or "two_level" (HNSW's
+        # layered descent: hash-sampled upper graph -> descend -> short
+        # full-graph walk; the duplicate-robust serving path, BASELINE.md
+        # round-7 table)
         self.index_type = index_type
         self._ivf = None
         self._graph = None
         self._ivfpq = None
+        self._two_level = None
         self._n_cells = n_cells
         self._df = df if df is not None else spark.createDataFrame(
             [], f"{id_col} bigint, {vector_col} array<double>, text string"
@@ -161,6 +166,23 @@ class VectorDB:
                 )
             self._graph.ensure(self._df)  # lazy rebuild / exact fold-in
             res = self._graph.query(
+                self._df, query_vector, k=k, assume_fresh=True
+            )
+            if extra:
+                res = res.join(
+                    self._df.select(self.id_col, *extra), self.id_col, "left"
+                ).orderBy(F.desc("score"), F.asc(self.id_col))
+            return res
+        if self.use_approx and self.index_type == "two_level":
+            from .operators.ann import TwoLevelGraphIndex
+
+            if self._two_level is None:
+                self._two_level = TwoLevelGraphIndex(
+                    metric=self.metric, vector_col=self.vector_col,
+                    id_col=self.id_col,
+                )
+            self._two_level.ensure(self._df)  # per-layer fold-in / rebuild
+            res = self._two_level.query(
                 self._df, query_vector, k=k, assume_fresh=True
             )
             if extra:
@@ -286,6 +308,11 @@ class VectorDB:
                 self._graph.save(os.path.join(path, "_graph_index"))
             if self._ivfpq is not None and self._ivfpq._codes is not None:
                 self._ivfpq.save(os.path.join(path, "_ivfpq_index"))
+            if (
+                self._two_level is not None
+                and self._two_level.lower._edges is not None
+            ):
+                self._two_level.save(os.path.join(path, "_two_level_index"))
 
     @classmethod
     def load(
@@ -335,6 +362,18 @@ class VectorDB:
                 db._graph = GraphIndex.load(spark, gidx_dir)
             except (OSError, json.JSONDecodeError, KeyError, ValueError):
                 db._graph = None  # same lazy-rebuild fallback as IVF
+        tidx_dir = os.path.join(path, "_two_level_index")
+        if (
+            cfg.use_approx
+            and index_type == "two_level"
+            and os.path.isdir(tidx_dir)
+        ):
+            from .operators.ann import TwoLevelGraphIndex
+
+            try:
+                db._two_level = TwoLevelGraphIndex.load(spark, tidx_dir)
+            except (OSError, json.JSONDecodeError, KeyError, ValueError):
+                db._two_level = None  # same lazy-rebuild fallback
         pidx_dir = os.path.join(path, "_ivfpq_index")
         if cfg.use_approx and index_type == "ivfpq" and os.path.isdir(pidx_dir):
             from .operators.pq import IVFPQIndex

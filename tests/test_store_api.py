@@ -347,3 +347,33 @@ def test_index_type_survives_save_load(spark, tmp_path):
         json.dump(raw, f)
     legacy = VectorDB.load(spark, path)
     assert legacy.index_type == "ivf"  # no index dirs -> historical default
+
+
+def test_vectordb_two_level_index_serving_and_roundtrip(spark, tmp_path):
+    """index_type="two_level": searches serve through the coarse-to-fine
+    hierarchy (both layers lazily built on first search, appends fold in
+    per layer), save() persists the two-layer index under
+    _two_level_index, and load() reattaches it with identical results."""
+    from educational_vector_database_spark.api import VectorDB
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    db = VectorDB(
+        spark, dim=64, metric="cosine", df=emb.select("vec_id", "embedding"),
+        use_approx=True, index_type="two_level",
+    )
+    qv = emb.filter("vec_id = 7").head().embedding
+    got = db.search_vector(qv, k=5).collect()
+    assert got[0].vec_id == 7 and abs(got[0].score - 1.0) < 1e-9
+    assert db._two_level is not None  # served by the hierarchy, not brute
+    path = str(tmp_path / "db_tl")
+    db.save(path)
+    import os as _os
+
+    assert _os.path.isdir(_os.path.join(path, "_two_level_index"))
+    db2 = VectorDB.load(spark, path)
+    assert db2.index_type == "two_level"
+    assert db2._two_level is not None  # reattached, no rebuild needed
+    got2 = db2.search_vector(qv, k=5).collect()
+    assert [(r.vec_id, round(r.score, 9)) for r in got] == [
+        (r.vec_id, round(r.score, 9)) for r in got2
+    ]
