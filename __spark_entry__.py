@@ -2439,6 +2439,22 @@ def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_cells_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell assignment through the BROADCAST-JOIN path (operators/ann.py
+    ivf_assign_join — the 50k-cell route that replaces centroid literals
+    with a broadcast + min(struct) partial aggregate). Same oracle as
+    ivf_cells: the two assignment paths are bit-identical by contract
+    (argmin distance, lowest-cid ties), and this row gates it."""
+    cents = _ivf_centroids(spark, sf_dir)
+    cents_df = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
+    return A.ivf_assign_join(_emb(spark, sf_dir), cents_df).select(
+        "vec_id", "centroid_id"
+    )
+
+
 IVF_QUERY_ID = 7  # not one of the centroid rows, so the probe is non-trivial
 
 
@@ -9149,6 +9165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window knn_graph_disk_roundtrip §2 N5); check_oracle-covered
         # at three scales.
         "knn_two_level_disk_roundtrip": _knn_two_level_disk_roundtrip,
+        # ivf_cells_join: the broadcast-join assignment variant of the
+        # in-window ivf_cells (§2 N2) — same oracle, gating that the
+        # 50k-cell path is bit-identical to the literal path.
+        "ivf_cells_join": _ivf_cells_join,
         "knn_graph_recall": _knn_graph_recall,
         "docs_span_mask": _docs_span_mask,
         "knn_ivf_filtered": _knn_ivf_filtered,
@@ -9461,6 +9481,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_sequences": _docs_pack_oracle(),
         "lang_id_eval": _lang_id_oracle(),
         "ivf_cells": _IVF_CELLS_ORACLE,
+        "ivf_cells_join": _IVF_CELLS_ORACLE,
         "knn_ivf": _KNN_IVF_ORACLE,
         "knn_ivf_filtered": _KNN_IVF_FILTERED_ORACLE.format(nprobe=IVF_NPROBE),
         "events_asof": _EVENTS_ASOF_ORACLE,

@@ -207,6 +207,67 @@ def ivf_assign(
     return df.withColumn(centroid_id_col, best)
 
 
+def ivf_assign_join(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    with_cosine: bool = False,
+) -> DataFrame:
+    """IVF cell assignment via a BROADCAST JOIN instead of centroid
+    literals — the 50k-cell path :func:`ivf_assign`'s docstring reserves.
+    The literal form inlines every centroid into one scan expression:
+    ideal to a few hundred cells (zero shuffle, duplicate rows preserved)
+    but the generated code stops JIT-compiling in the thousands
+    (SemDeDup's paper setup is 50k clusters). Here the centroid table
+    ships once per executor as a broadcast, the corpus expands rows×K
+    INSIDE the codegen pipeline (BroadcastNestedLoopJoin — never
+    materialized: map-side partial aggregation collapses each row's K
+    candidates before the one Exchange keyed on ``id_col``), and the
+    argmin is ``min(struct(dist, cid))`` — bit-identical semantics to the
+    literal path (minimum distance, ties to lowest centroid id; asserted
+    in tests). Requires unique ids (the aggregation is keyed on them).
+
+    ``with_cosine=True`` also returns ``sim_c`` = cosine(row, OWN
+    centroid) — carried as a third struct field, never consulted by the
+    ordering because (dist, cid) is already unique — which is exactly the
+    keep-rule input :func:`dedup.semantic_dedup` needs, so SemDeDup can
+    run at any cell count by feeding this frame in as ``assigned``.
+    Returns ``(id_col, vector_col as v double[], centroid_id[, sim_c])``."""
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).cast("int").alias("_cid"),
+            V.as_double(centroid_vec_col).alias("_cv"),
+        )
+    )
+    src = df.select(F.col(id_col), V.as_double(vector_col).alias("v"))
+    # the row's vector rides INSIDE the min-struct (never consulted by the
+    # ordering — (d, cid) is already unique per centroid), so the argmin is
+    # ONE aggregate with ONE Exchange keyed on the id: no join-back pass
+    fields = [
+        V.euclidean_distance(F.col("v"), F.col("_cv")).alias("d"),
+        F.col("_cid").alias("cid"),
+    ]
+    if with_cosine:
+        fields.append(
+            V.cosine_similarity(F.col("v"), F.col("_cv")).alias("sim")
+        )
+    fields.append(F.col("v").alias("rv"))
+    return (
+        src.crossJoin(c)
+        .groupBy(id_col)
+        .agg(F.min(F.struct(*fields)).alias("_b"))
+        .select(
+            id_col,
+            F.col("_b.rv").alias("v"),
+            F.col("_b.cid").alias(centroid_id_col),
+            *([F.col("_b.sim").alias("sim_c")] if with_cosine else []),
+        )
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame, n_cells: int, vector_col: str = "embedding", seed: int = LSH_SEED
 ) -> DataFrame:

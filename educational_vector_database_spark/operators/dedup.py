@@ -1508,6 +1508,7 @@ def semantic_dedup(
     eps: float = 0.45,
     blocks_per_cell: int | None = None,
     row_cap: int = 4096,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-dedup.
     Assign every row to its nearest centroid (a pure scan expression — the
@@ -1537,46 +1538,56 @@ def semantic_dedup(
     stay ~``row_cap`` rows — results are blocking-invariant; and
     :func:`semantic_dedup_params` sizes ``n_cells`` from corpus file bytes.
 
-    Centroid-count seam: the scan-side argmin/when-chain inlines every
-    centroid as an expression literal, which is the right trade to a few
-    HUNDRED cells (one projection, zero shuffle) but does not codegen at
-    the paper's 50k clusters — there, assign cells through IVFIndex's
-    partitioned layout (operators/ann.py, the same assignment with the
-    centroid set held as an index, not an expression) and feed the
-    assignment in as a column; the pair-mining/CC/keep stages are
-    unchanged.
+    Centroid-count seam — CLOSED (round 7): the default scan-side
+    argmin/when-chain inlines every centroid as an expression literal,
+    which is the right trade to a few HUNDRED cells (one projection,
+    zero shuffle); at the paper's 50k clusters pass ``assigned`` =
+    :func:`ann.ivf_assign_join`'s output with ``with_cosine=True``
+    (broadcast-join argmin, bit-identical assignment semantics, one
+    Exchange keyed on the id) and the ``centroids``/literal path is
+    skipped entirely — the pair-mining/CC/keep stages are unchanged
+    (tested identical labels both ways).
 
     The reference's nearest analog is its duplicate-tolerant store
     (``add_vectors`` never dedups — src/vectordb/store.py); this is the
     batch curation move its corpus would need before HNSW indexing
     (duplicate embeddings are the measured flat-graph recall pathology,
     GRAPH_SERVING_SF10_CLONES.json)."""
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    V.euclidean_distance(
-                        F.col("v"), V.vector_literal(list(c))
-                    ).alias("d"),
-                    F.lit(i).cast("int").alias("cid"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+    if assigned is not None:
+        assigned = assigned.select(
+            F.col(id_col).alias("id"), F.col("v"), "centroid_id", "sim_c"
         )
-    )["cid"]
-    # cosine(row, OWN centroid): chained whens over the same centroid
-    # literals — still one scan-side expression, evaluated once per row.
-    sim_c = F.lit(None).cast("double")
-    for i in range(len(centroids) - 1, -1, -1):
-        sim_c = F.when(
-            F.col("centroid_id") == i,
-            V.cosine_similarity(F.col("v"), V.vector_literal(list(centroids[i]))),
-        ).otherwise(sim_c)
-    assigned = (
-        df.select(F.col(id_col).alias("id"), V.as_double(vector_col).alias("v"))
-        .withColumn("centroid_id", best)
-        .withColumn("sim_c", sim_c)
-    )
+    else:
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        V.euclidean_distance(
+                            F.col("v"), V.vector_literal(list(c))
+                        ).alias("d"),
+                        F.lit(i).cast("int").alias("cid"),
+                    )
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        )["cid"]
+        # cosine(row, OWN centroid): chained whens over the same centroid
+        # literals — still one scan-side expression, evaluated once per row.
+        sim_c = F.lit(None).cast("double")
+        for i in range(len(centroids) - 1, -1, -1):
+            sim_c = F.when(
+                F.col("centroid_id") == i,
+                V.cosine_similarity(
+                    F.col("v"), V.vector_literal(list(centroids[i]))
+                ),
+            ).otherwise(sim_c)
+        assigned = (
+            df.select(
+                F.col(id_col).alias("id"), V.as_double(vector_col).alias("v")
+            )
+            .withColumn("centroid_id", best)
+            .withColumn("sim_c", sim_c)
+        )
     from .ann import _salted_pack
 
     packed = _salted_pack(

@@ -868,3 +868,67 @@ def test_two_level_index_lifecycle(spark, sf_dir, tmp_path):
     assert before == after
     fresh.invalidate()
     loaded.invalidate()
+
+
+def test_ivf_assign_join_matches_literal_path(spark, sf_dir):
+    """The broadcast-join assignment (the 50k-cell path) must be
+    bit-identical to the literal scan expression: same argmin, same
+    lowest-cid tie rule, same cosine to the owning centroid."""
+    e = _emb(spark, sf_dir)
+    cents = [r.embedding for r in e.orderBy("vec_id").limit(8).collect()]
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
+    lit = {
+        (int(r.vec_id)): int(r.centroid_id)
+        for r in A.ivf_assign(e, cents_df).select(
+            "vec_id", "centroid_id").collect()
+    }
+    joined = A.ivf_assign_join(e, cents_df, with_cosine=True)
+    got = {int(r.vec_id): (int(r.centroid_id), r.sim_c)
+           for r in joined.collect()}
+    assert set(got) == set(lit)
+    for vid, cid in lit.items():
+        assert got[vid][0] == cid, f"assignment mismatch for {vid}"
+    # sim_c is cosine to the OWN centroid, bit-exact vs direct computation
+    import math
+
+    e_map = {int(r.vec_id): list(r.embedding) for r in e.collect()}
+    for vid, (cid, sim) in list(got.items())[:50]:
+        v, c = e_map[vid], cents[cid]
+        dot = 0.0
+        nv = 0.0
+        nc = 0.0
+        for i in range(len(v)):
+            dot += float(v[i]) * c[i]
+            nv += float(v[i]) * float(v[i])
+            nc += c[i] * c[i]
+        want = dot / (math.sqrt(nv) * math.sqrt(nc))
+        assert abs(sim - want) < 1e-12
+
+
+def test_semantic_dedup_join_assignment_identical_labels(spark, sf_dir):
+    """semantic_dedup(assigned=ivf_assign_join(..., with_cosine=True))
+    must produce bit-identical (cluster_id, keep) verdicts to the literal
+    path — the 50k-cell seam is closed only if both paths agree."""
+    from educational_vector_database_spark.operators import dedup as D
+
+    e = _emb(spark, sf_dir)
+    cents = [r.embedding for r in e.orderBy("vec_id").limit(4).collect()]
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
+    lit = {
+        int(r.vec_id): (int(r.centroid_id), int(r.cluster_id), bool(r.keep))
+        for r in D.semantic_dedup(e, cents, eps=0.45).collect()
+    }
+    assigned = A.ivf_assign_join(e, cents_df, with_cosine=True)
+    joined = {
+        int(r.vec_id): (int(r.centroid_id), int(r.cluster_id), bool(r.keep))
+        for r in D.semantic_dedup(
+            e, [], eps=0.45, assigned=assigned
+        ).collect()
+    }
+    assert joined == lit

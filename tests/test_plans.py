@@ -462,3 +462,23 @@ def test_dedup_spans_equi_join_bounded_windows(spark):
         # (per (pair, diagonal)) and the round-7 posting-cap dense_rank
         # (per shingle fingerprint — minhash's keep-lowest discipline)
         assert ("id_a" in spec and "id_b" in spec) or "sig" in spec, spec
+
+
+def test_ivf_assign_join_single_pass(spark):
+    """The 50k-cell broadcast-join assignment: centroids ship as a
+    broadcast (BroadcastNestedLoopJoin — the rowsxK expansion lives inside
+    the codegen pipeline), the argmin is one aggregate with the row vector
+    riding inside the min-struct, and there is NO join-back pass (no
+    SortMergeJoin; at most the agg's partial/final Exchange pair)."""
+    from educational_vector_database_spark.operators import ann as A
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(8)],
+        "centroid_id int, centroid array<double>",
+    )
+    plan = A.ivf_assign_join(e, cents)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 2
