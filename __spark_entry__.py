@@ -4728,6 +4728,187 @@ _STREAM_DEDUP_ORACLE = """
 """
 
 
+#: sf_dir+kind -> prepared steady-state stream environment. The cold-drain
+#: stream rows time checkpoint setup + the full-corpus drain (coarse by
+#: design, BASELINE.md); these memos carve out the STEADY-STATE cost a
+#: production stream pays per microbatch (VERDICT r7 next-round #6). Setup
+#: (once per process, untimed — the _pq_code_table discipline): a scratch
+#: SOURCE dir gets the table's file(s), a pristine checkpoint is drained
+#: through them, then a fixed DELTA slice (event_id % 97 = 0) lands as a
+#: new file. Each timed call CLONES the pristine checkpoint and restarts
+#: the availableNow drain: the restored state store processes exactly the
+#: delta microbatch and complete mode re-emits the full deterministic
+#: result — warm per-batch cost, repeatable because the pristine
+#: checkpoint is never advanced.
+_STREAM_STEADY: dict[tuple, dict] = {}
+
+
+def _stream_steady_env(spark: SparkSession, sf_dir: str, kind: str,
+                       start_query) -> dict:
+    import glob as _glob
+    import shutil
+
+    key = (sf_dir, kind)
+    memo = _STREAM_STEADY.get(key)
+    if (
+        memo is not None
+        and os.path.isdir(memo["src"])
+        and os.path.isdir(memo["ckpt0"])
+    ):
+        return memo
+    base = _reap_scratch(f"evdb_steady_{kind}_")
+    src = os.path.join(base, "src")
+    ckpt0 = os.path.join(base, "ckpt0")
+    os.makedirs(src, exist_ok=True)
+    p = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(p):
+        for i, f in enumerate(sorted(_glob.glob(os.path.join(p, "*.parquet")))):
+            shutil.copy(f, os.path.join(src, f"base_{i}.parquet"))
+    else:
+        shutil.copy(p, os.path.join(src, "base_0.parquet"))
+    # drain #1: the full corpus advances the pristine checkpoint (untimed)
+    start_query(src, ckpt0).awaitTermination()
+    # the delta lands AFTER the checkpoint recorded the base files, so a
+    # cloned-checkpoint restart sees exactly one new microbatch
+    stage = os.path.join(base, "_delta_stage")
+    spark.read.parquet(p).filter(F.col("event_id") % 97 == 0) \
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+    for i, f in enumerate(sorted(_glob.glob(os.path.join(stage, "*.parquet")))):
+        shutil.move(f, os.path.join(src, f"delta_{i}.parquet"))
+    memo = {"src": src, "ckpt0": ckpt0}
+    _STREAM_STEADY[key] = memo
+    return memo
+
+
+def _stream_steady_run(spark: SparkSession, sf_dir: str, kind: str,
+                       make_query) -> DataFrame:
+    """Shared timed region of the steady rows: clone the pristine
+    checkpoint, restart the drain (delta-only), return the re-emitted
+    complete-mode table."""
+    import shutil
+    import uuid
+
+    def start(srcdir: str, ckpt: str, table: str | None = None):
+        t = table or f"steady_{kind}_{uuid.uuid4().hex[:8]}"
+        return make_query(srcdir, ckpt, t), t
+
+    env = _stream_steady_env(
+        spark, sf_dir, kind, lambda s, c: start(s, c)[0]
+    )
+    ck = _reap_scratch("evdb_steady_ck_")
+    shutil.copytree(env["ckpt0"], ck)
+    q, table = start(env["src"], ck)
+    q.awaitTermination()
+    return spark.table(table)
+
+
+def _stream_events_tumbling_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE twin of ``stream_events_tumbling``: same windowed
+    aggregation, but the timed region is one warm microbatch — restore the
+    state store from a pristine post-corpus checkpoint (cloned, so runs
+    repeat deterministically), process only the fixed ~1% delta file, and
+    re-emit the complete result. The cold row keeps timing setup+drain;
+    this row is where a per-batch regression (state read/write, window
+    emit) shows up unmasked by checkpoint-creation noise. The oracle is
+    the batch aggregate over corpus UNION delta — the unified-semantics
+    claim, now asserted through a checkpoint RESTART as well."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = events_stream_schema(spark, sf_dir)
+
+    from educational_vector_database_spark.streaming import windows as W
+
+    def make_query(srcdir: str, ckpt: str, table: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet").parquet(srcdir)
+        )
+        e = W.with_event_time(stream)
+        agg = (
+            e.withWatermark("event_time", "2 hours")
+            .groupBy(
+                F.window("event_time", "30 minutes").alias("w"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "sum_value_cents"
+                ),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value_cents",
+                "min_value",
+                "max_value",
+            )
+        )
+        return (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return _stream_steady_run(spark, sf_dir, "tumbling", make_query)
+
+
+_STREAM_TUMBLING_STEADY_ORACLE = """
+    WITH all_ev AS (
+        SELECT * FROM events
+        UNION ALL
+        SELECT * FROM events WHERE event_id % 97 = 0
+    )
+    SELECT time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM all_ev
+    GROUP BY window_start, event_type
+"""
+
+
+def _stream_events_dedup_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE twin of ``stream_events_dedup``: the delta microbatch
+    replays ~1% of already-seen event_ids against the RESTORED dedup state
+    store — every delta row must be suppressed (exactly-once across a
+    checkpoint restart, the at-least-once-ingest contract), so the counts
+    equal the plain per-type distinct counts. Timed region = checkpoint
+    clone + one warm suppression batch."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = events_stream_schema(spark, sf_dir)
+
+    def make_query(srcdir: str, ckpt: str, table: str):
+        def src():
+            return (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "*.parquet").parquet(srcdir)
+            )
+
+        deduped = (
+            src().union(src())
+            .dropDuplicates(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        return (
+            deduped.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return _stream_steady_run(spark, sf_dir, "dedup", make_query)
+
+
 def _events_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass data-quality audit (the expectations check before a corpus
     ships): null rates, range violations, key uniqueness, domain size — all
@@ -6016,7 +6197,14 @@ def _graph_cte(e_where: str = "", sfx: str = "") -> str:
     bkts = ", ".join(
         f"({bucket(ps)}) AS bkt{r}" for r, ps in enumerate(_GRAPH_PLANE_SETS)
     )
-    cand = "\n        UNION\n".join(
+    # DISTINCT over UNION ALL rather than bare UNION: inside a WITH
+    # RECURSIVE list DuckDB 1.0 evaluates a non-recursive CTE's UNION as
+    # UNION ALL (minimal repro in the round-8 notes) — duplicate candidate
+    # pairs then fan out through the score join and displace real edges at
+    # the QUALIFY top-M cut. The explicit DISTINCT is engine-unambiguous
+    # and bit-identical in non-recursive contexts (the dedupe already
+    # happened there).
+    cand = "\n        UNION ALL\n".join(
         f"        SELECT a.vec_id AS src, b.vec_id AS dst"
         f" FROM u{sfx} a JOIN u{sfx} b"
         f" ON a.bkt{r} = b.bkt{r} AND a.vec_id <> b.vec_id"
@@ -6029,7 +6217,9 @@ def _graph_cte(e_where: str = "", sfx: str = "") -> str:
                  {bkts}
           FROM e{sfx}),
     cand{sfx} AS (
+        SELECT DISTINCT src, dst FROM (
 {cand}
+        )
     ),
     graph{sfx} AS MATERIALIZED (
         SELECT src, dst, score FROM (
@@ -6568,6 +6758,118 @@ def _knn_graph_dedup_reps_oracle() -> str:
     {",".join(_walk_hops_ctes())},
     walkres AS (
         SELECT id FROM v{GRAPH_HOPS} ORDER BY score DESC, id ASC LIMIT {TOP_K}
+    ),
+    clus AS (
+        SELECT e2.vec_id, coalesce(lab.cluster_id, e2.vec_id) AS cid
+        FROM embeddings e2 LEFT JOIN lab ON e2.vec_id = lab.id
+    ),
+    expanded AS (
+        SELECT c.vec_id FROM clus c JOIN walkres w ON c.cid = w.id
+    )
+    SELECT e3.vec_id,
+           {_COS.format(a='e3.embedding::DOUBLE[]', b='q.qv')} AS score
+    FROM embeddings e3 CROSS JOIN q
+    WHERE e3.vec_id IN (SELECT vec_id FROM expanded)
+    ORDER BY score DESC, e3.vec_id ASC
+    LIMIT {TOP_K}
+"""
+    return sql.replace(" AS MATERIALIZED (", " AS (")
+
+
+# Upper-walk hop budget for the dedup-reps two-level composition: the reps
+# corpus is already contracted and its ~1/TL_MULT upper layer is small, so
+# 2 hops reach the neighborhood; keeping the unrolled oracle's plain-CTE
+# chain short also bounds DuckDB's 2^hops re-execution (the WITH RECURSIVE
+# list cannot carry MATERIALIZED hints — _knn_graph_dedup_reps_oracle).
+TLD_HOPS_UP = 2
+
+
+def _knn_two_level_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-then-HIERARCHY — the production serving pipeline for
+    duplicate-heavy corpora (VERDICT r7 next-round #7), composing the two
+    gated answers to the sf10 clone pathology: near-dup contraction to
+    min-id representatives (the knn_graph_dedup_reps pipeline) and the
+    two-level coarse-to-fine walk (knn_graph_two_level) built OVER the
+    representatives — upper layer = hash sample of reps, lower graph =
+    reps, walk = upper hubs -> descent -> short lower walk — then EXPAND
+    the winning reps back to their cluster members and exact-rescore.
+    Every stage (pairs, CC, reps cut, both graph builds, hub selection,
+    both walks, descent, expansion, rescore) is deterministic and
+    replicated in the SQL oracle, so the whole composition hash-checks as
+    one row set. At 100 TB this is the answer BASELINE.md's clone table
+    motivates: contraction removes the clone mass the flat graph chokes
+    on, the hierarchy keeps constant m on what remains."""
+    e = _emb(spark, sf_dir)
+    pairs = D.embedding_near_dup_bucketed(e, _PLANES, threshold=0.45).select(
+        "id_a", "id_b"
+    )
+    cc = _track_persist(D.connected_components(pairs))  # (id, cluster_id)
+    labeled = e.join(cc, e.vec_id == cc.id, "left").select(
+        e.vec_id,
+        "embedding",
+        F.coalesce("cluster_id", e.vec_id).alias("cid"),
+    )
+    reps = labeled.filter(F.col("vec_id") == F.col("cid")).select(
+        "vec_id", "embedding"
+    )
+    up = A.upper_layer(reps, level_mult=TL_MULT, salt=TL_SALT)
+    ug = _track_persist(A.knn_graph(up, _GRAPH_PLANE_SETS, m=GRAPH_M))
+    lg = _track_persist(A.knn_graph(reps, _GRAPH_PLANE_SETS, m=GRAPH_M))
+    entries = A.graph_hub_entries(ug, 4)
+    qv = _query_vector(spark, sf_dir, vec_id=IVF_QUERY_ID)
+    walk = A.graph_two_level_search(
+        ug, lg, reps, qv, entries,
+        beam_up=GRAPH_BEAM, hops_up=TLD_HOPS_UP,
+        n_descend=TL_DESCEND, beam=GRAPH_BEAM, hops=TL_HOPS_DOWN, k=TOP_K,
+    )
+    expanded = labeled.join(
+        walk.select(F.col("vec_id").alias("cid")), "cid"
+    ).select("vec_id")
+    return K.knn(e.join(expanded, "vec_id", "left_semi"), qv, k=TOP_K)
+
+
+def _knn_two_level_dedup_reps_oracle() -> str:
+    hub = """SELECT dst AS entry_id FROM graph_up
+             GROUP BY dst ORDER BY count(*) DESC, dst ASC LIMIT 4"""
+    reps_where = " WHERE vec_id IN (SELECT vec_id FROM reps)"
+    up_walk = ",".join(
+        _walk_hops_ctes(pfx="u", graph="graph_up", hops=TLD_HOPS_UP)
+    )
+    down_walk = ",".join(_walk_hops_ctes(hops=TL_HOPS_DOWN))
+    sql = f"""
+    WITH RECURSIVE bp AS (
+        SELECT id_a, id_b FROM ({_neardup_embedding_bucketed_oracle()})
+    ),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM bp
+        UNION SELECT id_b, id_a FROM bp
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    lab AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a),
+    reps AS (
+        SELECT e0.vec_id FROM embeddings e0 LEFT JOIN lab ON e0.vec_id = lab.id
+        WHERE coalesce(lab.cluster_id, e0.vec_id) = e0.vec_id
+    ),
+    {_graph_cte(f"{reps_where} AND {_tl_upper_pred_sql()}", sfx="_up")},
+    {_graph_cte(reps_where)},
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {IVF_QUERY_ID}),
+    sn AS (SELECT e.vec_id AS id, {_COS.format(a='e.v', b='q.qv')} AS score
+           FROM e CROSS JOIN q),
+    uv0 AS (SELECT id, score FROM sn WHERE id IN ({hub})),
+    uf0 AS (SELECT id, score FROM uv0),
+    {up_walk},
+    v0 AS (SELECT id, score FROM uv{TLD_HOPS_UP}
+           ORDER BY score DESC, id ASC LIMIT {TL_DESCEND}),
+    f0 AS (SELECT id, score FROM v0),
+    {down_walk},
+    walkres AS (
+        SELECT id FROM v{TL_HOPS_DOWN} ORDER BY score DESC, id ASC
+        LIMIT {TOP_K}
     ),
     clus AS (
         SELECT e2.vec_id, coalesce(lab.cluster_id, e2.vec_id) AS cid
@@ -9105,6 +9407,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # beam/beam_centroids N4, incremental N3/I3, join_graph N4,
         # disk_roundtrip N5, dedup_reps — and the recall row stays
         # check_oracle-covered at three scales).
+        # Round-8 rotation (VERDICT r7 next-round #3: both are new
+        # LIFECYCLE/ASSIGNMENT code paths the driver has never gated): IN
+        # knn_two_level_disk_roundtrip (TwoLevelGraphIndex save/load +
+        # walk-from-loaded-hubs, §2 N5's layered form) and ivf_cells_join
+        # (the broadcast-join 50k-cell assignment, §2 N2's scale path);
+        # OUT knn_join_pq (batch variant — the PQ family keeps pq_codes
+        # §2 N2, knn_pq_adc, knn_ivfpq and knn_ivfpq_disk_roundtrip
+        # in-window) and knn_bq_asym (asymmetric variant — the BQ family
+        # keeps bq_codes §2 N2 and knn_hamming in-window); both rotated-out
+        # rows were driver-gated green in r07 and stay
+        # check_oracle-covered at three scales.
+        # Round-8 second rotation (new composition this round, policy #2):
+        # IN knn_two_level_dedup_reps (dedup-contraction + two-level
+        # hierarchy + expansion — the production pipeline for
+        # duplicate-heavy corpora, VERDICT r7 next-round #7); OUT
+        # knn_graph_beam_centroids (entry-selection variant of the
+        # in-window knn_graph_beam — driver-gated green r06 AND r07, stays
+        # check_oracle-covered; N4 keeps beam/join_graph/two_level rows
+        # in-window).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -9125,7 +9446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cells": _ivf_cells,
         "knn_graph_edges": _knn_graph_edges,
         "knn_graph_beam": _knn_graph_beam,
-        "knn_graph_beam_centroids": _knn_graph_beam_centroids,
+        "knn_two_level_dedup_reps": _knn_two_level_dedup_reps,
         "knn_graph_two_level": _knn_graph_two_level,
         "knn_graph_incremental": _knn_graph_incremental,
         "knn_join_graph": _knn_join_graph,
@@ -9134,13 +9455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _pq_codes,
         "knn_pq_adc": _knn_pq_adc,
         "knn_ivfpq": _knn_ivfpq,
-        "knn_join_pq": _knn_join_pq,
+        "knn_two_level_disk_roundtrip": _knn_two_level_disk_roundtrip,
         "knn_ivfpq_disk_roundtrip": _knn_ivfpq_disk_roundtrip,
         "bq_codes": _bq_codes,
         "knn_hamming": _knn_hamming,
         "search_mmr_diverse": _search_mmr_diverse,
         "search_bm25": _search_bm25,
-        "knn_bq_asym": _knn_bq_asym,
+        "ivf_cells_join": _ivf_cells_join,
         "rag_answer": _rag_answer,
         "neardup_brp_lsh": _neardup_brp_lsh,
         "doc_quality": _doc_quality,
@@ -9158,17 +9479,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
         "knn_ivf_hamming": _knn_ivf_hamming,
-        # knn_two_level_disk_roundtrip stays PAST the window under the
-        # knn_ivf_hamming precedent: a lifecycle composition whose parts
-        # are all gated (the two-level walk via the in-window
-        # knn_graph_two_level; the save/load+hub lifecycle pattern via the
-        # in-window knn_graph_disk_roundtrip §2 N5); check_oracle-covered
-        # at three scales.
-        "knn_two_level_disk_roundtrip": _knn_two_level_disk_roundtrip,
-        # ivf_cells_join: the broadcast-join assignment variant of the
-        # in-window ivf_cells (§2 N2) — same oracle, gating that the
-        # 50k-cell path is bit-identical to the literal path.
-        "ivf_cells_join": _ivf_cells_join,
+        # rotated OUT in round 8 (driver-gated green in r07; families keep
+        # 4+ and 2 in-window rows respectively):
+        "knn_join_pq": _knn_join_pq,
+        "knn_bq_asym": _knn_bq_asym,
+        "knn_graph_beam_centroids": _knn_graph_beam_centroids,
         "knn_graph_recall": _knn_graph_recall,
         "docs_span_mask": _docs_span_mask,
         "knn_ivf_filtered": _knn_ivf_filtered,
@@ -9194,6 +9509,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_recall": _knn_ivf_recall,
         "dedup_minhash_recall": _dedup_minhash_recall,
         "stream_events_dedup": _stream_events_dedup,
+        # steady-state twins (VERDICT r7 #6): warm-checkpoint delta-only
+        # drains — per-batch cost unmasked by checkpoint-setup noise; the
+        # cold rows stay benched beside them
+        "stream_events_tumbling_steady": _stream_events_tumbling_steady,
+        "stream_events_dedup_steady": _stream_events_dedup_steady,
         "doc_repetition_stats": _doc_repetition_stats,
         "stream_events_sessionize": _stream_events_sessionize,
         "store_partitioned_by_lang": _store_partitioned_by_lang,
@@ -9522,6 +9842,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_brp_lsh": _BRP_ORACLE,
         "docs_tfidf_keywords": _TFIDF_ORACLE,
         "stream_events_dedup": _STREAM_DEDUP_ORACLE,
+        "stream_events_tumbling_steady": _STREAM_TUMBLING_STEADY_ORACLE,
+        "stream_events_dedup_steady": _STREAM_DEDUP_ORACLE,
         "events_quality_audit": _EVENTS_QUALITY_ORACLE,
         "events_user_burst": _EVENTS_BURST_ORACLE,
         "store_partitioned_by_lang": _STORE_PARTITIONED_ORACLE,
@@ -9579,6 +9901,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join_graph": _knn_join_graph_oracle(),
         "knn_graph_disk_roundtrip": _knn_graph_disk_roundtrip_oracle(),
         "knn_graph_dedup_reps": _knn_graph_dedup_reps_oracle(),
+        "knn_two_level_dedup_reps": _knn_two_level_dedup_reps_oracle(),
         "pq_codes": _PQ_CODES_ORACLE,
         "knn_pq_adc": _knn_pq_adc_oracle(),
         "knn_pq_rerank": _knn_pq_rerank_oracle(),

@@ -52,25 +52,57 @@ def corpus_fingerprint(
     return int(row.h) if row.h is not None else 0
 
 
-def estimate_corpus_rows(df: DataFrame, dim: int = 64) -> int | None:
+def estimate_corpus_rows(
+    df: DataFrame, dim: int = 64, footer_sample: int = 8
+) -> int | None:
     """Driver-side row-count ESTIMATE from parquet file bytes — no count()
-    job, no scan. Same estimator discipline as
-    dedup.embedding_near_dup_blocked (operators/dedup.py): ~6 bytes per
-    vector element of parquet for float arrays plus fixed row overhead, so
-    higher dims shift bytes/row up and the estimate down proportionally —
-    the right direction, since every per-row kernel cost scales with dim
-    too. Returns None for non-file sources (in-memory test frames); callers
-    then fall back to a partition-count or explicit-argument path."""
-    bytes_per_row = max(64, 6 * int(dim))
+    job, no scan. bytes/row is CALIBRATED from up to ``footer_sample``
+    parquet footers (footer-only metadata reads — ``num_rows`` is exact in
+    the footer, no data pages touched), so the estimate is exact when the
+    sample covers every file and within the sample's size-spread otherwise;
+    the round-7 constant (6 bytes/element, which ran 33% hot at dim=384 —
+    DIM384_REHEARSAL.json rows_ratio 0.669) survives only as the fallback
+    for non-parquet sources. Paths are URI-decoded (``df.inputFiles()``
+    returns percent-escaped ``file:`` URIs), and any file that cannot be
+    sized makes the whole estimate return None — a partially-counted corpus
+    must fall back to count(), not under-provision planes. Returns None for
+    non-file/remote sources; callers then fall back to a partition-count or
+    explicit-argument path."""
+    from urllib.parse import unquote, urlparse
+
+    files = []
+    for p in df.inputFiles():
+        u = urlparse(p)
+        if u.scheme not in ("", "file"):
+            return None  # remote source: sizes unknowable driver-side
+        files.append(unquote(u.path))
+    if not files:
+        return None
+    sizes = {}
     total = 0
-    for p in [p.removeprefix("file:") for p in df.inputFiles()]:
+    for p in files:
         try:
-            total += os.path.getsize(p)
+            sz = os.path.getsize(p)
         except OSError:
-            # unreadable/remote path: skip — underestimating rows only makes
-            # blocks larger, and the per-block row cap still bounds them
-            pass
-    return max(1, total // bytes_per_row) if total > 0 else None
+            return None  # unsizable file -> caller falls back to count()
+        sizes[p] = sz
+        total += sz
+    bpr = None
+    try:
+        import pyarrow.parquet as pq
+
+        s_rows = 0
+        s_bytes = 0
+        for p in sorted(files)[: max(1, int(footer_sample))]:
+            s_rows += pq.ParquetFile(p).metadata.num_rows
+            s_bytes += sizes[p]
+        if s_rows > 0:
+            bpr = s_bytes / s_rows
+    except Exception:
+        bpr = None  # non-parquet: dim heuristic below
+    if bpr is None or bpr <= 0:
+        bpr = float(max(64, 6 * int(dim)))
+    return max(1, int(total / bpr))
 
 
 def _salted_pack(
@@ -235,13 +267,23 @@ def ivf_assign_join(
     ordering because (dist, cid) is already unique — which is exactly the
     keep-rule input :func:`dedup.semantic_dedup` needs, so SemDeDup can
     run at any cell count by feeding this frame in as ``assigned``.
-    Returns ``(id_col, vector_col as v double[], centroid_id[, sim_c])``."""
-    c = F.broadcast(
-        centroids.select(
-            F.col(centroid_id_col).cast("int").alias("_cid"),
-            V.as_double(centroid_vec_col).alias("_cv"),
-        )
+    Returns ``(id_col, vector_col as v double[], centroid_id[, sim_c])``.
+
+    Guards (the literal path fails loudly on both; this path must too):
+    empty ``centroids`` raises instead of silently emitting zero rows, and
+    the unique-id requirement is enforced post-hoc in
+    :func:`dedup.semantic_dedup`'s assigned-frame row-count check — callers
+    passing duplicate ids would silently collapse them here."""
+    cent_sel = centroids.select(
+        F.col(centroid_id_col).cast("int").alias("_cid"),
+        V.as_double(centroid_vec_col).alias("_cv"),
     )
+    if cent_sel.isEmpty():  # one tiny job over the (small) centroid frame
+        raise ValueError(
+            "ivf_assign_join: empty centroid frame — assignment would "
+            "silently emit zero rows; train/provide >=1 centroid"
+        )
+    c = F.broadcast(cent_sel)
     src = df.select(F.col(id_col), V.as_double(vector_col).alias("v"))
     # the row's vector rides INSIDE the min-struct (never consulted by the
     # ordering — (d, cid) is already unique per centroid), so the argmin is
@@ -1225,18 +1267,28 @@ def graph_two_level_search_batch(
     )
     nodes = df.select(F.col(id_col).alias("id"), V.as_double(vector_col).alias("nv"))
     entries = [int(x) for x in upper_entry_ids]
-    seed_up = q.select("qid").crossJoin(
-        nodes.select("id").filter(F.col("id").isin(entries))
-    )
-    v_up = _beam_visited_batch(
-        q, nodes, upper_graph, seed_up, beam_up, hops_up, m_l, checkpoint
-    )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
-    seeds = (
-        v_up.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= int(n_descend))
-        .select("qid", "id")
-    )
+    if not entries:
+        # Degenerate upper layer (tiny corpus: the ~1/level_mult hash sample
+        # yields an edge-less upper graph whose hub list is empty). Seed the
+        # LOWER walk from the lower graph's own hubs instead of silently
+        # returning zero rows.
+        entries = graph_hub_entries(lower_graph, n_entries=max(1, int(n_descend)))
+        seeds = q.select("qid").crossJoin(
+            nodes.select("id").filter(F.col("id").isin(entries))
+        )
+    else:
+        seed_up = q.select("qid").crossJoin(
+            nodes.select("id").filter(F.col("id").isin(entries))
+        )
+        v_up = _beam_visited_batch(
+            q, nodes, upper_graph, seed_up, beam_up, hops_up, m_l, checkpoint
+        )
+        seeds = (
+            v_up.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(n_descend))
+            .select("qid", "id")
+        )
     visited = _beam_visited_batch(
         q, nodes, lower_graph, seeds, beam, hops, m_l, checkpoint
     )
@@ -1392,11 +1444,19 @@ def graph_two_level_search(
         V.similarity(m_l, V.as_double(vector_col), qv).alias("score"),
     )
     entries = [int(x) for x in upper_entry_ids]
-    seed_up = scored_nodes.filter(F.col("id").isin(entries))
-    v_up = _beam_visited(scored_nodes, upper_graph, seed_up, beam_up, hops_up)
-    seeds = (
-        v_up.orderBy(F.desc("score"), F.asc("id")).limit(int(n_descend))
-    ).localCheckpoint()
+    if not entries:
+        # Degenerate upper layer (tiny corpus: the ~1/level_mult hash sample
+        # yields an edge-less upper graph whose hub list is empty). Seed the
+        # LOWER walk from the lower graph's own hubs instead of silently
+        # returning zero rows.
+        entries = graph_hub_entries(lower_graph, n_entries=max(1, int(n_descend)))
+        seeds = scored_nodes.filter(F.col("id").isin(entries)).localCheckpoint()
+    else:
+        seed_up = scored_nodes.filter(F.col("id").isin(entries))
+        v_up = _beam_visited(scored_nodes, upper_graph, seed_up, beam_up, hops_up)
+        seeds = (
+            v_up.orderBy(F.desc("score"), F.asc("id")).limit(int(n_descend))
+        ).localCheckpoint()
     visited = _beam_visited(scored_nodes, lower_graph, seeds, beam, hops)
     return visited.orderBy(F.desc("score"), F.asc("id")).limit(k).select(
         F.col("id").alias(id_col), "score"
@@ -1483,6 +1543,19 @@ class GraphIndex:
 
     def build(self, df: DataFrame) -> "GraphIndex":
         self.invalidate()
+        if df.head(1) == []:
+            # Empty corpus (e.g. a tiny corpus's ~1/level_mult upper sample):
+            # a valid edge-less index — entries() returns [] and callers
+            # (TwoLevelGraphIndex.query) route around it rather than crash.
+            edges = df.sparkSession.createDataFrame(
+                [], "src bigint, dst bigint, score double"
+            ).persist()
+            edges.count()
+            self._edges = edges
+            self._indexed_rows = 0
+            self._entries = None
+            self._corpus_fp = 0
+            return self
         dim = self._infer_dim(df)
         edges = knn_graph(
             df,
@@ -1526,7 +1599,7 @@ class GraphIndex:
         (same as IVFIndex / the reference's size-only check,
         src/vectordb/api.py:63-79): a count-preserving pure in-place
         rewrite with NO appends needs an explicit :meth:`invalidate`."""
-        if self._edges is None:
+        if self._edges is None or self._indexed_rows == 0:
             return self.build(df)
         n = df.count()
         if n == self._indexed_rows:
@@ -1586,11 +1659,21 @@ class GraphIndex:
         if not assume_fresh or self._edges is None:
             self.ensure(df)
         p = graph_params_for(self._indexed_rows)
+        walk_entries = self.entries(n_entries)
+        if not walk_entries:
+            # Edge-less graph (single-row corpus): exact brute-force top-k —
+            # the reference's graceful ANN fallback, never zero rows.
+            from . import knn as K
+
+            return K.knn(
+                df, query_vector, k=k, metric=self.metric,
+                vector_col=self.vector_col, id_col=self.id_col,
+            )
         return graph_beam_search(
             self._edges,
             df,
             query_vector,
-            self.entries(n_entries),
+            walk_entries,
             beam=beam if beam is not None else p["beam"],
             hops=hops if hops is not None else p["hops"],
             k=k,
@@ -1732,16 +1815,49 @@ class TwoLevelGraphIndex:
         n_entries: int = 4,
         assume_fresh: bool = False,
     ) -> DataFrame:
-        if not assume_fresh or self.lower._edges is None:
+        if (
+            not assume_fresh
+            or self.lower._edges is None
+            or self.upper._edges is None
+        ):
             self.ensure(df)
         p_up = graph_params_for(max(2, self.upper._indexed_rows))
         p_lo = graph_params_for(max(2, self.lower._indexed_rows))
+        upper_entries = self.upper.entries(n_entries)
+        if not upper_entries:
+            # Tiny corpus: the ~1/level_mult upper sample produced an
+            # edge-less graph (no hubs). Serve through the FLAT lower walk
+            # from the lower graph's own hubs with the full hop budget —
+            # never silently return zero rows for a valid query.
+            lower_entries = self.lower.entries(n_entries)
+            if not lower_entries:
+                # Even the lower graph is edge-less (single-row corpus):
+                # exact brute-force top-k, the reference's graceful ANN
+                # fallback (src/vectordb/api.py:152-205 analog).
+                from . import knn as K
+
+                return K.knn(
+                    df, query_vector, k=k, metric=self.metric,
+                    vector_col=self.vector_col, id_col=self.id_col,
+                )
+            return graph_beam_search(
+                self.lower._edges,
+                df,
+                query_vector,
+                lower_entries,
+                beam=beam if beam is not None else p_lo["beam"],
+                hops=hops if hops is not None else p_lo["hops"],
+                k=k,
+                id_col=self.id_col,
+                vector_col=self.vector_col,
+                metric=self.metric,
+            )
         return graph_two_level_search(
             self.upper._edges,
             self.lower._edges,
             df,
             query_vector,
-            self.upper.entries(n_entries),
+            upper_entries,
             beam_up=beam_up if beam_up is not None else p_up["beam"],
             hops_up=hops_up if hops_up is not None else p_up["hops"],
             n_descend=n_descend,

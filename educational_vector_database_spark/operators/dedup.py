@@ -1557,6 +1557,19 @@ def semantic_dedup(
         assigned = assigned.select(
             F.col(id_col).alias("id"), F.col("v"), "centroid_id", "sim_c"
         )
+        # ivf_assign_join aggregates on the id, so duplicate ids in ``df``
+        # would be silently collapsed upstream — enforce the documented
+        # unique-id contract with a count-preservation check (two cheap
+        # scan-count jobs, dwarfed by the pair-mining GEMMs this path
+        # exists to serve; the literal path preserves duplicates and needs
+        # no check).
+        n_in, n_as = df.count(), assigned.count()
+        if n_in != n_as:
+            raise ValueError(
+                f"semantic_dedup: assigned frame has {n_as} rows but the "
+                f"corpus has {n_in} — duplicate ids were collapsed by the "
+                "join-assignment (ivf_assign_join requires unique ids)"
+            )
     else:
         best = F.array_min(
             F.array(
