@@ -1196,14 +1196,26 @@ def _beam_visited_batch(
     frame; state is keyed by (query, node); each hop is ONE equi-join of
     the combined frontier against the edge list + one per-query window —
     job count O(hops), never O(queries·hops). Returns everything visited,
-    scored."""
+    scored.
+
+    Join-side discipline (the 100 TB shape): the per-hop state frames —
+    frontier (≤ queries·beam rows) and candidates (≤ queries·beam·m) —
+    are BROADCAST into the joins against the two corpus-sized tables (the
+    edge list, the node vectors), so neither ever shuffles: each hop is a
+    scan-side hash probe of the persisted/partitioned big table. Without
+    the hint Catalyst picked SortMergeJoin for the node-scoring join
+    (profiled round 8), re-shuffling every stored VECTOR each hop — ~1 GB
+    per hop at 2M×64, unbounded at corpus scale, versus the few-MB
+    (qid, id) broadcast. Only the small-tuple bookkeeping (distinct,
+    anti-join on (qid, id), the per-query window) shuffles, and those
+    rows are bounded by the walk parameters, never the corpus."""
     from pyspark.sql import Window
 
     edges = graph.select("src", "dst")
 
     def score(cand: DataFrame) -> DataFrame:
         return (
-            cand.join(nodes, "id")
+            nodes.join(F.broadcast(cand), "id")
             .join(q, "qid")
             .select("qid", "id", V.similarity(metric, "nv", "qv").alias("score"))
         )
@@ -1216,8 +1228,10 @@ def _beam_visited_batch(
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     for _ in range(hops):
         cand = (
-            frontier.select("qid", F.col("id").alias("src"))
-            .join(edges, "src")
+            edges.join(
+                F.broadcast(frontier.select("qid", F.col("id").alias("src"))),
+                "src",
+            )
             .select("qid", F.col("dst").alias("id"))
             .distinct()
             .join(visited.select("qid", "id"), ["qid", "id"], "left_anti")
@@ -1353,20 +1367,25 @@ def _beam_visited(
     expands the frontier's out-edges (one equi-join against the edge list),
     scores only the unvisited ids, and keeps the per-hop top-``beam`` as the
     next frontier. Returns everything visited. ``hops`` is a fixed small
-    integer; lineage stays flat via localCheckpoint."""
+    integer; lineage stays flat via localCheckpoint. The frontier/candidate
+    id sets are BROADCAST into the joins against the edge list and the
+    scored corpus (same discipline as the batch form): the corpus-sized
+    sides never shuffle — each hop is a scan-side hash probe."""
     edges = graph.select("src", "dst")
     visited = seed.localCheckpoint()
     frontier = visited
     for _ in range(hops):
-        cand = (
-            frontier.select(F.col("id").alias("src"))
-            .join(edges, "src")
+        cand_ids = (
+            edges.join(
+                F.broadcast(frontier.select(F.col("id").alias("src"))), "src"
+            )
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
-            .join(scored_nodes, "id")
-            .localCheckpoint()
         )
+        cand = scored_nodes.join(
+            F.broadcast(cand_ids), "id"
+        ).localCheckpoint()
         visited = visited.unionByName(cand).localCheckpoint()
         frontier = cand.orderBy(F.desc("score"), F.asc("id")).limit(beam)
     return visited
