@@ -1554,15 +1554,18 @@ def semantic_dedup(
     (duplicate embeddings are the measured flat-graph recall pathology,
     GRAPH_SERVING_SF10_CLONES.json)."""
     if assigned is not None:
+        # Materialize once: the assignment behind this frame is typically
+        # the rows×K broadcast-NLJ argmin (ivf_assign_join) — without a
+        # checkpoint the count-guard below plus the two downstream
+        # consumers (packing, label join) would re-execute it three times.
         assigned = assigned.select(
             F.col(id_col).alias("id"), F.col("v"), "centroid_id", "sim_c"
-        )
+        ).localCheckpoint()
         # ivf_assign_join aggregates on the id, so duplicate ids in ``df``
         # would be silently collapsed upstream — enforce the documented
-        # unique-id contract with a count-preservation check (two cheap
-        # scan-count jobs, dwarfed by the pair-mining GEMMs this path
-        # exists to serve; the literal path preserves duplicates and needs
-        # no check).
+        # unique-id contract with a count-preservation check (cheap against
+        # the checkpointed frame; the literal path preserves duplicates and
+        # needs no check).
         n_in, n_as = df.count(), assigned.count()
         if n_in != n_as:
             raise ValueError(

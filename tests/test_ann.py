@@ -1067,3 +1067,55 @@ def test_estimate_corpus_rows_uri_escaped_paths(spark, sf_dir, tmp_path):
     back = spark.read.parquet(p)
     est = A.estimate_corpus_rows(back, dim=64)
     assert est is not None and 50 / 1.2 <= est <= 50 * 1.2
+
+
+def test_ivf_assign_gemm_matches_join_path(spark, sf_dir):
+    """The blocked-GEMM assignment (paper-scale throughput path) must agree
+    with the bit-exact broadcast-join path on the continuous fixture:
+    same argmin cell per row (ties to lowest cid both sides), cosine to
+    the own centroid equal to 1e-9 (float op ORDER differs — documented)."""
+    e = _emb(spark, sf_dir)
+    cents = [r.embedding for r in e.orderBy("vec_id").limit(8).collect()]
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
+    jn = {int(r.vec_id): (int(r.centroid_id), float(r.sim_c))
+          for r in A.ivf_assign_join(e, cents_df, with_cosine=True).collect()}
+    gm = {int(r.vec_id): (int(r.centroid_id), float(r.sim_c))
+          for r in A.ivf_assign_gemm(e, cents_df, with_cosine=True).collect()}
+    assert set(jn) == set(gm)
+    for vid, (cid, sim) in jn.items():
+        g_cid, g_sim = gm[vid]
+        assert g_cid == cid, f"cell mismatch for {vid}: {g_cid} != {cid}"
+        assert abs(g_sim - sim) < 1e-9
+    with pytest.raises(ValueError, match="empty centroid frame"):
+        A.ivf_assign_gemm(
+            e,
+            spark.createDataFrame([], "centroid_id int, centroid array<double>"),
+        )
+
+
+def test_semantic_dedup_gemm_assignment_identical_labels(spark, sf_dir):
+    """semantic_dedup over the GEMM assignment must produce the same
+    (cluster_id, keep) verdicts as the literal path on the fixture."""
+    from educational_vector_database_spark.operators import dedup as D
+
+    e = _emb(spark, sf_dir)
+    cents = [r.embedding for r in e.orderBy("vec_id").limit(4).collect()]
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
+    lit = {
+        int(r.vec_id): (int(r.centroid_id), int(r.cluster_id), bool(r.keep))
+        for r in D.semantic_dedup(e, cents, eps=0.45).collect()
+    }
+    gm = {
+        int(r.vec_id): (int(r.centroid_id), int(r.cluster_id), bool(r.keep))
+        for r in D.semantic_dedup(
+            e, [], eps=0.45,
+            assigned=A.ivf_assign_gemm(e, cents_df, with_cosine=True),
+        ).collect()
+    }
+    assert gm == lit

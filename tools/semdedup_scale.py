@@ -7,13 +7,17 @@ the literal path — but only at K<=500. The SemDeDup paper's setup is 50k
 clusters for LAION; this rehearsal validates the seam at real cell counts:
 
 1. sf1 (/tmp/sf1, 20k x 64): train MLlib KMeans at --n-cells (default
-   5000), run semantic_dedup(assigned=ivf_assign_join(..., with_cosine)),
-   record wall time + broadcast size (centroid frame bytes) + label
-   census. The literal path CANNOT run here (5000 chained whens stop
+   5000), run semantic_dedup over the assignment path picked by
+   --paper-path (default gemm = ivf_assign_gemm, the blocked-matmul
+   throughput path; join = ivf_assign_join, the bit-exact expression
+   path — measured 2,230 s at this shape in round 8, which is WHY the
+   GEMM path exists), record wall time + broadcast size + label census.
+   The literal path CANNOT run here (5000 chained whens stop
    JIT-compiling) — that is the point of the seam.
 2. Parity spot check at a K where the literal path still runs (default
    256, sf0.1): labels (centroid_id, cluster_id, keep) must be
-   bit-identical between the two paths.
+   bit-identical literal-vs-join, and identical literal-vs-gemm on the
+   continuous fixture (GEMM float op order differs; pytest covers both).
 
 Writes SEMDEDUP_SCALE.json (or --out).
 """
@@ -53,6 +57,7 @@ def main() -> int:
     ap.add_argument("--parity-cells", type=int, default=256)
     ap.add_argument("--eps", type=float, default=0.45)
     ap.add_argument("--kmeans-iters", type=int, default=5)
+    ap.add_argument("--paper-path", choices=("gemm", "join"), default="gemm")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SEMDEDUP_SCALE.json"))
@@ -71,7 +76,7 @@ def main() -> int:
 
     out: dict = {}
 
-    # --- phase 1: paper-scale cells via the join path ----------------------
+    # --- phase 1: paper-scale cells via the chosen assignment path ----------------------
     e = spark.read.parquet(os.path.join(a.dir, "embeddings.parquet")) \
         .select("vec_id", "embedding").persist()
     n = e.count()
@@ -97,7 +102,8 @@ def main() -> int:
           f"(broadcast ~{bcast_mb:.1f} MB)", flush=True)
 
     t0 = time.monotonic()
-    assigned = A.ivf_assign_join(e, cents_df, with_cosine=True)
+    assign_fn = A.ivf_assign_gemm if a.paper_path == "gemm" else A.ivf_assign_join
+    assigned = assign_fn(e, cents_df, with_cosine=True)
     labels = D.semantic_dedup(e, [], eps=a.eps, assigned=assigned).persist()
     n_rows = labels.count()
     dedup_s = time.monotonic() - t0
@@ -107,11 +113,13 @@ def main() -> int:
         F.sum(F.col("keep").cast("int")).alias("kept"),
         F.countDistinct("centroid_id").alias("cells_used"),
     ).collect()[0]
-    print(f"semantic_dedup(join path): {n_rows} rows in {dedup_s:.1f}s; "
+    print(f"semantic_dedup({a.paper_path} path): {n_rows} rows in {dedup_s:.1f}s; "
           f"kept={census.kept} clusters={census.clusters} "
           f"cells_used={census.cells_used}", flush=True)
     out["paper_scale"] = {
         "dir": a.dir, "rows": n, "n_cells": a.n_cells,
+        "assignment_path": a.paper_path,
+        "join_path_reference_s": 2230.1,  # round-8 measured, same shape
         "kmeans_iters": a.kmeans_iters, "train_s": round(train_s, 1),
         "broadcast_mb": round(bcast_mb, 1),
         "dedup_s": round(dedup_s, 1),
