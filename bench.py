@@ -266,6 +266,13 @@ def _fresh_session():
         fn = getattr(entrymod, builder, None)
         if fn is not None:
             fn(spark, sf_dir)
+    # Same discipline for the steady-state stream rows: their memoized
+    # source+checkpoint envs build on first use per process; run each once
+    # in setup so the timed rows measure the warm delta-drain only.
+    qs = entrymod.queries()
+    for name in ("stream_events_tumbling_steady", "stream_events_dedup_steady"):
+        if name in qs:
+            qs[name](spark, sf_dir).collect()
     spark.catalog.clearCache()
     return spark
 
