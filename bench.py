@@ -236,6 +236,11 @@ HEADLINE = [
     "knn_two_level_dedup_reps",
     "stream_events_tumbling_steady",
     "stream_events_dedup_steady",
+    # round 9: stream-stream join steady twin (warm interval-join
+    # microbatch through a file sink + checkpoint restart); blocked-GEMM
+    # cell assignment (the paper-scale SemDeDup tier, first driver gate)
+    "stream_events_attribution_steady",
+    "ivf_cells_gemm",
 ]
 
 
@@ -270,7 +275,8 @@ def _fresh_session():
     # source+checkpoint envs build on first use per process; run each once
     # in setup so the timed rows measure the warm delta-drain only.
     qs = entrymod.queries()
-    for name in ("stream_events_tumbling_steady", "stream_events_dedup_steady"):
+    for name in ("stream_events_tumbling_steady", "stream_events_dedup_steady",
+                 "stream_events_attribution_steady"):
         if name in qs:
             qs[name](spark, sf_dir).collect()
     spark.catalog.clearCache()

@@ -87,6 +87,8 @@ def estimate_corpus_rows(
             return None  # unsizable file -> caller falls back to count()
         sizes[p] = sz
         total += sz
+    if total == 0:
+        return None  # empty/zero-byte source: unknown, not a 1-row corpus
     bpr = None
     try:
         import pyarrow.parquet as pq
@@ -386,7 +388,8 @@ def ivf_assign_gemm(
     src = df.select(
         F.col(id_col).alias("id"), V.as_double(vector_col).alias("v")
     )
-    schema = "id long, v array<double>, centroid_id int" + (
+    id_sql_type = df.schema[id_col].dataType.simpleString()
+    schema = f"id {id_sql_type}, v array<double>, centroid_id int" + (
         ", sim_c double" if want_cos else ""
     )
     out = src.mapInPandas(assign, schema)
@@ -1084,6 +1087,93 @@ def _topm_edges(cand: DataFrame, m: int) -> DataFrame:
     )
 
 
+def knn_graph_refine(
+    graph: DataFrame,
+    df: DataFrame,
+    m: int,
+    expand: int = 8,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """One NN-DESCENT round (Dong et al., WWW 2011: "Efficient k-nearest
+    neighbor graph construction for generic similarity measures"): improve
+    a k-NN graph by scoring each node against its neighbors' neighbors —
+    "a neighbor of a neighbor is likely a neighbor". The LSH-bucketed build
+    (:func:`knn_graph`) captures only pairs that collide in some plane set;
+    at 2M×64 that direct-capture rate is a few percent, which caps the
+    walk's reachable recall no matter the beam budget (the round-8 sweep's
+    0.877 ceiling, TWO_LEVEL_RECALL_SWEEP.json). NN-descent closes exactly
+    that gap, using the graph itself as the candidate generator.
+
+    Shape: per node keep its top-``expand`` out-edges AND top-``expand``
+    in-edges (score DESC, id ASC — deterministic), form each node b's
+    symmetric neighborhood {b} ∪ N(b); every ordered pair inside a
+    neighborhood is a candidate, scored by the SAME block-GEMM kernel as
+    the build (bit-identical scores, so old and new edges merge under
+    max()), then per-node top-``m`` over old ∪ new. Each round is
+    monotone: an old edge is only displaced by a strictly better candidate
+    under the total order.
+
+    Scale shape: candidate volume is ≤ (2·expand+1)² per MIDDLE node —
+    independent of corpus size and of hub in-degree (the in-edge cut is
+    capped by the same window) — and lives only inside the vectorized GEMM;
+    the only corpus-sized shuffles are the neighborhood membership list
+    (n·(2·expand+1) rows) and the final top-m. No broadcast of anything
+    corpus-sized, so the round runs identically on a 1000-executor cluster.
+    Fully deterministic and SQL-replicable (the driver gate unrolls it).
+    Returns the refined ``(src, dst, score)`` edge list."""
+    from pyspark.sql import Window
+
+    m_l = metric.lower()
+    if m_l not in V.SUPPORTED_METRICS:
+        raise ValueError(f"Unknown metric: {metric!r}. Supported: {V.SUPPORTED_METRICS}")
+    ex = int(expand)
+    w_f = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    w_r = Window.partitionBy("dst").orderBy(F.desc("score"), F.asc("src"))
+    fwd = (
+        graph.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= ex)
+        .select(F.col("src").alias("b"), F.col("dst").alias("x"))
+    )
+    rev = (
+        graph.withColumn("rn", F.row_number().over(w_r))
+        .filter(F.col("rn") <= ex)
+        .select(F.col("dst").alias("b"), F.col("src").alias("x"))
+    )
+    self_m = df.select(
+        F.col(id_col).alias("b"), F.col(id_col).alias("x")
+    )
+    memb = fwd.union(rev).union(self_m).distinct()
+    vec = df.select(F.col(id_col).alias("x"), V.as_double(vector_col).alias("v"))
+    keyed = memb.join(vec, "x").select(
+        F.col("x").alias("id"), "v",
+        F.lit(0).alias("r"), F.col("b").alias("bkt"),
+    )
+    # neighborhood population is bounded by 2·expand+1 ≪ row_cap, so a
+    # single block per bucket needs no population census
+    packed = _salted_pack(keyed, ["r", "bkt"], 1, 4096)
+    pairs = (
+        packed.alias("a")
+        .join(
+            packed.alias("b"),
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.blk") <= F.col("b.blk")),
+        )
+        .select(
+            (F.col("a.blk") == F.col("b.blk")).alias("same"),
+            F.col("a.rows").alias("rows_a"),
+            F.col("b.rows").alias("rows_b"),
+        )
+    )
+    cand = pairs.mapInPandas(
+        _make_block_topm_kernel(m_l, m), "src long, dst long, score double"
+    )
+    merged = cand.unionByName(graph.select("src", "dst", "score"))
+    return _topm_edges(merged, m)
+
+
 def graph_params_for(n_rows: int) -> dict:
     """Scale-correct graph/walk/BUILD parameters for a FLAT k-NN graph (no
     HNSW hierarchy), encoding the measured degree law (BASELINE.md round-6
@@ -1375,6 +1465,22 @@ def graph_two_level_search_batch(
         # LOWER walk from the lower graph's own hubs instead of silently
         # returning zero rows.
         entries = graph_hub_entries(lower_graph, n_entries=max(1, int(n_descend)))
+        if not entries:
+            # Lower graph edge-less too: brute-force every query against
+            # the (degenerate-tiny) corpus rather than return zero rows.
+            scored = q.crossJoin(nodes).select(
+                "qid", "id",
+                V.similarity(m_l, F.col("nv"), F.col("qv")).alias("score"),
+            )
+            return (
+                scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k)
+                .drop("rn")
+                .select(
+                    F.col("qid").alias(query_id_col),
+                    F.col("id").alias(id_col), "score",
+                )
+            )
         seeds = q.select("qid").crossJoin(
             nodes.select("id").filter(F.col("id").isin(entries))
         )
@@ -1556,6 +1662,16 @@ def graph_two_level_search(
         # LOWER walk from the lower graph's own hubs instead of silently
         # returning zero rows.
         entries = graph_hub_entries(lower_graph, n_entries=max(1, int(n_descend)))
+        if not entries:
+            # Lower graph edge-less too (single-node / fully-disconnected
+            # corpus): no walk can reach anything, so honour the
+            # never-zero-rows contract with an exact brute-force top-k —
+            # the corpus is degenerate-tiny by construction here.
+            return (
+                scored_nodes.orderBy(F.desc("score"), F.asc("id"))
+                .limit(k)
+                .select(F.col("id").alias(id_col), "score")
+            )
         seeds = scored_nodes.filter(F.col("id").isin(entries)).localCheckpoint()
     else:
         seed_up = scored_nodes.filter(F.col("id").isin(entries))

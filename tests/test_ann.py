@@ -1119,3 +1119,164 @@ def test_semantic_dedup_gemm_assignment_identical_labels(spark, sf_dir):
         ).collect()
     }
     assert gm == lit
+
+
+def test_estimate_corpus_rows_zero_byte_source_returns_none(spark, tmp_path):
+    """ADVICE r8: an all-zero-byte source is UNKNOWN (None -> caller falls
+    back to count()), not a 1-row corpus — max(1, ...) must not swallow
+    the degenerate case."""
+    d = tmp_path / "zb"
+    d.mkdir()
+    (d / "part-00000.parquet").touch()  # zero bytes
+    # Can't spark.read an invalid parquet; exercise the estimator via a df
+    # whose inputFiles we fake through a real-but-empty parquet dir written
+    # by Spark (its files are NON-zero), so instead call the size logic by
+    # monkeypatching inputFiles on a real frame.
+    real = spark.range(1).selectExpr("id as vec_id", "array(1.0d) as embedding")
+    p = str(tmp_path / "real.parquet")
+    real.write.parquet(p)
+    back = spark.read.parquet(p)
+    zero_files = ["file://" + str(d / "part-00000.parquet")]
+    back.inputFiles = lambda: zero_files  # type: ignore[method-assign]
+    assert A.estimate_corpus_rows(back, dim=64) is None
+
+
+def test_ivf_assign_gemm_preserves_id_type(spark, sf_dir):
+    """ADVICE r8: the GEMM path must derive the output id type from the
+    source schema — an int (or string) id corpus must round-trip with its
+    type intact and the same labels as the join path, not coerce to long."""
+    e = _emb(spark, sf_dir).limit(64)
+    cents = [r.embedding for r in e.orderBy("vec_id").limit(4).collect()]
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
+    for cast_t in ("int", "string"):
+        src = e.withColumn("vec_id", F.col("vec_id").cast(cast_t))
+        out = A.ivf_assign_gemm(src, cents_df)
+        assert out.schema["vec_id"].dataType.simpleString() == cast_t
+        got = {r.vec_id: int(r.centroid_id) for r in out.collect()}
+        ref = {r.vec_id: int(r.centroid_id)
+               for r in A.ivf_assign_join(src, cents_df).collect()}
+        assert got == ref
+
+
+def test_two_level_search_edgeless_lower_graph_brute_fallback(spark):
+    """ADVICE r8: when BOTH layers are edge-less (hub list empty twice),
+    the standalone functions must brute-force, matching the never-zero-rows
+    contract the class wrappers already honour — single AND batch forms."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id bigint, embedding array<double>",
+    )
+    empty_g = spark.createDataFrame([], "src bigint, dst bigint")
+    res = A.graph_two_level_search(
+        empty_g, empty_g, df, [1.0, 0.1], upper_entry_ids=[], k=2
+    ).collect()
+    assert [int(r.vec_id) for r in res] == [1, 3]
+    qs = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (11, [0.0, 1.0])],
+        "query_id bigint, query_vec array<double>",
+    )
+    batch = A.graph_two_level_search_batch(
+        empty_g, empty_g, df, qs, upper_entry_ids=[], k=2
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(int(r.query_id), []).append(int(r.vec_id))
+    assert got[10] == [1, 3] and got[11] == [2, 3]
+
+
+def test_knn_graph_refine_matches_numpy_reference(spark, sf_dir):
+    """One NN-descent round must equal the literal spec: symmetric
+    top-expand neighborhoods ∪ self, all in-neighborhood pairs rescored,
+    merged with the old edges, per-node top-m (score DESC, dst ASC) —
+    checked edge-for-edge against a driver-side numpy replica."""
+    import numpy as np
+
+    e = _emb(spark, sf_dir).limit(60)
+    rows = e.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    U = X / np.sqrt((X * X).sum(axis=1))[:, None]
+    S = U @ U.T
+
+    planes = [A.hyperplanes(len(X[0]), 3, seed=A.LSH_SEED + r) for r in range(2)]
+    m, expand = 4, 3
+    g = A.knn_graph(e, planes, m=m).persist()
+    base = {(int(r.src), int(r.dst)): float(r.score) for r in g.collect()}
+
+    # numpy replica
+    def topk(items, k):  # items: list of (score, dst)
+        return sorted(items, key=lambda t: (-t[0], t[1]))[:k]
+
+    fwd, rev = {}, {}
+    for (s, d), sc in base.items():
+        fwd.setdefault(s, []).append((sc, d))
+        rev.setdefault(d, []).append((sc, s))
+    memb = {int(i): {int(i)} for i in ids}
+    for b in memb:
+        for sc, d in topk(fwd.get(b, []), expand):
+            memb[b].add(d)
+        for sc, s in topk(rev.get(b, []), expand):
+            memb[b].add(s)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    cand = {}
+    for b, xs in memb.items():
+        xs = sorted(xs)
+        for a in xs:
+            for c in xs:
+                if a != c:
+                    cand[(a, c)] = S[idx[a], idx[c]]
+    for k_, v_ in base.items():
+        cand[k_] = max(cand.get(k_, -np.inf), v_)
+    want = {}
+    per_src = {}
+    for (s, d), sc in cand.items():
+        per_src.setdefault(s, []).append((sc, d))
+    for s, items in per_src.items():
+        for sc, d in topk(items, m):
+            want[(s, d)] = sc
+
+    got = {(int(r.src), int(r.dst)): float(r.score)
+           for r in A.knn_graph_refine(g, e, m=m, expand=expand).collect()}
+    assert set(got) == set(want)
+    for k_ in want:
+        assert abs(got[k_] - want[k_]) < 1e-9, k_
+    g.unpersist()
+
+
+def test_knn_graph_refine_monotone_recall(spark, sf_dir):
+    """Refinement must not lose graph quality: edge recall vs the true
+    top-m neighbor set is >= the base graph's, and a second round >= the
+    first (monotone under the shared total order)."""
+    import numpy as np
+
+    e = _emb(spark, sf_dir).limit(200)
+    rows = e.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    U = X / np.sqrt((X * X).sum(axis=1))[:, None]
+    S = U @ U.T
+    np.fill_diagonal(S, -np.inf)
+    m = 6
+    true_edges = set()
+    for i, vid in enumerate(ids):
+        order = np.argsort(-S[i], kind="stable")[:m]
+        for j in order:
+            true_edges.add((int(vid), int(ids[j])))
+
+    planes = [A.hyperplanes(len(X[0]), 4, seed=A.LSH_SEED + r) for r in range(2)]
+    g0 = A.knn_graph(e, planes, m=m).persist()
+    g1 = A.knn_graph_refine(g0, e, m=m, expand=4).persist()
+    g2 = A.knn_graph_refine(g1, e, m=m, expand=4)
+
+    def edge_recall(g):
+        got = {(int(r.src), int(r.dst)) for r in g.collect()}
+        return len(got & true_edges) / len(true_edges)
+
+    r0, r1, r2 = edge_recall(g0), edge_recall(g1), edge_recall(g2)
+    assert r1 >= r0
+    assert r2 >= r1
+    assert r2 > r0  # two rounds must actually move it on this fixture
+    g0.unpersist(); g1.unpersist()
