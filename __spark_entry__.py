@@ -6448,6 +6448,78 @@ def _knn_graph_edges_oracle() -> str:
 """
 
 
+GRAPH_REFINE_EXPAND = 4
+
+
+def _knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-DESCENT round over the gated graph build (operators/ann.py
+    knn_graph_refine; Dong et al., WWW 2011): per node keep the top-EXPAND
+    out- and in-edges, score every pair inside each symmetric neighborhood
+    with the build's own block-GEMM kernel, merge with the old edges under
+    max(), per-node top-GRAPH_M. The round-9 recall lever at 2M rows —
+    LSH direct capture bounds what any walk budget can reach
+    (TWO_LEVEL_RECALL_SWEEP.json's 0.877 ceiling); NN-descent uses the
+    graph itself as the candidate generator. Fully deterministic (score
+    DESC, dst ASC everywhere), so the ENTIRE refined edge list
+    hash-checks against the unrolled SQL replica."""
+    e = _emb(spark, sf_dir)
+    g = _build_graph(e)
+    return A.knn_graph_refine(
+        g, e, m=GRAPH_M, expand=GRAPH_REFINE_EXPAND
+    ).select(
+        "src", "dst",
+        F.floor(F.col("score") * F.lit(1e12)).cast("long").alias("score_pico"),
+    )
+
+
+def _knn_graph_refined_oracle() -> str:
+    ex = GRAPH_REFINE_EXPAND
+    return f"""
+    WITH {_graph_cte()},
+    fwd AS (
+        SELECT src AS b, dst AS x FROM (
+            SELECT src, dst, row_number() OVER (
+                PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+            FROM graph) WHERE rn <= {ex}
+    ),
+    rev AS (
+        SELECT dst AS b, src AS x FROM (
+            SELECT src, dst, row_number() OVER (
+                PARTITION BY dst ORDER BY score DESC, src ASC) AS rn
+            FROM graph) WHERE rn <= {ex}
+    ),
+    memb AS MATERIALIZED (
+        SELECT DISTINCT b, x FROM (
+            SELECT b, x FROM fwd
+            UNION ALL SELECT b, x FROM rev
+            UNION ALL SELECT vec_id AS b, vec_id AS x FROM e
+        )
+    ),
+    candr AS (
+        SELECT DISTINCT m1.x AS src, m2.x AS dst
+        FROM memb m1 JOIN memb m2 ON m1.b = m2.b AND m1.x <> m2.x
+    ),
+    scoredr AS (
+        SELECT c.src, c.dst, list_dot_product(ua.uv, ub.uv) AS score
+        FROM candr c
+        JOIN u ua ON c.src = ua.vec_id
+        JOIN u ub ON c.dst = ub.vec_id
+    ),
+    refined AS (
+        SELECT src, dst, max(score) AS score FROM (
+            SELECT src, dst, score FROM scoredr
+            UNION ALL SELECT src, dst, score FROM graph
+        ) GROUP BY src, dst
+    )
+    SELECT src, dst, CAST(floor(score * 1e12) AS BIGINT) AS score_pico
+    FROM (
+        SELECT src, dst, score, row_number() OVER (
+            PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+        FROM refined
+    ) WHERE rn <= {GRAPH_M}
+"""
+
+
 def _walk_hops_ctes(
     pfx: str = "",
     graph: str = "graph",
@@ -9637,6 +9709,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays gated via the two in-window graph roundtrips §2 N5; gated
         # green r07-r08). All four stay check_oracle-covered at three
         # scales.
+        # Round-9 second rotation (new operator this round, policy #2):
+        # IN knn_graph_refined (one NN-descent round — the round-9
+        # recall lever, whole edge list hash-checked); OUT
+        # search_doc_maxsim (driver-gated green r07-r08; retrieval
+        # keeps search_bm25 + search_mmr_diverse + rag_context_budget
+        # in-window; stays check_oracle-covered at three scales).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -9679,7 +9757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stats_by_lang": _docs_stats_by_lang,
         "ivf_train_converged": _ivf_train_converged,
         "knn_ivf_rebalanced": _knn_ivf_rebalanced,
-        "search_doc_maxsim": _search_doc_maxsim,
+        "knn_graph_refined": _knn_graph_refined,
         "stream_events_dedup_steady": _stream_events_dedup_steady,
         "stream_events_attribution_steady": _stream_events_attribution_steady,
         "rag_context_budget": _rag_context_budget,
@@ -9693,6 +9771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated OUT in round 8 (driver-gated green in r07; families keep
         # 4+ and 2 in-window rows respectively):
         "knn_join_pq": _knn_join_pq,
+        "search_doc_maxsim": _search_doc_maxsim,
         "knn_graph_dedup_reps": _knn_graph_dedup_reps,
         "knn_pq_adc": _knn_pq_adc,
         "knn_ivfpq_disk_roundtrip": _knn_ivfpq_disk_roundtrip,
@@ -10107,6 +10186,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_rebalanced": _KNN_IVF_REBALANCED_ORACLE,
         "knn_ivf_disk_roundtrip": _KNN_IVF_DISK_ORACLE,
         "knn_graph_edges": _knn_graph_edges_oracle(),
+        "knn_graph_refined": _knn_graph_refined_oracle(),
         "knn_graph_beam": _knn_graph_beam_oracle(),
         "knn_graph_beam_centroids": _knn_graph_beam_centroids_oracle(),
         "knn_graph_two_level": _knn_graph_two_level_oracle(),

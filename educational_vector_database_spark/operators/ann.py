@@ -1736,6 +1736,8 @@ class GraphIndex:
         seed: int = LSH_SEED,
         blocks_per_bucket: int | None = None,
         row_cap: int = 4096,
+        refine_rounds: int = 0,
+        refine_expand: int = 8,
     ):
         self.n_plane_sets = n_plane_sets
         self.n_planes = n_planes
@@ -1746,6 +1748,16 @@ class GraphIndex:
         self.seed = seed
         self.blocks_per_bucket = blocks_per_bucket
         self.row_cap = row_cap
+        # NN-descent rounds applied after each BUILD (knn_graph_refine —
+        # the round-9 recall lever at 2M+). The pure-append fold-in path
+        # stays refine-free BY DESIGN: its bit-equal-to-rebuild theorem
+        # assumes old edges are the LSH candidates' top-M; refined edges
+        # are a superset-quality graph, so after a fold-in the graph stays
+        # monotone-good but is not bit-equal to a refined rebuild — callers
+        # wanting that invariant rebuild (the gated incremental row pins
+        # refine_rounds=0).
+        self.refine_rounds = int(refine_rounds)
+        self.refine_expand = int(refine_expand)
         self._edges: DataFrame | None = None
         self._indexed_rows = -1
         self._entries: list[int] | None = None
@@ -1788,8 +1800,21 @@ class GraphIndex:
             metric=self.metric,
             blocks_per_bucket=self.blocks_per_bucket,
             row_cap=self.row_cap,
-        ).persist()
+        )
+        inters = []
+        for _ in range(self.refine_rounds):
+            prev = edges.persist()
+            prev.count()
+            inters.append(prev)
+            edges = knn_graph_refine(
+                prev, df, m=self.m, expand=self.refine_expand,
+                id_col=self.id_col, vector_col=self.vector_col,
+                metric=self.metric,
+            )
+        edges = edges.persist()
         edges.count()
+        for p in inters:
+            p.unpersist()
         self._edges = edges
         self._indexed_rows = df.count()
         self._entries = None
@@ -1918,6 +1943,8 @@ class GraphIndex:
             "seed": self.seed,
             "blocks_per_bucket": self.blocks_per_bucket,
             "row_cap": self.row_cap,
+            "refine_rounds": self.refine_rounds,
+            "refine_expand": self.refine_expand,
             "indexed_rows": self._indexed_rows,
             "dim": self._dim,
             "corpus_fp": self._corpus_fp,
@@ -1944,6 +1971,8 @@ class GraphIndex:
                 else None
             ),
             row_cap=int(meta.get("row_cap", 4096)),
+            refine_rounds=int(meta.get("refine_rounds", 0)),
+            refine_expand=int(meta.get("refine_expand", 8)),
         )
         idx._edges = spark.read.parquet(path)
         idx._indexed_rows = int(meta["indexed_rows"])
@@ -1987,12 +2016,15 @@ class TwoLevelGraphIndex:
         seed: int = LSH_SEED,
         salt: str = "hnsw_upper",
         row_cap: int = 4096,
+        refine_rounds: int = 0,
+        refine_expand: int = 8,
     ):
         self.level_mult = int(level_mult)
         self.salt = salt
         kw = dict(
             n_plane_sets=n_plane_sets, n_planes=n_planes, metric=metric,
             id_col=id_col, vector_col=vector_col, seed=seed, row_cap=row_cap,
+            refine_rounds=refine_rounds, refine_expand=refine_expand,
         )
         self.lower = GraphIndex(m=m_lower, **kw)
         self.upper = GraphIndex(m=m_upper, **kw)

@@ -1280,3 +1280,22 @@ def test_knn_graph_refine_monotone_recall(spark, sf_dir):
     assert r2 >= r1
     assert r2 > r0  # two rounds must actually move it on this fixture
     g0.unpersist(); g1.unpersist()
+
+
+def test_graph_index_refine_rounds_build_and_sidecar(spark, sf_dir, tmp_path):
+    """GraphIndex(refine_rounds=1) must build refine(knn_graph(df)) exactly
+    (the composable operators are the contract), and the sidecar must
+    round-trip the refine params."""
+    e = _emb(spark, sf_dir).limit(80)
+    idx = A.GraphIndex(m=6, n_planes=3, refine_rounds=1, refine_expand=3)
+    idx.build(e)
+    got = {(int(r.src), int(r.dst)) for r in idx._edges.collect()}
+    base = A.knn_graph(e, idx._plane_sets(idx._infer_dim(e)), m=6)
+    want = {(int(r.src), int(r.dst))
+            for r in A.knn_graph_refine(base, e, m=6, expand=3).collect()}
+    assert got == want
+    p = str(tmp_path / "gidx")
+    idx.save(p)
+    back = A.GraphIndex.load(spark, p)
+    assert back.refine_rounds == 1 and back.refine_expand == 3
+    assert back._edges.count() == len(want)
