@@ -56,6 +56,10 @@ def main() -> int:
     ap.add_argument("--m", type=int, default=32)
     ap.add_argument("--expand", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--skip-base-walks", action="store_true",
+                    help="base graph still builds (refine input) but its "
+                         "walk points are not re-measured (r8 sweep + this "
+                         "round's first attempt already have them)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "TWO_LEVEL_BUILD_SWEEP.json"))
@@ -67,7 +71,7 @@ def main() -> int:
         .appName("two_level_build_sweep")
         .config("spark.sql.shuffle.partitions", str(int(cpus)))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "64g")
+        .config("spark.driver.memory", "44g")
         .config("spark.local.dir", "/tmp/spark_build_sweep")
         .getOrCreate()
     )
@@ -166,7 +170,8 @@ def main() -> int:
             print(f"[{tag}] {json.dumps(pt)}", flush=True)
             dump()
 
-    sweep("base_m32_R4", ug, lg, base_build_s)
+    if not a.skip_base_walks:
+        sweep("base_m32_R4", ug, lg, base_build_s)
 
     # ---- NN-descent rounds on both layers ----
     ug_r, lg_r = ug, lg
