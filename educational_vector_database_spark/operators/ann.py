@@ -1174,6 +1174,46 @@ def knn_graph_refine(
     return _topm_edges(merged, m)
 
 
+def symmetrize_edges(graph: DataFrame, m_rev: int = 8) -> DataFrame:
+    """Make a directed k-NN graph walkable in BOTH directions — the batch
+    analog of HNSW's bidirectional links (reference src/vectordb/ann.py
+    builds on hnswlib, whose ``add_point`` inserts the REVERSE link of every
+    edge and prunes each node back to M). A pure out-edge top-m digraph
+    concentrates in-degree on hub nodes: most nodes are reachable only
+    through edges that point AWAY from them, so a beam walk stalls in hub
+    basins and recall saturates no matter the beam/hops budget (the round-8
+    walk sweep's 0.877 ceiling at 2M — every budget knob moved, recall
+    didn't).
+
+    Shape: the reversal is capped PER REVERSED-SOURCE NODE — for each
+    original dst keep only its top-``m_rev`` in-edges (score DESC, src ASC,
+    one window over the edge list) before flipping them — so a hub with
+    in-degree 10⁵ contributes ``m_rev`` reverse edges, never 10⁵, and the
+    walk's per-hop expansion stays bounded by m + m_rev. Edges already
+    present in both directions dedup under max(score) (scores are
+    symmetric: same kernel, same pair). One window + the shared
+    single-Exchange dedup tail — no corpus-sized shuffle beyond the edge
+    list itself, so the transform is a constant-factor pass at any scale.
+    Deterministic and SQL-replicable (window + union + group-max).
+    Returns ``(src, dst, score)``."""
+    from pyspark.sql import Window
+
+    w_in = Window.partitionBy("dst").orderBy(F.desc("score"), F.asc("src"))
+    rev = (
+        graph.withColumn("rn", F.row_number().over(w_in))
+        .filter(F.col("rn") <= int(m_rev))
+        .select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
+        )
+    )
+    return (
+        graph.select("src", "dst", "score")
+        .unionByName(rev)
+        .groupBy("src", "dst")
+        .agg(F.max("score").alias("score"))
+    )
+
+
 def graph_params_for(n_rows: int) -> dict:
     """Scale-correct graph/walk/BUILD parameters for a FLAT k-NN graph (no
     HNSW hierarchy), encoding the measured degree law (BASELINE.md round-6

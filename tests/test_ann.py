@@ -1282,6 +1282,80 @@ def test_knn_graph_refine_monotone_recall(spark, sf_dir):
     g0.unpersist(); g1.unpersist()
 
 
+def test_symmetrize_edges_matches_numpy_reference(spark, sf_dir):
+    """symmetrize_edges must equal the literal spec: per-dst top-m_rev
+    in-edges (score DESC, src ASC) reversed, unioned with the original
+    edges, deduped under max(score) — checked edge-for-edge against a
+    driver-side replica."""
+    e = _emb(spark, sf_dir).limit(80)
+    planes = [A.hyperplanes(len(e.head().embedding), 3, seed=A.LSH_SEED + r)
+              for r in range(2)]
+    m, m_rev = 5, 3
+    g = A.knn_graph(e, planes, m=m).persist()
+    base = {(int(r.src), int(r.dst)): float(r.score) for r in g.collect()}
+
+    by_dst: dict = {}
+    for (s, d), sc in base.items():
+        by_dst.setdefault(d, []).append((sc, s))
+    want = dict(base)
+    for d, items in by_dst.items():
+        for sc, s in sorted(items, key=lambda t: (-t[0], t[1]))[:m_rev]:
+            key = (d, s)
+            want[key] = max(want.get(key, -float("inf")), sc)
+
+    got = {(int(r.src), int(r.dst)): float(r.score)
+           for r in A.symmetrize_edges(g, m_rev=m_rev).collect()}
+    assert set(got) == set(want)
+    for k_ in want:
+        assert abs(got[k_] - want[k_]) < 1e-9, k_
+    g.unpersist()
+
+
+def test_symmetrize_edges_bounds_degree_and_recall(spark, sf_dir):
+    """The reversal is degree-capped (out-degree <= m + m_rev even at
+    hub nodes), and walking the symmetrized graph never loses recall vs
+    the directed graph at the same walk budget (bidirectional links only
+    ADD reachability; HNSW's construction invariant)."""
+    import numpy as np
+
+    e = _emb(spark, sf_dir).limit(300).persist()
+    rows = e.orderBy("vec_id").collect()
+    ids = [int(r.vec_id) for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    U = X / np.sqrt((X * X).sum(axis=1))[:, None]
+
+    planes = [A.hyperplanes(X.shape[1], 4, seed=A.LSH_SEED + r) for r in range(2)]
+    m, m_rev, k = 6, 6, 5
+    g = A.knn_graph(e, planes, m=m).persist()
+    gs = A.symmetrize_edges(g, m_rev=m_rev).persist()
+
+    deg = gs.groupBy("src").count().agg(F.max("count")).first()[0]
+    assert deg <= m + m_rev
+
+    q = e.limit(16).select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").alias("query_vec"))
+    S = U @ U.T
+    truth = {}
+    for r in q.collect():
+        i = ids.index(int(r.query_id))
+        order = np.argsort(-S[i], kind="stable")[:k]
+        truth[int(r.query_id)] = {ids[j] for j in order}
+    entries = A.graph_hub_entries(g, 4)
+
+    def recall(graph):
+        got: dict = {}
+        res = A.graph_beam_search_batch(graph, e, q, entries,
+                                        beam=12, hops=4, k=k)
+        for r in res.collect():
+            got.setdefault(int(r.query_id), set()).add(int(r.vec_id))
+        hits = sum(len(got.get(qid, set()) & want)
+                   for qid, want in truth.items())
+        return hits / sum(len(want) for want in truth.values())
+
+    assert recall(gs) >= recall(g)
+    g.unpersist(); gs.unpersist(); e.unpersist()
+
+
 def test_graph_index_refine_rounds_build_and_sidecar(spark, sf_dir, tmp_path):
     """GraphIndex(refine_rounds=1) must build refine(knn_graph(df)) exactly
     (the composable operators are the contract), and the sidecar must
