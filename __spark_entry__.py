@@ -6520,6 +6520,48 @@ def _knn_graph_refined_oracle() -> str:
 """
 
 
+GRAPH_SYM_M_REV = 8
+
+
+def _knn_graph_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-capped edge SYMMETRIZATION over the gated graph build
+    (operators/ann.py symmetrize_edges — the batch analog of hnswlib's
+    bidirectional link insertion, reference src/vectordb/ann.py builds on
+    hnswlib whose add_point inserts the reverse of every edge). A top-m
+    digraph concentrates in-degree on hubs and stalls out-edge-only walks;
+    the reversal is capped per reversed-source (top-GRAPH_SYM_M_REV
+    in-edges by score DESC, src ASC) so hub in-degree never inflates
+    per-hop expansion. Deterministic (one window + union + group-max), so
+    the ENTIRE symmetrized edge list hash-checks against the SQL replica —
+    the round-9 navigability lever, graph-transform parity."""
+    e = _emb(spark, sf_dir)
+    g = _build_graph(e)
+    return A.symmetrize_edges(g, m_rev=GRAPH_SYM_M_REV).select(
+        "src", "dst",
+        F.floor(F.col("score") * F.lit(1e12)).cast("long").alias("score_pico"),
+    )
+
+
+def _knn_graph_sym_oracle() -> str:
+    return f"""
+    WITH {_graph_cte()},
+    rev AS (
+        SELECT dst AS src, src AS dst, score FROM (
+            SELECT src, dst, score, row_number() OVER (
+                PARTITION BY dst ORDER BY score DESC, src ASC) AS rn
+            FROM graph) WHERE rn <= {GRAPH_SYM_M_REV}
+    ),
+    sym AS (
+        SELECT src, dst, max(score) AS score FROM (
+            SELECT src, dst, score FROM graph
+            UNION ALL SELECT src, dst, score FROM rev
+        ) GROUP BY src, dst
+    )
+    SELECT src, dst, CAST(floor(score * 1e12) AS BIGINT) AS score_pico
+    FROM sym
+"""
+
+
 def _walk_hops_ctes(
     pfx: str = "",
     graph: str = "graph",
@@ -9715,6 +9757,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # search_doc_maxsim (driver-gated green r07-r08; retrieval
         # keeps search_bm25 + search_mmr_diverse + rag_context_budget
         # in-window; stays check_oracle-covered at three scales).
+        # Round-9 third rotation (new operator this round, policy #2):
+        # IN knn_graph_sym (degree-capped edge symmetrization — the
+        # round-9 NAVIGABILITY lever behind the 2M recall operating
+        # point, whole symmetrized edge list hash-checked); OUT
+        # ivf_cells_join (driver-gated green r08; the assignment family
+        # keeps ivf_cells, ivf_cells_gemm, ivf_train_converged and
+        # knn_ivf_rebalanced in-window; stays check_oracle-covered at
+        # three scales).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -9749,7 +9799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hamming": _knn_hamming,
         "search_mmr_diverse": _search_mmr_diverse,
         "search_bm25": _search_bm25,
-        "ivf_cells_join": _ivf_cells_join,
+        "knn_graph_sym": _knn_graph_sym,
         "rag_answer": _rag_answer,
         "neardup_brp_lsh": _neardup_brp_lsh,
         "doc_quality": _doc_quality,
@@ -9768,6 +9818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
         "knn_ivf_hamming": _knn_ivf_hamming,
+        "ivf_cells_join": _ivf_cells_join,
         # rotated OUT in round 8 (driver-gated green in r07; families keep
         # 4+ and 2 in-window rows respectively):
         "knn_join_pq": _knn_join_pq,
@@ -10187,6 +10238,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_disk_roundtrip": _KNN_IVF_DISK_ORACLE,
         "knn_graph_edges": _knn_graph_edges_oracle(),
         "knn_graph_refined": _knn_graph_refined_oracle(),
+        "knn_graph_sym": _knn_graph_sym_oracle(),
         "knn_graph_beam": _knn_graph_beam_oracle(),
         "knn_graph_beam_centroids": _knn_graph_beam_centroids_oracle(),
         "knn_graph_two_level": _knn_graph_two_level_oracle(),

@@ -1778,6 +1778,7 @@ class GraphIndex:
         row_cap: int = 4096,
         refine_rounds: int = 0,
         refine_expand: int = 8,
+        sym_m_rev: int = 0,
     ):
         self.n_plane_sets = n_plane_sets
         self.n_planes = n_planes
@@ -1798,6 +1799,13 @@ class GraphIndex:
         # refine_rounds=0).
         self.refine_rounds = int(refine_rounds)
         self.refine_expand = int(refine_expand)
+        # Degree-capped bidirectional links applied after each BUILD
+        # (symmetrize_edges — HNSW's reverse-link insertion in batch form).
+        # Like refine_rounds, this voids the fold-in bit-equal theorem —
+        # worse, re-topping a symmetrized union to m would DROP reverse
+        # edges — so with sym_m_rev > 0 any size drift rebuilds (ensure
+        # guards on it; HNSW-analog maintenance is amortized-rebuild here).
+        self.sym_m_rev = int(sym_m_rev)
         self._edges: DataFrame | None = None
         self._indexed_rows = -1
         self._entries: list[int] | None = None
@@ -1851,6 +1859,8 @@ class GraphIndex:
                 id_col=self.id_col, vector_col=self.vector_col,
                 metric=self.metric,
             )
+        if self.sym_m_rev > 0:
+            edges = symmetrize_edges(edges, m_rev=self.sym_m_rev)
         edges = edges.persist()
         edges.count()
         for p in inters:
@@ -1895,7 +1905,8 @@ class GraphIndex:
         delta = df.join(indexed_ids, self.id_col, "left_anti")
         corpus = df.join(indexed_ids, self.id_col, "left_semi")
         if (
-            corpus.count() == self._indexed_rows
+            self.sym_m_rev == 0
+            and corpus.count() == self._indexed_rows
             and delta.count() == n - self._indexed_rows
             and self._corpus_fp is not None
             and corpus_fingerprint(corpus, self.id_col, self.vector_col)
@@ -1985,6 +1996,7 @@ class GraphIndex:
             "row_cap": self.row_cap,
             "refine_rounds": self.refine_rounds,
             "refine_expand": self.refine_expand,
+            "sym_m_rev": self.sym_m_rev,
             "indexed_rows": self._indexed_rows,
             "dim": self._dim,
             "corpus_fp": self._corpus_fp,
@@ -2013,6 +2025,7 @@ class GraphIndex:
             row_cap=int(meta.get("row_cap", 4096)),
             refine_rounds=int(meta.get("refine_rounds", 0)),
             refine_expand=int(meta.get("refine_expand", 8)),
+            sym_m_rev=int(meta.get("sym_m_rev", 0)),
         )
         idx._edges = spark.read.parquet(path)
         idx._indexed_rows = int(meta["indexed_rows"])
@@ -2058,6 +2071,7 @@ class TwoLevelGraphIndex:
         row_cap: int = 4096,
         refine_rounds: int = 0,
         refine_expand: int = 8,
+        sym_m_rev: int = 0,
     ):
         self.level_mult = int(level_mult)
         self.salt = salt
@@ -2065,6 +2079,7 @@ class TwoLevelGraphIndex:
             n_plane_sets=n_plane_sets, n_planes=n_planes, metric=metric,
             id_col=id_col, vector_col=vector_col, seed=seed, row_cap=row_cap,
             refine_rounds=refine_rounds, refine_expand=refine_expand,
+            sym_m_rev=sym_m_rev,
         )
         self.lower = GraphIndex(m=m_lower, **kw)
         self.upper = GraphIndex(m=m_upper, **kw)
@@ -2194,6 +2209,9 @@ class TwoLevelGraphIndex:
             seed=lower.seed,
             salt=meta.get("salt", "hnsw_upper"),
             row_cap=lower.row_cap,
+            refine_rounds=lower.refine_rounds,
+            refine_expand=lower.refine_expand,
+            sym_m_rev=lower.sym_m_rev,
         )
         idx.lower = lower
         idx.upper = upper

@@ -1373,3 +1373,56 @@ def test_graph_index_refine_rounds_build_and_sidecar(spark, sf_dir, tmp_path):
     back = A.GraphIndex.load(spark, p)
     assert back.refine_rounds == 1 and back.refine_expand == 3
     assert back._edges.count() == len(want)
+
+def test_graph_index_sym_m_rev_build_and_sidecar(spark, sf_dir, tmp_path):
+    """GraphIndex(sym_m_rev=K) must build symmetrize_edges(knn_graph(df))
+    exactly (the composable operators are the contract), the sidecar must
+    round-trip the knob, and ensure() on a pure append must REBUILD (the
+    fold-in theorem is void once reverse edges exist: re-topping the
+    symmetrized union to m would drop them)."""
+    e = _emb(spark, sf_dir).limit(80)
+    idx = A.GraphIndex(m=6, n_planes=3, sym_m_rev=4)
+    idx.build(e)
+    got = {(int(r.src), int(r.dst)) for r in idx._edges.collect()}
+    base = A.knn_graph(e, idx._plane_sets(idx._infer_dim(e)), m=6)
+    want = {(int(r.src), int(r.dst))
+            for r in A.symmetrize_edges(base, m_rev=4).collect()}
+    assert got == want
+    # every edge walkable both ways up to the cap: reversal of a kept
+    # in-edge must be present
+    p = str(tmp_path / "gidx_sym")
+    idx.save(p)
+    back = A.GraphIndex.load(spark, p)
+    assert back.sym_m_rev == 4
+    assert back._edges.count() == len(want)
+    # pure append: sym graph must rebuild (NOT fold in) — the rebuilt
+    # edge set equals symmetrize(knn_graph(full)) exactly
+    full = _emb(spark, sf_dir).limit(100)
+    idx.ensure(full)
+    got2 = {(int(r.src), int(r.dst)) for r in idx._edges.collect()}
+    base2 = A.knn_graph(full, idx._plane_sets(idx._infer_dim(full)), m=6)
+    want2 = {(int(r.src), int(r.dst))
+             for r in A.symmetrize_edges(base2, m_rev=4).collect()}
+    assert got2 == want2
+
+
+def test_two_level_index_sym_m_rev_passthrough(spark, sf_dir, tmp_path):
+    """TwoLevelGraphIndex(sym_m_rev=K) symmetrizes BOTH layers and the
+    meta sidecar round-trips the knob through save/load."""
+    e = _emb(spark, sf_dir).limit(120)
+    idx = A.TwoLevelGraphIndex(
+        level_mult=4, m_lower=6, m_upper=6, n_planes=3, sym_m_rev=4
+    )
+    idx.build(e)
+    assert idx.lower.sym_m_rev == 4 and idx.upper.sym_m_rev == 4
+    lo = {(int(r.src), int(r.dst)) for r in idx.lower._edges.collect()}
+    base = A.knn_graph(e, idx.lower._plane_sets(idx.lower._infer_dim(e)), m=6)
+    want = {(int(r.src), int(r.dst))
+            for r in A.symmetrize_edges(base, m_rev=4).collect()}
+    assert lo == want
+    p = str(tmp_path / "tl_sym")
+    idx.save(p)
+    back = A.TwoLevelGraphIndex.load(spark, p)
+    assert back.lower.sym_m_rev == 4 and back.upper.sym_m_rev == 4
+    r = back.query(e, e.head().embedding, k=5, assume_fresh=True)
+    assert r.count() == 5

@@ -58,6 +58,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/tmp/ab_big")
     ap.add_argument("--cache", default="/tmp/sym_exp")
+    ap.add_argument("--big-n", type=int, default=2_000_000,
+                    help="corpus rows to generate if --dir is missing")
     ap.add_argument("--n-queries", type=int, default=128)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--m", type=int, default=32)
@@ -85,7 +87,14 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpus = spark.read.parquet(os.path.join(a.dir, "embeddings.parquet")) \
+    big_path = os.path.join(a.dir, "embeddings.parquet")
+    if not os.path.isdir(big_path):
+        from tools.two_level_ab import gen_gaussian_corpus
+        t0 = time.monotonic()
+        gen_gaussian_corpus(spark, big_path, a.big_n, 64)
+        print(f"generated {a.big_n} x 64 in {time.monotonic() - t0:.1f}s",
+              flush=True)
+    corpus = spark.read.parquet(big_path) \
         .select("vec_id", "embedding").persist()
     n = corpus.count()
     dim = len(corpus.head().embedding)
@@ -178,13 +187,19 @@ def main() -> int:
             recall = hits / sum(len(want) for want in truth.values())
             seed_up = q.select("qid").crossJoin(
                 nodes.select("id").filter(F.col("id").isin(hubs)))
+            # persist the upper visited frame: seeds AND the count both
+            # consume it, and without the pin the lower walk re-runs the
+            # entire upper recurrence (the untimed rows-touched pass was
+            # ~3x the timed walk — why the r9 wave-2 sweep crawled)
             v_up = A._beam_visited_batch(q, nodes, ug_, seed_up, beam_up,
-                                         hops_up, "cosine", True)
+                                         hops_up, "cosine", True).persist()
+            n_up_visited = v_up.count()
             seeds = (v_up.withColumn("rn", F.row_number().over(w))
                      .filter(F.col("rn") <= n_descend).select("qid", "id"))
             v_lo = A._beam_visited_batch(q, nodes, lg_, seeds, beam, hops,
                                          "cosine", True)
-            touched = (v_up.count() + v_lo.count()) / nq
+            touched = (n_up_visited + v_lo.count()) / nq
+            v_up.unpersist()
             pt = {
                 "beam_up": beam_up, "hops_up": hops_up,
                 "n_descend": n_descend, "beam": beam, "hops": hops,
