@@ -6520,6 +6520,89 @@ def _knn_graph_refined_oracle() -> str:
 """
 
 
+GRAPH_CELLS_ASSIGNS = 2
+
+
+def _graph_cells_centroids_df(spark: SparkSession, sf_dir: str):
+    cents = _ivf_centroids(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
+
+
+def _knn_graph_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph with K-MEANS-CELL candidate generation (operators/ann.py
+    knn_graph_cells — same reference analog as knn_graph: HNSW graph
+    construction, src/vectordb/ann.py:21-76). The round-9 capture
+    forensics (REFINE_CONVERGENCE.json): data-oblivious sign-LSH planes
+    capture a true-neighbor pair with probability that DECAYS in corpus
+    size (2.9% direct edge capture at 2M — no walk budget, NN-descent
+    round, or symmetrization recovers); k-means cells move with the data.
+    Each node joins its GRAPH_CELLS_ASSIGNS nearest fixture cells
+    (bit-exact expression distances, ties to lowest cid), pairs sharing a
+    cell are scored by the build's block-GEMM kernel, per-node top-M.
+    Fully deterministic, whole edge list hash-checked; the GEMM assignment
+    tier is pytest-pinned edge-identical and gated via the _gemm twin."""
+    e = _emb(spark, sf_dir)
+    cents = _graph_cells_centroids_df(spark, sf_dir)
+    return A.knn_graph_cells(
+        e, cents, m=GRAPH_M, assigns=GRAPH_CELLS_ASSIGNS, assign_tier="expr"
+    ).select(
+        "src", "dst",
+        F.floor(F.col("score") * F.lit(1e12)).cast("long").alias("score_pico"),
+    )
+
+
+def _knn_graph_cells_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THROUGHPUT tier of _knn_graph_cells: top-A cells via the blocked
+    GEMM (np.argsort(d², stable) — ties to lowest cid, the ivf_assign_gemm
+    contract). Same oracle: the two assignment tiers are edge-identical by
+    contract on continuous fixtures (pytest-pinned, like the IVF tiers)."""
+    e = _emb(spark, sf_dir)
+    cents = _graph_cells_centroids_df(spark, sf_dir)
+    return A.knn_graph_cells(
+        e, cents, m=GRAPH_M, assigns=GRAPH_CELLS_ASSIGNS, assign_tier="gemm"
+    ).select(
+        "src", "dst",
+        F.floor(F.col("score") * F.lit(1e12)).cast("long").alias("score_pico"),
+    )
+
+
+def _knn_graph_cells_oracle() -> str:
+    return f"""
+    WITH ce AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < {N_IVF_CELLS}),
+    ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    uu AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+        FROM ee),
+    da AS (
+        SELECT ee.vec_id, ce.cid, row_number() OVER (
+            PARTITION BY ee.vec_id
+            ORDER BY list_distance(ee.v, ce.cv) ASC, ce.cid ASC) AS rn
+        FROM ee CROSS JOIN ce
+    ),
+    memb AS MATERIALIZED (
+        SELECT vec_id, cid FROM da WHERE rn <= {GRAPH_CELLS_ASSIGNS}),
+    candc AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM memb a JOIN memb b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+    scoredc AS (
+        SELECT c.src, c.dst, list_dot_product(ua.uv, ub.uv) AS score
+        FROM candc c
+        JOIN uu ua ON c.src = ua.vec_id
+        JOIN uu ub ON c.dst = ub.vec_id)
+    SELECT src, dst, CAST(floor(score * 1e12) AS BIGINT) AS score_pico
+    FROM (
+        SELECT src, dst, score, row_number() OVER (
+            PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+        FROM scoredc
+    ) WHERE rn <= {GRAPH_M}
+"""
+
+
 GRAPH_SYM_M_REV = 8
 
 
@@ -9765,6 +9848,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps ivf_cells, ivf_cells_gemm, ivf_train_converged and
         # knn_ivf_rebalanced in-window; stays check_oracle-covered at
         # three scales).
+        # Round-9 fourth rotation (new operator this round, policy #2):
+        # IN knn_graph_cells (k-means-cell candidate generation — the
+        # structural fix for the LSH capture wall the round-9 forensics
+        # located, whole edge list hash-checked; the GEMM assignment twin
+        # is oracle-covered out-of-window and pytest-pinned
+        # edge-identical); OUT knn_hamming (driver-gated green r06-r08;
+        # the BQ family keeps bq_codes §2 N2 in-window; stays
+        # check_oracle-covered at three scales).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -9796,7 +9887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_two_level_disk_roundtrip": _knn_two_level_disk_roundtrip,
         "stream_events_tumbling_steady": _stream_events_tumbling_steady,
         "bq_codes": _bq_codes,
-        "knn_hamming": _knn_hamming,
+        "knn_graph_cells": _knn_graph_cells,
         "search_mmr_diverse": _search_mmr_diverse,
         "search_bm25": _search_bm25,
         "knn_graph_sym": _knn_graph_sym,
@@ -9819,6 +9910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still oracle-declared and covered by tools/check_oracle.py ---
         "knn_ivf_hamming": _knn_ivf_hamming,
         "ivf_cells_join": _ivf_cells_join,
+        "knn_hamming": _knn_hamming,
+        "knn_graph_cells_gemm": _knn_graph_cells_gemm,
         # rotated OUT in round 8 (driver-gated green in r07; families keep
         # 4+ and 2 in-window rows respectively):
         "knn_join_pq": _knn_join_pq,
@@ -10239,6 +10332,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_edges": _knn_graph_edges_oracle(),
         "knn_graph_refined": _knn_graph_refined_oracle(),
         "knn_graph_sym": _knn_graph_sym_oracle(),
+        "knn_graph_cells": _knn_graph_cells_oracle(),
+        "knn_graph_cells_gemm": _knn_graph_cells_oracle(),
         "knn_graph_beam": _knn_graph_beam_oracle(),
         "knn_graph_beam_centroids": _knn_graph_beam_centroids_oracle(),
         "knn_graph_two_level": _knn_graph_two_level_oracle(),

@@ -1066,6 +1066,142 @@ def knn_graph(
     return _topm_edges(cand, m)
 
 
+def knn_graph_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    assigns: int = 2,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    metric: str = "cosine",
+    blocks_per_bucket: int | None = None,
+    row_cap: int = 4096,
+    assign_tier: str = "gemm",
+    batch_rows: int = 4096,
+) -> DataFrame:
+    """Directed k-NN graph with K-MEANS-CELL candidate generation — the
+    data-ADAPTIVE counterpart of :func:`knn_graph`'s sign-LSH bucketing
+    (same reference analog: HNSW graph construction,
+    src/vectordb/ann.py:21-76; candidate generation is the part hnswlib
+    gets from its incremental greedy inserts). Round-9 forensics
+    (REFINE_CONVERGENCE.json): data-OBLIVIOUS hyperplanes capture a
+    ~0.6-cosine true-neighbor pair with p ~ (1-θ/π)^planes and planes grow
+    with n, so at 2M×64 direct edge capture was 2.9% and neither walk
+    budgets, NN-descent, nor symmetrization could recover. K-means cells
+    move WITH the data: each node joins its ``assigns`` nearest cells, a
+    pair is a candidate iff it shares ≥1 cell — capture now tracks the
+    local cell geometry instead of decaying in n.
+
+    Scale shape: identical to knn_graph past candidate generation — the
+    (node → top-A cells) assignment is one broadcast-GEMM scan
+    (:func:`ivf_assign_gemm`'s kernel generalized to top-A), packing is
+    the population-derived :func:`_salted_pack` keyed on the cell id, in-
+    bucket scoring is the same block-GEMM partial-top-M kernel, then the
+    shared single-Exchange dedup tail. Same-pair-in-both-cells dedups
+    under max() (identical score bits — same kernel, same fold).
+
+    ``assign_tier='expr'`` computes the top-A cells with the EXPRESSION-
+    level bit-exact distance (centroids collected as literals, exploded,
+    per-id window) so the whole graph is SQL-oracle-checkable; 'gemm' is
+    the throughput tier (np.argsort(d², stable) — ties to lowest cid,
+    same contract as ivf_assign_gemm, parity pytest-pinned).
+    Returns ``(src, dst, score)``."""
+    m_l = metric.lower()
+    if m_l not in V.SUPPORTED_METRICS:
+        raise ValueError(
+            f"Unknown metric: {metric!r}. Supported: {V.SUPPORTED_METRICS}"
+        )
+    a_n = int(assigns)
+    if a_n < 1:
+        raise ValueError(f"assigns must be >= 1, got {assigns}")
+    cent_rows = centroids.select(
+        F.col("centroid_id").cast("int").alias("_cid"),
+        V.as_double("centroid").alias("_cv"),
+    ).collect()
+    if not cent_rows:
+        raise ValueError("knn_graph_cells: empty centroid frame")
+    cent_rows.sort(key=lambda r: r._cid)
+    src = df.select(
+        F.col(id_col).alias("id"), V.as_double(vector_col).alias("v")
+    )
+    if assign_tier == "expr":
+        from pyspark.sql import Window
+
+        ds = F.array(*[
+            F.struct(
+                V.euclidean_distance(F.col("v"), V.vector_literal(r._cv))
+                .alias("d"),
+                F.lit(int(r._cid)).cast("int").alias("cid"),
+            )
+            for r in cent_rows
+        ])
+        w_a = Window.partitionBy("id").orderBy(
+            F.col("e.d").asc(), F.col("e.cid").asc()
+        )
+        keyed = (
+            src.select("id", "v", F.explode(ds).alias("e"))
+            .withColumn("arn", F.row_number().over(w_a))
+            .filter(F.col("arn") <= a_n)
+            .select("id", "v", F.col("e.cid").alias("bkt"))
+        )
+    elif assign_tier == "gemm":
+        import numpy as np
+
+        cids = np.array([r._cid for r in cent_rows], dtype=np.int32)
+        C = np.array([r._cv for r in cent_rows], dtype=np.float64)
+        c_sq = (C * C).sum(axis=1)
+        bsz = int(batch_rows)
+        top_a = min(a_n, len(cent_rows))
+
+        def assign(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for lo in range(0, len(pdf), bsz):
+                    chunk = pdf.iloc[lo:lo + bsz]
+                    X = np.stack(chunk["v"].to_numpy())
+                    d2 = (
+                        (X * X).sum(axis=1)[:, None]
+                        - 2.0 * (X @ C.T)
+                        + c_sq[None, :]
+                    )
+                    # stable sort: equidistant cells -> lowest cid first
+                    order = np.argsort(d2, axis=1, kind="stable")[:, :top_a]
+                    ids = np.repeat(chunk["id"].to_numpy(), top_a)
+                    yield pd.DataFrame({
+                        "id": ids,
+                        "v": chunk["v"].iloc[
+                            np.repeat(np.arange(len(chunk)), top_a)
+                        ].to_numpy(),
+                        "bkt": cids[order].ravel(),
+                    })
+
+        id_sql_type = df.schema[id_col].dataType.simpleString()
+        keyed = src.mapInPandas(
+            assign, f"id {id_sql_type}, v array<double>, bkt int"
+        )
+    else:
+        raise ValueError(f"Unknown assign_tier: {assign_tier!r}")
+    packed = _salted_pack(keyed, ["bkt"], blocks_per_bucket, row_cap)
+    pairs = (
+        packed.alias("a")
+        .join(
+            packed.alias("b"),
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.blk") <= F.col("b.blk")),
+        )
+        .select(
+            (F.col("a.blk") == F.col("b.blk")).alias("same"),
+            F.col("a.rows").alias("rows_a"),
+            F.col("b.rows").alias("rows_b"),
+        )
+    )
+    cand = pairs.mapInPandas(
+        _make_block_topm_kernel(m_l, m), "src long, dst long, score double"
+    )
+    return _topm_edges(cand, m)
+
+
 def _topm_edges(cand: DataFrame, m: int) -> DataFrame:
     """Dedup candidate edges (same pair from several plane sets carries
     identical score bits — same kernel, same fold) and keep each node's

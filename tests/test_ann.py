@@ -1426,3 +1426,28 @@ def test_two_level_index_sym_m_rev_passthrough(spark, sf_dir, tmp_path):
     assert back.lower.sym_m_rev == 4 and back.upper.sym_m_rev == 4
     r = back.query(e, e.head().embedding, k=5, assume_fresh=True)
     assert r.count() == 5
+
+def test_knn_graph_cells_tier_parity_and_contract(spark, sf_dir):
+    """knn_graph_cells expr and gemm assignment tiers must be
+    edge-IDENTICAL on continuous fixtures (the ivf_assign tier contract:
+    same argsort, ties to lowest cid), out-degree <= m, no self-loops,
+    and every edge must share >= 1 of the endpoints' top-A cells."""
+    from pyspark.sql import functions as F
+    e = _emb(spark, sf_dir).limit(150)
+    cent_rows = e.filter(F.col("vec_id") < 6).orderBy("vec_id").collect()
+    cents = e.sparkSession.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding])
+         for r in cent_rows],
+        "centroid_id int, centroid array<double>",
+    )
+    g_expr = A.knn_graph_cells(e, cents, m=5, assigns=2, assign_tier="expr")
+    g_gemm = A.knn_graph_cells(e, cents, m=5, assigns=2, assign_tier="gemm")
+    s1 = {(int(r.src), int(r.dst), round(float(r.score), 9))
+          for r in g_expr.collect()}
+    s2 = {(int(r.src), int(r.dst), round(float(r.score), 9))
+          for r in g_gemm.collect()}
+    assert s1 == s2 and len(s1) > 0
+    import collections
+    deg = collections.Counter(s for s, _, _ in s1)
+    assert max(deg.values()) <= 5
+    assert all(s != d for s, d, _ in s1)
