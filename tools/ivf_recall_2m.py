@@ -156,7 +156,8 @@ def main() -> int:
         with open(a.out, "w") as f:
             json.dump(out, f, indent=1)
 
-    score = V.similarity("cosine", V.as_double("embedding"),
+    # the assignment parquet's vector column is "v" (ivf_assign_gemm output)
+    score = V.similarity("cosine", V.as_double("v"),
                          V.as_double("query_vec"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("vec_id"))
