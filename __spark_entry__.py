@@ -6569,13 +6569,16 @@ def _knn_graph_cells_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_graph_cells_oracle() -> str:
-    return f"""
-    WITH ce AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+def _graph_cells_cte() -> str:
+    """Shared WITH-body: fixture cells (ce), raw/normalized vectors
+    (ee/uu), per-node cell distances ranked (da), top-A memberships
+    (memb), and the k-means-cell-built graph (graphc) — consumed by the
+    knn_graph_cells rows and the routed-walk row."""
+    return f"""ce AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
                 FROM embeddings WHERE vec_id < {N_IVF_CELLS}),
     ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     uu AS MATERIALIZED (
-        SELECT vec_id,
+        SELECT vec_id, v,
                list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
         FROM ee),
     da AS (
@@ -6593,13 +6596,106 @@ def _knn_graph_cells_oracle() -> str:
         SELECT c.src, c.dst, list_dot_product(ua.uv, ub.uv) AS score
         FROM candc c
         JOIN uu ua ON c.src = ua.vec_id
-        JOIN uu ub ON c.dst = ub.vec_id)
+        JOIN uu ub ON c.dst = ub.vec_id),
+    graphc AS MATERIALIZED (
+        SELECT src, dst, score FROM (
+            SELECT src, dst, score, row_number() OVER (
+                PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+            FROM scoredc
+        ) WHERE rn <= {GRAPH_M})"""
+
+
+def _knn_graph_cells_oracle() -> str:
+    return f"""
+    WITH {_graph_cells_cte()}
     SELECT src, dst, CAST(floor(score * 1e12) AS BIGINT) AS score_pico
-    FROM (
-        SELECT src, dst, score, row_number() OVER (
-            PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
-        FROM scoredc
-    ) WHERE rn <= {GRAPH_M}
+    FROM graphc
+"""
+
+
+ROUTED_NPROBE = 2
+ROUTED_SPC = 2
+ROUTED_HOPS = 3
+
+
+def _knn_join_graph_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTROID-ROUTED batch graph serve (operators/ann.py
+    graph_cells_route_search_batch) — coarse quantizer routes, in-cell kNN
+    edges polish. The round-9 structured-corpus finding behind it
+    (STRUCTURED_RECALL_2M.json): on clustered data knn_graph_cells builds
+    a near-perfect kNN graph (edge capture 0.999 at 2M) but pure kNN
+    graphs are disjoint per-cluster components, so hub-entry walks stall
+    (recall 0.07) — the connectivity role hnswlib fills with insertion-
+    order long links (reference src/vectordb/ann.py) is filled here by
+    routing each query through the build's own coarse structure: top-
+    ROUTED_NPROBE cells by expression-exact euclidean (ties to lowest
+    cid), ROUTED_SPC lowest-id members per probed cell as seeds, then the
+    shared batch walk recurrence. Deterministic end to end: the oracle
+    replicates cells -> graph -> routing -> seeds -> the hop-unrolled
+    walk with per-qid windows."""
+    e = _emb(spark, sf_dir)
+    cents = _graph_cells_centroids_df(spark, sf_dir)
+    graph = _track_persist(A.knn_graph_cells(
+        e, cents, m=GRAPH_M, assigns=GRAPH_CELLS_ASSIGNS, assign_tier="expr"
+    ))
+    cells = A.ivf_assign_join(e, cents)
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return A.graph_cells_route_search_batch(
+        graph, cells, cents, queries, k=TOP_K, nprobe=ROUTED_NPROBE,
+        seeds_per_cell=ROUTED_SPC, beam=GRAPH_BEAM, hops=ROUTED_HOPS,
+    ).select("query_id", "vec_id", "score")
+
+
+def _knn_join_graph_routed_oracle() -> str:
+    hops = []
+    for h in range(1, ROUTED_HOPS + 1):
+        hops.append(f"""
+    c{h} AS (
+        SELECT DISTINCT f.qid, g.dst AS id
+        FROM f{h - 1} f JOIN graphc g ON f.id = g.src
+        WHERE NOT EXISTS (SELECT 1 FROM v{h - 1} v
+                          WHERE v.qid = f.qid AND v.id = g.dst)
+    ),
+    c{h}s AS (SELECT c.qid, c.id, sn.score FROM c{h} c
+              JOIN sn ON sn.qid = c.qid AND sn.id = c.id),
+    v{h} AS (SELECT qid, id, score FROM v{h - 1}
+             UNION ALL SELECT qid, id, score FROM c{h}s),
+    f{h} AS (SELECT qid, id, score FROM c{h}s
+             QUALIFY row_number() OVER (
+                 PARTITION BY qid ORDER BY score DESC, id ASC) <= {GRAPH_BEAM})""")
+    return f"""
+    WITH {_graph_cells_cte()},
+    qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+    sn AS (SELECT q.qid, u.vec_id AS id,
+                  {_COS.format(a='u.v', b='q.qv')} AS score
+           FROM uu u CROSS JOIN qs q),
+    probes AS (
+        SELECT qid, cid FROM (
+            SELECT q.qid, c.cid, row_number() OVER (
+                PARTITION BY q.qid
+                ORDER BY list_distance(q.qv, c.cv) ASC, c.cid ASC) AS rn
+            FROM qs q CROSS JOIN ce c
+        ) WHERE rn <= {ROUTED_NPROBE}
+    ),
+    assign1 AS (SELECT vec_id, cid FROM da WHERE rn = 1),
+    seeds AS (
+        SELECT qid, id FROM (
+            SELECT p.qid, p.cid, a.vec_id AS id, row_number() OVER (
+                PARTITION BY p.qid, p.cid ORDER BY a.vec_id ASC) AS srn
+            FROM probes p JOIN assign1 a ON a.cid = p.cid
+        ) WHERE srn <= {ROUTED_SPC}
+    ),
+    v0 AS (SELECT s.qid, s.id, sn.score FROM seeds s
+           JOIN sn ON sn.qid = s.qid AND sn.id = s.id),
+    f0 AS (SELECT qid, id, score FROM v0),
+    {",".join(hops)}
+    SELECT qid AS query_id, id AS vec_id, score FROM v{ROUTED_HOPS}
+    QUALIFY row_number() OVER (
+        PARTITION BY qid ORDER BY score DESC, id ASC) <= {TOP_K}
 """
 
 
@@ -9856,6 +9952,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # edge-identical); OUT knn_hamming (driver-gated green r06-r08;
         # the BQ family keeps bq_codes §2 N2 in-window; stays
         # check_oracle-covered at three scales).
+        # Round-9 fifth rotation (new operator this round, policy #2):
+        # IN knn_join_graph_routed (centroid-routed batch graph serve —
+        # the connectivity fix for clustered corpora where pure kNN
+        # graphs are disjoint components; routing + seeds + hop-unrolled
+        # walk all in one hash-checked row); OUT knn_ivf_rebalanced
+        # (driver-gated green r07-r08; §2 N3 keeps knn_graph_incremental
+        # in-window; stays check_oracle-covered at three scales).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -9897,7 +10000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_dot": _knn_query("dot"),
         "docs_stats_by_lang": _docs_stats_by_lang,
         "ivf_train_converged": _ivf_train_converged,
-        "knn_ivf_rebalanced": _knn_ivf_rebalanced,
+        "knn_join_graph_routed": _knn_join_graph_routed,
         "knn_graph_refined": _knn_graph_refined,
         "stream_events_dedup_steady": _stream_events_dedup_steady,
         "stream_events_attribution_steady": _stream_events_attribution_steady,
@@ -9912,6 +10015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cells_join": _ivf_cells_join,
         "knn_hamming": _knn_hamming,
         "knn_graph_cells_gemm": _knn_graph_cells_gemm,
+        "knn_ivf_rebalanced": _knn_ivf_rebalanced,
         # rotated OUT in round 8 (driver-gated green in r07; families keep
         # 4+ and 2 in-window rows respectively):
         "knn_join_pq": _knn_join_pq,
@@ -10334,6 +10438,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_sym": _knn_graph_sym_oracle(),
         "knn_graph_cells": _knn_graph_cells_oracle(),
         "knn_graph_cells_gemm": _knn_graph_cells_oracle(),
+        "knn_join_graph_routed": _knn_join_graph_routed_oracle(),
         "knn_graph_beam": _knn_graph_beam_oracle(),
         "knn_graph_beam_centroids": _knn_graph_beam_centroids_oracle(),
         "knn_graph_two_level": _knn_graph_two_level_oracle(),

@@ -1599,6 +1599,106 @@ def _beam_visited_batch(
     return visited
 
 
+def graph_cells_route_search_batch(
+    graph: DataFrame,
+    cells: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    seeds_per_cell: int = 2,
+    beam: int = 8,
+    hops: int = 2,
+    id_col: str = "vec_id",
+    vector_col: str = "v",
+    centroid_id_col: str = "centroid_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    metric: str = "cosine",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """CENTROID-ROUTED batch graph walk — coarse quantizer routes, graph
+    polishes. The round-9 structured-corpus forensics
+    (STRUCTURED_RECALL_2M.json): on clustered data :func:`knn_graph_cells`
+    builds a near-perfect kNN graph (edge capture 0.999 at 2M) but a pure
+    kNN graph is a DISJOINT union of per-cluster components — hub-entry
+    walks stall in whatever clusters the entries live in (recall 0.07).
+    hnswlib solves connectivity with long-range links from its insertion
+    order + layer hierarchy (reference src/vectordb/ann.py builds on it);
+    the batch-Spark solution is to route each query through the SAME
+    coarse structure the build used: rank the broadcast centroids per
+    query (the IVF probe rule — euclidean, ties to lowest cid), seed the
+    walk with ``seeds_per_cell`` lowest-id members of each of the
+    ``nprobe`` nearest cells, and let the in-cluster kNN edges do the
+    refinement brute-force probing would pay a full cell scan for.
+
+    Scale shape: routing is a Q×K broadcast cross (K = cell count, driver-
+    bounded like every centroid frame); seed selection is one window over
+    the probed members' (qid, cell, id) TUPLES — no vector is shuffled or
+    scored until the walk scores its visited set, so rows-touched per
+    query is seeds + O(beam·m·hops), independent of cell populations
+    (contrast: IVF serving scores every row of every probed cell). The
+    walk itself is :func:`_beam_visited_batch` — state frames broadcast,
+    corpus never re-shuffled. Deterministic end to end, so the whole
+    serve is SQL-oracle-checkable. Returns (query_id, id, score) top-k."""
+    m_l = metric.lower()
+    if m_l not in V.SUPPORTED_METRICS:
+        raise ValueError(
+            f"Unknown metric: {metric!r}. Supported: {V.SUPPORTED_METRICS}"
+        )
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        V.as_double(query_vec_col).alias("qv"),
+    )
+    nodes = cells.select(
+        F.col(id_col).alias("id"), V.as_double(vector_col).alias("nv")
+    )
+    cents = centroids.select(
+        F.col(centroid_id_col).cast("int").alias("cid"),
+        V.as_double("centroid").alias("cv"),
+    )
+    w_route = Window.partitionBy("qid").orderBy(
+        F.col("cdist").asc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "qid", "cid",
+            V.euclidean_distance(F.col("qv"), F.col("cv")).alias("cdist"),
+        )
+        .withColumn("rn", F.row_number().over(w_route))
+        .filter(F.col("rn") <= int(nprobe))
+        .select("qid", "cid")
+    )
+    memb = cells.select(
+        F.col(id_col).alias("id"),
+        F.col(centroid_id_col).cast("int").alias("cid"),
+    )
+    w_seed = Window.partitionBy("qid", "cid").orderBy(F.col("id").asc())
+    seeds = (
+        memb.join(F.broadcast(probes), "cid")
+        .withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") <= int(seeds_per_cell))
+        .select("qid", "id")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    visited = _beam_visited_batch(
+        q, nodes, graph, seeds, beam, hops, m_l, checkpoint
+    )
+    return (
+        visited.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("id").alias(id_col),
+            "score",
+        )
+    )
+
+
 def graph_two_level_search_batch(
     upper_graph: DataFrame,
     lower_graph: DataFrame,

@@ -255,7 +255,7 @@ def main() -> int:
     kc = f"k{a.n_cells}_a{a.assigns}_m{a.m}"
     upper = cached("upper", lambda: A.upper_layer(corpus, LEVEL_MULT))
     ug_c = lg_c = None
-    if {"cells", "refined", "sym"} & set(legs):
+    if {"cells", "refined", "sym", "routed"} & set(legs):
         ug_c = cached(f"ugc_{kc}", lambda: A.knn_graph_cells(
             upper, cents, m=a.m, assigns=a.assigns))
         lg_c = cached(f"lgc_{kc}", lambda: A.knn_graph_cells(
@@ -277,9 +277,59 @@ def main() -> int:
                       lambda: A.symmetrize_edges(lg_r, m_rev=a.m_rev))
         sweep(f"cells_refined_x1_sym{a.m_rev}", ug_s, lg_s)
 
-    if "ivf" in legs:
+    cells = None
+    if {"routed", "ivf"} & set(legs):
         cells = cached(f"cells_k{a.n_cells}",
                        lambda: A.ivf_assign_gemm(corpus, cents))
+
+    if "routed" in legs and lg_c is not None:
+        # centroid-routed walk: coarse quantizer routes, in-cluster kNN
+        # edges polish — the connectivity fix for the disjoint components
+        # a pure kNN graph has on clustered data
+        for nprobe_s, spc, beam, hops in [(4, 2, 64, 4), (8, 2, 128, 6)]:
+            t0 = time.monotonic()
+            rows = A.graph_cells_route_search_batch(
+                lg_c, cells, cents, queries, k=a.k, nprobe=nprobe_s,
+                seeds_per_cell=spc, beam=beam, hops=hops,
+            ).collect()
+            serve_s = time.monotonic() - t0
+            got = {}
+            for r in rows:
+                got.setdefault(r.query_id, set()).add(r.vec_id)
+            hits = sum(len(got.get(qid, set()) & want)
+                       for qid, want in truth.items())
+            # untimed rows-touched through the same recurrence
+            probes_w = Window.partitionBy("qid").orderBy(
+                F.col("cdist").asc(), F.col("cid").asc())
+            cents_n = cents.select(
+                F.col("centroid_id").cast("int").alias("cid"),
+                V.as_double("centroid").alias("cv"))
+            probes = (q.crossJoin(F.broadcast(cents_n))
+                      .select("qid", "cid", V.euclidean_distance(
+                          F.col("qv"), F.col("cv")).alias("cdist"))
+                      .withColumn("rn", F.row_number().over(probes_w))
+                      .filter(F.col("rn") <= nprobe_s).select("qid", "cid"))
+            memb = cells.select(F.col("vec_id").alias("id"),
+                                F.col("centroid_id").cast("int").alias("cid"))
+            w_seed = Window.partitionBy("qid", "cid").orderBy(
+                F.col("id").asc())
+            seeds = (memb.join(F.broadcast(probes), "cid")
+                     .withColumn("rn", F.row_number().over(w_seed))
+                     .filter(F.col("rn") <= spc).select("qid", "id"))
+            touched = A._beam_visited_batch(
+                q, nodes, lg_c, seeds, beam, hops, "cosine", True
+            ).count() / nq
+            pt = {"tag": "routed", "nprobe_seed": nprobe_s,
+                  "seeds_per_cell": spc, "beam": beam, "hops": hops,
+                  "serve_s": round(serve_s, 1),
+                  "speedup_vs_brute": round(brute_s / serve_s, 2),
+                  "recall_at_k": round(hits / total_truth, 3),
+                  "rows_touched_per_query": round(touched, 1)}
+            out.setdefault("routed_points", []).append(pt)
+            print(json.dumps(pt), flush=True)
+            dump()
+
+    if "ivf" in legs:
         census = {int(r.centroid_id): int(r.c) for r in
                   cells.groupBy("centroid_id").agg(F.count("*").alias("c"))
                   .collect()}
