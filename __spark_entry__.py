@@ -104,6 +104,47 @@ def _knn_oracle(sim_fragment: str) -> str:
     """
 
 
+def _knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``index_type="auto"`` end-to-end — the round-9 decision table
+    (operators/ann.py ``recommend_index``) serving a real query: the
+    facade probes the corpus's clusterability (bounded hash-sample nn1
+    statistic, a blocked-GEMM mapInPandas over <=16k rows), consults the
+    measured regime table (BASELINE.md round-9: clustered -> IVF
+    multi-probe 0.986 recall at 82x; isotropic <1M rows -> exact brute;
+    isotropic at scale -> two-level walk), then serves. Every testdata
+    scale's embeddings table is isotropic (nn1 0.37-0.41 vs null+margin
+    0.59-0.64) and under 1M rows, so the resolution is deterministically
+    ``brute`` and the row hash-checks against the exact top-10 SQL — a
+    probe/decision regression that misroutes to IVF nprobe=4 breaks the
+    hash. ≙ reference use_ann auto-wiring (api.py:26-35), where hnswlib
+    makes this regime choice implicitly.
+
+    The corpus is pinned to the ``vec_id < 2000`` base slice — the
+    original (isotropic) vectors at EVERY sf, so one oracle covers all
+    scales. The pin exists because the probe is RIGHT about the sf1
+    rehearsal fixture: gen_sfN builds it by jittered replication, the
+    statistic reads the clone clusters at nn1 = 0.9997 and routes to IVF
+    — correct behavior, but a scale-dependent route can't share one SQL
+    oracle. The clustered->ivf leg is pinned by pytest
+    (tests/test_auto_select.py) instead."""
+    from educational_vector_database_spark.api import VectorDB
+
+    db = VectorDB(
+        spark, dim=64,
+        df=_emb(spark, sf_dir)
+        .filter(F.col("vec_id") < 2000)
+        .select("vec_id", "embedding"),
+        use_approx=True, index_type="auto",
+    )
+    qv = _query_vector(spark, sf_dir)
+    res = db.search_vector(qv, k=TOP_K)
+    assert db._auto is not None and db._auto["index_type"] == "brute", (
+        "auto probe misread the isotropic testdata corpus: "
+        f"{db._auto!r}"
+    )
+    return res
+
+
 def _reap_scratch(prefix: str, max_age_s: int = 1800) -> str:
     """Allocate a uuid-suffixed scratch path under the system tempdir and
     best-effort delete STALE siblings with the same prefix first.
@@ -9959,6 +10000,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # walk all in one hash-checked row); OUT knn_ivf_rebalanced
         # (driver-gated green r07-r08; §2 N3 keeps knn_graph_incremental
         # in-window; stays check_oracle-covered at three scales).
+        # Round-9 sixth rotation (new operator this round, policy #2):
+        # IN knn_auto (index_type="auto" — the clusterability probe +
+        # measured decision table serving end-to-end; the probe misrouting
+        # breaks the exact-brute hash); OUT docs_mixture_sample
+        # (driver-gated green r08; curation keeps docs_leakage_safe_split
+        # + rag_context_budget in-window; stays check_oracle-covered at
+        # three scales).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -10007,10 +10055,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_context_budget": _rag_context_budget,
         "docs_leakage_safe_split": _docs_leakage_safe_split,
         "dedup_semantic": _dedup_semantic,
-        "docs_mixture_sample": _docs_mixture_sample,
+        "knn_auto": _knn_auto,
         "dedup_spans": _dedup_spans,
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
+        "docs_mixture_sample": _docs_mixture_sample,
         "knn_ivf_hamming": _knn_ivf_hamming,
         "ivf_cells_join": _ivf_cells_join,
         "knn_hamming": _knn_hamming,
@@ -10170,6 +10219,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_valid FROM embeddings WHERE len(embedding) = 64
         """,
         "knn_cosine": _knn_oracle(_COS),
+        # auto resolves to exact brute on the isotropic base slice at
+        # every scale (probe + pin rationale in _knn_auto), so the oracle
+        # IS the exact top-10 — an approximate misroute hash-fails
+        "knn_auto": f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id AS vec_id, {_COS.format(a='e.embedding::DOUBLE[]', b='q.qv')} AS score
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id < 2000
+        ORDER BY score DESC, e.vec_id ASC
+        LIMIT {TOP_K}
+    """,
         "knn_dot": _knn_oracle(_DOT),
         "knn_euclidean": _knn_oracle(_EUC_SIM),
         "filter_then_knn": f"""

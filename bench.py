@@ -57,6 +57,7 @@ from educational_vector_database_spark.session import get_spark  # noqa: E402
 # window/sessionize, text analysis).
 HEADLINE = [
     "knn_cosine",
+    "knn_auto",
     "knn_join_topk",
     "knn_lsh_bucket",
     "knn_ivf",

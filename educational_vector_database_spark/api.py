@@ -51,10 +51,10 @@ class VectorDB:
     ):
         if metric.lower() not in V.SUPPORTED_METRICS:
             raise ValueError(f"Unknown metric: {metric!r}")
-        if index_type not in ("ivf", "graph", "ivfpq", "two_level"):
+        if index_type not in ("ivf", "graph", "ivfpq", "two_level", "auto"):
             raise ValueError(
                 f"Unknown index_type: {index_type!r} "
-                "(ivf|graph|ivfpq|two_level)"
+                "(ivf|graph|ivfpq|two_level|auto)"
             )
         self.spark = spark
         self.dim = dim
@@ -73,8 +73,11 @@ class VectorDB:
         # — the compressed-index serving path) or "two_level" (HNSW's
         # layered descent: hash-sampled upper graph -> descend -> short
         # full-graph walk; the duplicate-robust serving path, BASELINE.md
-        # round-7 table)
+        # round-7 table) or "auto" (probe the corpus's clusterability once
+        # and pick the measured-best regime — the round-9 decision table,
+        # operators/ann.py recommend_index)
         self.index_type = index_type
+        self._auto: dict | None = None  # memoized auto verdict + stats
         self._ivf = None
         self._graph = None
         self._ivfpq = None
@@ -154,9 +157,42 @@ class VectorDB:
 
     # -- search (reference api.py:105-150, 164-168) --------------------------
 
+    def _effective_index_type(self) -> str:
+        """Resolve ``index_type="auto"`` to a concrete serving strategy —
+        the measured round-9 decision table (operators/ann.py
+        ``recommend_index``): probe the corpus once with the bounded
+        nn1 clusterability statistic, then serve via ivf (clustered:
+        recall 0.986 at 82x over brute, STRUCTURED_RECALL_2M.json),
+        brute (isotropic under ~1M rows: exact AND fastest,
+        CLONES_PIPELINE_AB.json) or two_level (isotropic at scale: 6.7x
+        over brute at 2M, TWO_LEVEL_AB.json). Memoized; re-probed when
+        the corpus doubles — the same lazy contract as the indexes'
+        ``ensure()`` (the SEARCH pays, never the write; ≙ reference
+        api.py:42-62)."""
+        if self.index_type != "auto":
+            return self.index_type
+        from .operators.ann import corpus_clusterability, recommend_index
+
+        n = self._df.count()
+        if self._auto is not None and n <= 2 * max(
+            1, self._auto["stats"]["n_rows"]
+        ):
+            return self._auto["index_type"]
+        stats = corpus_clusterability(
+            self._df, vector_col=self.vector_col, id_col=self.id_col,
+            n_rows=n,
+        )
+        rec = recommend_index(n, stats["clustered"])
+        rec["stats"] = stats
+        self._auto = rec
+        if rec["index_type"] == "ivf":
+            self._n_cells = rec["params"]["n_cells"]
+        return rec["index_type"]
+
     def search_vector(self, query_vector: Sequence[float], k: int = 5) -> DataFrame:
         extra = [c for c in self._df.columns if c not in (self.id_col, self.vector_col)]
-        if self.use_approx and self.index_type == "graph":
+        itype = self._effective_index_type() if self.use_approx else self.index_type
+        if self.use_approx and itype == "graph":
             from .operators.ann import GraphIndex
 
             if self._graph is None:
@@ -173,7 +209,7 @@ class VectorDB:
                     self._df.select(self.id_col, *extra), self.id_col, "left"
                 ).orderBy(F.desc("score"), F.asc(self.id_col))
             return res
-        if self.use_approx and self.index_type == "two_level":
+        if self.use_approx and itype == "two_level":
             from .operators.ann import TwoLevelGraphIndex
 
             if self._two_level is None:
@@ -190,7 +226,7 @@ class VectorDB:
                     self._df.select(self.id_col, *extra), self.id_col, "left"
                 ).orderBy(F.desc("score"), F.asc(self.id_col))
             return res
-        if self.use_approx and self.index_type == "ivfpq":
+        if self.use_approx and itype == "ivfpq":
             from .operators.pq import IVFPQIndex
 
             if self._ivfpq is None:
@@ -207,7 +243,7 @@ class VectorDB:
                     self._df.select(self.id_col, *extra), self.id_col, "left"
                 ).orderBy(F.desc("score"), F.asc(self.id_col))
             return res
-        if self.use_approx:
+        if self.use_approx and itype == "ivf":
             from .operators.ann import IVFIndex
 
             if self._ivf is None:
@@ -219,7 +255,14 @@ class VectorDB:
             # since the last build make the index stale; the SEARCH pays the
             # rebuild (ref api.py:42-62), not the write.
             self._ivf.ensure(self._df)
-            return self._ivf.query(self._df, query_vector, k=k)
+            nprobe = (
+                self._auto["params"].get("nprobe", 1)
+                if self._auto is not None and self.index_type == "auto"
+                else 1
+            )
+            return self._ivf.query(self._df, query_vector, k=k, nprobe=nprobe)
+        # itype == "brute": the auto verdict for small isotropic corpora —
+        # exact kNN IS the fastest serving there, nothing approximate to buy
         return K.knn(
             self._df, query_vector, k=k, metric=self.metric,
             vector_col=self.vector_col, id_col=self.id_col, extra_cols=extra,

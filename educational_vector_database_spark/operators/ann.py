@@ -419,6 +419,165 @@ def train_ivf_centroids(
     )
 
 
+#: Margin over the isotropic null for the clusterability verdict — the
+#: measured gap (numpy calibration at S=16k, d=64): isotropic nn1 ≈ 0.47
+#: vs null 0.55, Zipf-GMM corpora (200 and 2,000 true clusters, σ=0.5)
+#: nn1 ≈ 0.84-0.87. null+0.15 splits the regimes with ≥0.14 slack on
+#: both sides, independent of how many clusters the corpus actually has.
+NN1_CLUSTERED_MARGIN = 0.15
+
+#: Below this corpus size warm brute wins on latency over every walk
+#: (CLONES_PIPELINE_AB.json: brute 13.8s vs two-level 19.4s at 200k;
+#: TWO_LEVEL_AB.json base-vs-big legs put the walk crossover near 10^6
+#: rows, where the 2M leg measures the descent 6.7x faster than brute).
+AUTO_BRUTE_MAX_ROWS = 1_000_000
+
+
+def corpus_clusterability(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_cap: int = 16384,
+    n_rows: int | None = None,
+    seed: int = LSH_SEED,
+) -> dict:
+    """Cheap clusterability probe behind ``index_type="auto"`` — the
+    round-9 lesson (BASELINE.md forensics chain) as a measurement: which
+    serving regime a corpus is in is a property of the DATA, so measure it
+    before choosing an index. Statistic: ``nn1`` = mean over a bounded
+    deterministic hash-sample of each sample row's TOP-1 cosine to any
+    other sample row. On isotropic data nn1 tracks the max-of-S-Gaussians
+    law sqrt(2 ln S / dim) (the analytic null — dimension-aware, so a
+    384-dim corpus is judged by 384-dim chance); on clustered corpora nn1
+    sits at the in-cluster cosine regardless of cluster COUNT — the
+    statistic k-means probes get wrong when probe K != true K
+    (calibration: probe-K=64 top-1-centroid cosine reads a 2,000-cluster
+    corpus at 0.42 vs isotropic 0.32; nn1 reads 0.84 vs 0.47).
+
+    Scale shape: the sample is capped (``sample_cap`` rows), its
+    normalized matrix broadcasts (S x dim float64, 8 MB at 16k x 64), and
+    the S x S top-1 scan runs as a blocked GEMM ``mapInPandas`` over the
+    sample itself — no shuffle, no driver-side pairwise loop, corpus
+    never fully read beyond one count when ``n_rows`` is not supplied.
+
+    Returns ``{"n_rows", "dim", "sample_rows", "nn1", "nn1_null",
+    "clustered"}``.
+    """
+    import math
+
+    if n_rows is None:
+        n_rows = estimate_corpus_rows(df) or df.count()
+    n_rows = int(n_rows)
+    rate = max(1, n_rows // max(1, sample_cap))
+    sample = df.select(
+        F.col(id_col).alias("id"), V.as_double(vector_col).alias("v")
+    )
+    if rate > 1:
+        sample = sample.filter(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(rate)) == 0
+        )
+    rows = sample.collect() if n_rows <= sample_cap else None
+    if rows is None:
+        rows = sample.limit(sample_cap * 2).collect()
+    ids = np.array([r.id for r in rows], dtype=np.int64)
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    s_rows = len(ids)
+    if s_rows < 2:
+        return {
+            "n_rows": n_rows, "dim": int(X.shape[1]) if X.ndim == 2 else 0,
+            "sample_rows": s_rows, "nn1": 0.0, "nn1_null": 1.0,
+            "clustered": False,
+        }
+    dim = X.shape[1]
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast((ids, Xn))
+
+    def top1(batches):
+        import pandas as pd
+
+        b_ids, b_x = b.value
+        for pdf in batches:
+            Q = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(Q, axis=1)
+            qn[qn == 0] = 1.0
+            S = (Q / qn[:, None]) @ b_x.T
+            # mask self-matches by id, not position: the sample frame and
+            # the broadcast matrix may order rows differently
+            qid = pdf["id"].to_numpy()
+            for i, q in enumerate(qid):
+                S[i, b_ids == q] = -2.0
+            yield pd.DataFrame({"id": qid, "nn1": S.max(axis=1)})
+
+    sdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, X)],
+        "id long, v array<double>",
+    )
+    agg = sdf.mapInPandas(top1, "id long, nn1 double").agg(
+        F.avg("nn1").alias("m")
+    ).collect()[0]
+    b.unpersist()
+    nn1 = float(agg.m)
+    null = math.sqrt(2.0 * math.log(max(2, s_rows)) / dim)
+    return {
+        "n_rows": n_rows, "dim": int(dim), "sample_rows": int(s_rows),
+        "nn1": round(nn1, 4), "nn1_null": round(null, 4),
+        "clustered": nn1 >= null + NN1_CLUSTERED_MARGIN,
+    }
+
+
+def recommend_index(n_rows: int, clustered: bool) -> dict:
+    """The measured round-9 decision table as the ``auto`` default —
+    every branch cites the artifact that priced it:
+
+    - clustered -> ``ivf`` multi-probe with K ≈ sqrt(n), nprobe=4: the
+      STRUCTURED_RECALL_2M.json operating point (recall 0.986 at 82x over
+      warm brute scanning 0.33% of a 2M-row Zipf-GMM corpus). Real
+      embedding corpora live here.
+    - isotropic, n < AUTO_BRUTE_MAX_ROWS -> exact ``brute``: below ~10^6
+      rows warm brute beats every walk on latency (CLONES_PIPELINE_AB)
+      and is exact — nothing to buy.
+    - isotropic, n >= AUTO_BRUTE_MAX_ROWS -> ``two_level``: recall on
+      iid-Gaussian-like data is a function of rows scanned and nearly
+      index-independent (IVF_RECALL_2M.json), and at equal rows touched
+      the adaptive walk dominates static cell probing (0.55 vs ~0.42 at
+      36k rows/query) while serving 6.7x faster than brute at 2M
+      (TWO_LEVEL_AB.json).
+
+    Returns ``{"index_type", "params", "why"}``; ``params`` carries the
+    scale-indexed knobs for the chosen index (n_cells/nprobe for ivf,
+    :func:`graph_params_for` for two_level).
+    """
+    import math
+
+    n = max(1, int(n_rows))
+    if clustered:
+        return {
+            "index_type": "ivf",
+            "params": {
+                "n_cells": max(16, int(math.sqrt(n))), "nprobe": 4,
+            },
+            "why": "clustered corpus: IVF multi-probe recall 0.986 at "
+                   "82x over brute (STRUCTURED_RECALL_2M.json)",
+        }
+    if n < AUTO_BRUTE_MAX_ROWS:
+        return {
+            "index_type": "brute",
+            "params": {},
+            "why": "isotropic and small: warm brute is exact and faster "
+                   "than every walk below ~1M rows (CLONES_PIPELINE_AB)",
+        }
+    return {
+        "index_type": "two_level",
+        "params": graph_params_for(n),
+        "why": "isotropic and large: the layered walk serves 6.7x over "
+               "brute at 2M; recall there is budget-priced "
+               "(TWO_LEVEL_AB.json, TWO_LEVEL_RECALL_SWEEP.json)",
+    }
+
+
 class IVFIndex:
     """Cached batch IVF index with LAZY rebuild and explicit invalidation —
     the Spark analog of the reference's ANN orchestration (ref api.py:42-62

@@ -248,6 +248,9 @@ def main() -> int:
     ap.add_argument("--big-queries", type=int, default=32)
     ap.add_argument("--big-repeats", type=int, default=3)
     ap.add_argument("--skip-base", action="store_true")
+    ap.add_argument("--driver-mem", default="64g",
+                    help="Spark driver heap; raise for >=20M-row corpora "
+                         "so persisted edge frames spill less")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "TWO_LEVEL_AB.json"))
@@ -259,7 +262,7 @@ def main() -> int:
         .appName("two_level_ab")
         .config("spark.sql.shuffle.partitions", str(int(cpus)))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "64g")
+        .config("spark.driver.memory", a.driver_mem)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
