@@ -263,6 +263,10 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", str(int(cpus)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", a.driver_mem)
+        # reclaim shuffle dirs from completed jobs promptly — big-corpus
+        # graph builds spill tens of GB and a large, idle driver heap
+        # otherwise never GCs the shuffle deps that pin those files
+        .config("spark.cleaner.periodicGC.interval", "90s")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
