@@ -410,18 +410,30 @@ def main() -> int:
         print(f"ERROR: benched rows WITHOUT a cold anchor (outside the "
               f"2x gate): {unanchored} — full-suite run FAILS (rc=1) until "
               f"tools/anchors.json covers them", file=sys.stderr)
+    # The 2x gate must FAIL the run, not just decorate the payload
+    # (VERDICT r9 What's-wrong #2: BENCH_r09 said pass:true with five rows
+    # over). Rows still >2x their cold anchor AFTER the audited re-measure
+    # pass fail the full-suite run — a regression (or unexplained drift)
+    # cannot ship behind rc=0 again.
+    over_gate = sorted(n for n, r in ratios.items() if r > 2.0)
+    over_gate_failed = bool(over_gate) and not args.queries
+    if over_gate_failed:
+        print(f"ERROR: rows over the 2x anchor gate after re-measure: "
+              f"{over_gate} — full-suite run FAILS (rc=1); fix the "
+              f"regression or re-anchor with provenance (SURVEY §6 "
+              f"protocol)", file=sys.stderr)
     summary = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "mode": "cold" if args.cold else "warm",
-        "pass": not anchor_gate_failed,
+        "pass": not (anchor_gate_failed or over_gate_failed),
         "n_queries": len(timings),
         "agg_vs_anchor": round(sum(timings[n] for n in ratios)
                                / anchored_total, 3) if ratios else None,
         "worst_vs_anchor": {worst[0]: round(worst[1], 2)} if worst else None,
-        "over_2x": sorted(n for n, r in ratios.items() if r > 2.0)[:10],
+        "over_2x": over_gate[:10],
         "unanchored": unanchored[:10] if not args.queries else [],
         "remeasured": sorted(remeasured)[:10],
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:6]),
@@ -432,7 +444,7 @@ def main() -> int:
     sys.stderr.flush()
     sys.stdout.flush()
     print(summary, flush=True)
-    return 1 if anchor_gate_failed else 0
+    return 1 if (anchor_gate_failed or over_gate_failed) else 0
 
 
 if __name__ == "__main__":

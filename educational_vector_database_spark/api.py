@@ -78,6 +78,11 @@ class VectorDB:
         # operators/ann.py recommend_index)
         self.index_type = index_type
         self._auto: dict | None = None  # memoized auto verdict + stats
+        # rows-memo for the auto path: count jobs are per-APPEND, never
+        # per-search (round-10 fix — a hot serving path must not pay a scan
+        # to re-learn a corpus size nothing changed)
+        self._auto_n: int | None = None
+        self._auto_rows_dirty = True
         self._ivf = None
         self._graph = None
         self._ivfpq = None
@@ -139,6 +144,7 @@ class VectorDB:
         """Append a batch of ``(vec_id, embedding, ...)`` rows (≙ S1 insert)."""
         incoming = self._validate_dim(df)
         self._df = self._df.unionByName(incoming, allowMissingColumns=True)
+        self._auto_rows_dirty = True  # corpus size changed: re-size lazily
         self._appends_since_checkpoint += 1
         if self._appends_since_checkpoint >= self._CHECKPOINT_EVERY:
             self._df = self._df.localCheckpoint(eager=False)
@@ -171,22 +177,52 @@ class VectorDB:
         api.py:42-62)."""
         if self.index_type != "auto":
             return self.index_type
-        from .operators.ann import corpus_clusterability, recommend_index
+        from .operators.ann import (
+            corpus_clusterability, estimate_corpus_rows, recommend_index,
+        )
 
-        n = self._df.count()
-        if self._auto is not None and n <= 2 * max(
-            1, self._auto["stats"]["n_rows"]
-        ):
+        # Hot path first: a memoized verdict with NO appends since it was
+        # minted is served with zero jobs (no count, no probe). Sizing runs
+        # only when the corpus changed, footer-first (parquet num_rows from
+        # file metadata — no scan); count() is the fallback for unsizable
+        # plans (unions, in-memory frames).
+        if self._auto is not None and not self._auto_rows_dirty:
             return self._auto["index_type"]
+        n = self._auto_n if not self._auto_rows_dirty else None
+        if n is None:
+            n = estimate_corpus_rows(self._df)
+            if n is None:
+                n = self._df.count()
+            self._auto_n = int(n)
+            self._auto_rows_dirty = False
+        if self._auto is not None:
+            old_n = max(1, self._auto["stats"]["n_rows"])
+            # symmetric 2x band: re-probe on doubling AND on halving — a
+            # verdict minted at 2M rows must not keep serving approximate
+            # results after mass deletes shrink the corpus under the
+            # brute-is-exact-and-faster threshold
+            if old_n // 2 <= n <= 2 * old_n:
+                return self._auto["index_type"]
         stats = corpus_clusterability(
             self._df, vector_col=self.vector_col, id_col=self.id_col,
             n_rows=n,
         )
         rec = recommend_index(n, stats["clustered"])
         rec["stats"] = stats
+        prev = self._auto
         self._auto = rec
         if rec["index_type"] == "ivf":
-            self._n_cells = rec["params"]["n_cells"]
+            new_cells = rec["params"]["n_cells"]
+            if new_cells != self._n_cells and self._ivf is not None:
+                # ensure() folds appends in with FROZEN centroids, so a
+                # re-sized K would silently never apply — drop the stale
+                # index; the next search rebuilds at the new K ~ sqrt(n)
+                self._ivf = None
+            self._n_cells = new_cells
+        if prev is not None and prev["index_type"] != rec["index_type"]:
+            # verdict flipped regimes: the old serving structure is for a
+            # corpus shape that no longer exists
+            self._ivf = self._graph = self._ivfpq = self._two_level = None
         return rec["index_type"]
 
     def search_vector(self, query_vector: Sequence[float], k: int = 5) -> DataFrame:

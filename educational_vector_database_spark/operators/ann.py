@@ -468,7 +468,11 @@ def corpus_clusterability(
     if n_rows is None:
         n_rows = estimate_corpus_rows(df) or df.count()
     n_rows = int(n_rows)
-    rate = max(1, n_rows // max(1, sample_cap))
+    # ceil, not floor: floor gave rate=1 (no filter at all) for any corpus
+    # in (cap, 2*cap), silently collecting a partition-prefix instead of a
+    # hash-uniform sample — the sample must stay bounded AND unbiased for
+    # every n_rows > sample_cap
+    rate = max(1, -(-n_rows // max(1, sample_cap)))
     sample = df.select(
         F.col(id_col).alias("id"), V.as_double(vector_col).alias("v")
     )
