@@ -242,6 +242,14 @@ HEADLINE = [
     # cell assignment (the paper-scale SemDeDup tier, first driver gate)
     "stream_events_attribution_steady",
     "ivf_cells_gemm",
+    # round 10: the four round-9 graph operators join the headline set
+    # (VERDICT r9 What's-wrong #3 — correctness-gated but unbenched rows
+    # are invisible to the regression gate), plus the measured-regime
+    # auto router
+    "knn_graph_cells",
+    "knn_graph_sym",
+    "knn_graph_refined",
+    "knn_join_graph_routed",
 ]
 
 

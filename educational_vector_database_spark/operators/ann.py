@@ -145,6 +145,91 @@ def _salted_pack(
     )
 
 
+def _block_pairs(packed: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Self-join packed blocks within each group: every unordered block
+    pair once (``a.blk <= b.blk``) — the shared candidate-pair generator
+    of the graph builders."""
+    cond = F.col("a.blk") <= F.col("b.blk")
+    for c in group_cols:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    return (
+        packed.alias("a")
+        .join(packed.alias("b"), cond)
+        .select(
+            (F.col("a.blk") == F.col("b.blk")).alias("same"),
+            F.col("a.rows").alias("rows_a"),
+            F.col("b.rows").alias("rows_b"),
+        )
+    )
+
+
+def _waved_edge_build(
+    keyed: DataFrame,
+    group_cols: Sequence[str],
+    m_metric: str,
+    m: int,
+    n_waves: int,
+    work_dir: str,
+    blocks_per_bucket: int | None,
+    row_cap: int,
+) -> DataFrame:
+    """Bounded-SPILL graph build (VERDICT r9 #4 — the measured 20M wall):
+    the one-shot builders shuffle several corpus-equivalents at once (R
+    plane-set packs + the kernel's candidate stream), and shuffle files of
+    an IN-FLIGHT job cannot be reclaimed — at 20M×64 that spilled ~63 GB
+    against a ~94 GB disk. Pairs only form WITHIN a bucket group, so the
+    bucket key partitions the build losslessly: hash the group key into
+    ``n_waves`` waves, run pack → block-pair join → GEMM kernel →
+    per-node top-m as a SEPARATE job per wave, checkpoint each wave's
+    edge delta to parquet, and let the cleaner reclaim the completed
+    wave's shuffle before the next starts — in-flight shuffle is
+    O(corpus / n_waves), not O(R × corpus).
+
+    Identical results to the one-shot build: per-node top-m within each
+    wave is a lossless contraction (any globally-top-m edge is top-m in
+    its own wave), scores are bit-identical (same kernel, same fold), and
+    the final merge reuses the same dedup-by-max + window tail.
+
+    ``work_dir`` holds the keyed spill (deleted after the waves) and the
+    per-wave edge deltas (the returned DataFrame READS them — the caller
+    owns the directory's lifetime; persist+count the result before
+    removing it)."""
+    import shutil
+
+    spark = keyed.sparkSession
+    keyed_dir = os.path.join(work_dir, "keyed")
+    edges_dir = os.path.join(work_dir, "edges")
+    n_waves = max(1, int(n_waves))
+    (
+        keyed.withColumn(
+            "wave",
+            F.pmod(F.hash(*[F.col(c) for c in group_cols]),
+                   F.lit(n_waves)).cast("int"),
+        )
+        .write.mode("overwrite").partitionBy("wave").parquet(keyed_dir)
+    )
+    kernel = _make_block_topm_kernel(m_metric, m)
+    for w in range(n_waves):
+        wk = (
+            spark.read.parquet(keyed_dir)
+            .filter(F.col("wave") == w).drop("wave")
+        )
+        packed = _salted_pack(wk, group_cols, blocks_per_bucket, row_cap)
+        cand = _block_pairs(packed, group_cols).mapInPandas(
+            kernel, "src long, dst long, score double"
+        )
+        _topm_edges(cand, m).write.mode("overwrite").parquet(
+            os.path.join(edges_dir, f"wave={w}")
+        )
+        # reclaim the completed wave's shuffle files before the next wave
+        # allocates its own — the whole point of the wave boundary
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+    shutil.rmtree(keyed_dir, ignore_errors=True)
+    merged = spark.read.parquet(edges_dir).select("src", "dst", "score")
+    return _topm_edges(merged, m)
+
+
 def hyperplanes(dim: int, n_planes: int = 4, seed: int = LSH_SEED) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes (fixed seed -> identical on every
     driver, executor, and oracle engine)."""
@@ -1161,6 +1246,8 @@ def knn_graph(
     metric: str = "cosine",
     blocks_per_bucket: int | None = None,
     row_cap: int = 4096,
+    n_waves: int | None = None,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Directed k-NN GRAPH over the corpus — the batch analog of HNSW's
     graph construction (reference src/vectordb/ann.py:21-76 ``HNSWIndex
@@ -1190,7 +1277,11 @@ def knn_graph(
     (:func:`_salted_pack` — the executor-memory guard the round-6 fixed
     ``blocks_per_bucket=2`` default lacked; the graph is blocking-invariant,
     so answers are unchanged). Pass an int to pin the legacy fixed salt.
-    Returns ``(src, dst, score)``."""
+
+    ``n_waves``/``work_dir``: route through :func:`_waved_edge_build` —
+    identical edges, in-flight shuffle bounded to O(corpus / n_waves)
+    instead of O(R × corpus); the single-box answer to the measured 20M
+    spill wall. Returns ``(src, dst, score)``."""
     m_l = metric.lower()
     if m_l not in V.SUPPORTED_METRICS:
         raise ValueError(f"Unknown metric: {metric!r}. Supported: {V.SUPPORTED_METRICS}")
@@ -1208,22 +1299,15 @@ def knn_graph(
     keyed = src.select("id", "v", F.explode(keys).alias("k")).select(
         "id", "v", F.col("k.r").alias("r"), F.col("k.bkt").alias("bkt")
     )
+    if n_waves is not None and n_waves > 1:
+        if not work_dir:
+            raise ValueError("knn_graph: n_waves > 1 requires work_dir")
+        return _waved_edge_build(
+            keyed, ["r", "bkt"], m_l, m, n_waves, work_dir,
+            blocks_per_bucket, row_cap,
+        )
     packed = _salted_pack(keyed, ["r", "bkt"], blocks_per_bucket, row_cap)
-    pairs = (
-        packed.alias("a")
-        .join(
-            packed.alias("b"),
-            (F.col("a.r") == F.col("b.r"))
-            & (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("a.blk") <= F.col("b.blk")),
-        )
-        .select(
-            (F.col("a.blk") == F.col("b.blk")).alias("same"),
-            F.col("a.rows").alias("rows_a"),
-            F.col("b.rows").alias("rows_b"),
-        )
-    )
-    cand = pairs.mapInPandas(
+    cand = _block_pairs(packed, ["r", "bkt"]).mapInPandas(
         _make_block_topm_kernel(m_l, m), "src long, dst long, score double"
     )
     return _topm_edges(cand, m)
@@ -1241,6 +1325,8 @@ def knn_graph_cells(
     row_cap: int = 4096,
     assign_tier: str = "gemm",
     batch_rows: int = 4096,
+    n_waves: int | None = None,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Directed k-NN graph with K-MEANS-CELL candidate generation — the
     data-ADAPTIVE counterpart of :func:`knn_graph`'s sign-LSH bucketing
@@ -1345,21 +1431,15 @@ def knn_graph_cells(
         )
     else:
         raise ValueError(f"Unknown assign_tier: {assign_tier!r}")
+    if n_waves is not None and n_waves > 1:
+        if not work_dir:
+            raise ValueError("knn_graph_cells: n_waves > 1 requires work_dir")
+        return _waved_edge_build(
+            keyed, ["bkt"], m_l, m, n_waves, work_dir,
+            blocks_per_bucket, row_cap,
+        )
     packed = _salted_pack(keyed, ["bkt"], blocks_per_bucket, row_cap)
-    pairs = (
-        packed.alias("a")
-        .join(
-            packed.alias("b"),
-            (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("a.blk") <= F.col("b.blk")),
-        )
-        .select(
-            (F.col("a.blk") == F.col("b.blk")).alias("same"),
-            F.col("a.rows").alias("rows_a"),
-            F.col("b.rows").alias("rows_b"),
-        )
-    )
-    cand = pairs.mapInPandas(
+    cand = _block_pairs(packed, ["bkt"]).mapInPandas(
         _make_block_topm_kernel(m_l, m), "src long, dst long, score double"
     )
     return _topm_edges(cand, m)
@@ -2178,6 +2258,8 @@ class GraphIndex:
         refine_rounds: int = 0,
         refine_expand: int = 8,
         sym_m_rev: int = 0,
+        build_waves: int | None = None,
+        build_dir: str | None = None,
     ):
         self.n_plane_sets = n_plane_sets
         self.n_planes = n_planes
@@ -2188,6 +2270,13 @@ class GraphIndex:
         self.seed = seed
         self.blocks_per_bucket = blocks_per_bucket
         self.row_cap = row_cap
+        # Bounded-spill build (VERDICT r9 #4): with build_waves > 1 the
+        # edge build runs wave-at-a-time through _waved_edge_build,
+        # checkpointing per-wave deltas under build_dir — identical edges,
+        # in-flight shuffle O(corpus/waves). build_dir must outlive the
+        # index (the persisted edge frame recomputes from it on eviction).
+        self.build_waves = build_waves
+        self.build_dir = build_dir
         # NN-descent rounds applied after each BUILD (knn_graph_refine —
         # the round-9 recall lever at 2M+). The pure-append fold-in path
         # stays refine-free BY DESIGN: its bit-equal-to-rebuild theorem
@@ -2247,6 +2336,8 @@ class GraphIndex:
             metric=self.metric,
             blocks_per_bucket=self.blocks_per_bucket,
             row_cap=self.row_cap,
+            n_waves=self.build_waves,
+            work_dir=self.build_dir,
         )
         inters = []
         for _ in range(self.refine_rounds):

@@ -1451,3 +1451,62 @@ def test_knn_graph_cells_tier_parity_and_contract(spark, sf_dir):
     deg = collections.Counter(s for s, _, _ in s1)
     assert max(deg.values()) <= 5
     assert all(s != d for s, d, _ in s1)
+
+
+def test_waved_build_matches_oneshot_knn_graph(spark, sf_dir, tmp_path):
+    """The bounded-spill waved build (VERDICT r9 #4) is a pure cost-shape
+    change: hash-partitioning the bucket groups into waves and merging
+    per-wave top-m deltas must reproduce the one-shot edges BIT-exactly
+    (per-wave top-m is a lossless contraction; scores share the kernel)."""
+    e = _emb(spark, sf_dir).limit(200)
+    planes = [A.hyperplanes(64, 3, seed=A.LSH_SEED + r) for r in range(3)]
+    one = {(int(r.src), int(r.dst), float(r.score))
+           for r in A.knn_graph(e, planes, m=4).collect()}
+    waved = {(int(r.src), int(r.dst), float(r.score))
+             for r in A.knn_graph(
+                 e, planes, m=4, n_waves=3,
+                 work_dir=str(tmp_path / "kg_waves")).collect()}
+    assert waved == one and len(one) > 0
+    # the keyed spill is reclaimed after the waves; edge deltas remain
+    assert not (tmp_path / "kg_waves" / "keyed").exists()
+    assert (tmp_path / "kg_waves" / "edges" / "wave=0").exists()
+
+
+def test_waved_build_matches_oneshot_knn_graph_cells(spark, sf_dir, tmp_path):
+    e = _emb(spark, sf_dir).limit(200)
+    cents = A.train_ivf_centroids(e, n_cells=6)
+    one = {(int(r.src), int(r.dst), float(r.score))
+           for r in A.knn_graph_cells(e, cents, m=4, assigns=2).collect()}
+    waved = {(int(r.src), int(r.dst), float(r.score))
+             for r in A.knn_graph_cells(
+                 e, cents, m=4, assigns=2, n_waves=4,
+                 work_dir=str(tmp_path / "kgc_waves")).collect()}
+    assert waved == one and len(one) > 0
+
+
+def test_waved_build_requires_work_dir(spark, sf_dir):
+    e = _emb(spark, sf_dir).limit(20)
+    planes = [A.hyperplanes(64, 3)]
+    with pytest.raises(ValueError, match="work_dir"):
+        A.knn_graph(e, planes, m=4, n_waves=2)
+
+
+def test_graph_index_waved_build_serves_identically(spark, sf_dir, tmp_path):
+    """GraphIndex(build_waves=...) must produce the same persisted edge set
+    and serve the same walk results as the default one-shot build."""
+    e = _emb(spark, sf_dir).limit(200)
+    a = A.GraphIndex(m=4).build(e)
+    b = A.GraphIndex(
+        m=4, build_waves=3, build_dir=str(tmp_path / "gi_waves")
+    ).build(e)
+    sa = {(int(r.src), int(r.dst), float(r.score))
+          for r in a._edges.collect()}
+    sb = {(int(r.src), int(r.dst), float(r.score))
+          for r in b._edges.collect()}
+    assert sa == sb and len(sa) > 0
+    qv = e.head().embedding
+    ra = [(int(r.vec_id), float(r.score))
+          for r in a.query(e, qv, k=5, assume_fresh=True).collect()]
+    rb = [(int(r.vec_id), float(r.score))
+          for r in b.query(e, qv, k=5, assume_fresh=True).collect()]
+    assert ra == rb
