@@ -6489,6 +6489,39 @@ def _knn_graph_edges_oracle() -> str:
 """
 
 
+def _knn_graph_waved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-partitioned bounded-spill graph build (round 10, VERDICT r9 #4
+    — the answer to the measured 20M spill wall): same sign-LSH candidate
+    generation as knn_graph_edges, but the build runs as 3 hash-partitioned
+    bucket-group waves, each a SEPARATE job that checkpoints its per-node
+    top-M edge delta to parquet before the next wave's shuffle allocates —
+    in-flight shuffle is O(corpus/waves), not O(R x corpus). Per-wave
+    top-M is a lossless contraction (any globally-top-M edge is top-M in
+    its own wave) and scores share the one-shot kernel bit-for-bit, so
+    this row hash-checks the waved path against the SAME SQL replica as
+    the one-shot build (≙ reference HNSWIndex.build, src/vectordb/
+    ann.py:21-76 — construction parity independent of build scheduling)."""
+    import tempfile
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"evd_kg_waved_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    return A.knn_graph(
+        _emb(spark, sf_dir), _GRAPH_PLANE_SETS, m=GRAPH_M,
+        n_waves=3, work_dir=work,
+    ).select(
+        "src", "dst",
+        F.floor(F.col("score") * F.lit(1e12)).cast("long").alias("score_pico"),
+    )
+
+
+def _knn_graph_waved_oracle() -> str:
+    # identical-edges theorem: the waved build's oracle IS the one-shot
+    # build's oracle — the whole point of the row
+    return _knn_graph_edges_oracle()
+
+
 GRAPH_REFINE_EXPAND = 4
 
 
@@ -10007,6 +10040,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-gated green r08; curation keeps docs_leakage_safe_split
         # + rag_context_budget in-window; stays check_oracle-covered at
         # three scales).
+        # Round-10 rotation (new operator this round, policy #2): IN
+        # knn_graph_waved (the bounded-spill wave-partitioned build —
+        # VERDICT r9 #4's operator; identical-edges theorem hash-checked
+        # by the driver against the one-shot build's SQL replica); OUT
+        # knn_ivfpq (driver-gated green r06-r09; a composition whose
+        # parts ivf_cells §2 N2 + pq_codes §2 N2 are both in-window; the
+        # PQ serving architecture stays check_oracle-covered at three
+        # scales).
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -10034,7 +10075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_disk_roundtrip": _knn_graph_disk_roundtrip,
         "pq_codes": _pq_codes,
         "ivf_cells_gemm": _ivf_cells_gemm,
-        "knn_ivfpq": _knn_ivfpq,
+        "knn_graph_waved": _knn_graph_waved,
         "knn_two_level_disk_roundtrip": _knn_two_level_disk_roundtrip,
         "stream_events_tumbling_steady": _stream_events_tumbling_steady,
         "bq_codes": _bq_codes,
@@ -10059,6 +10100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": _dedup_spans,
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
+        # rotated OUT in round 10 (driver-gated green r06-r09; parts
+        # ivf_cells + pq_codes stay in-window):
+        "knn_ivfpq": _knn_ivfpq,
         "docs_mixture_sample": _docs_mixture_sample,
         "knn_ivf_hamming": _knn_ivf_hamming,
         "ivf_cells_join": _ivf_cells_join,
@@ -10494,6 +10538,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_rebalanced": _KNN_IVF_REBALANCED_ORACLE,
         "knn_ivf_disk_roundtrip": _KNN_IVF_DISK_ORACLE,
         "knn_graph_edges": _knn_graph_edges_oracle(),
+        "knn_graph_waved": _knn_graph_waved_oracle(),
         "knn_graph_refined": _knn_graph_refined_oracle(),
         "knn_graph_sym": _knn_graph_sym_oracle(),
         "knn_graph_cells": _knn_graph_cells_oracle(),

@@ -250,6 +250,9 @@ HEADLINE = [
     "knn_graph_sym",
     "knn_graph_refined",
     "knn_join_graph_routed",
+    # round 10: bounded-spill wave-partitioned build (identical edges,
+    # different cost shape — benched so the wave overhead stays watched)
+    "knn_graph_waved",
 ]
 
 
