@@ -99,7 +99,8 @@ def gen_gaussian_corpus(spark, path: str, n: int, dim: int) -> None:
 def run_ab(spark, corpus_path: str, n_queries: int, repeats: int, k: int,
            m_lower: int, m_upper: int, beam_up: int, hops_up: int,
            n_descend: int, beam: int, hops: int,
-           flat_beam: int, flat_hops: int) -> dict:
+           flat_beam: int, flat_hops: int,
+           build_waves: int = 0, waves_dir: str = "") -> dict:
     corpus = (
         spark.read.parquet(corpus_path)
         .select("vec_id", "embedding").persist()
@@ -113,7 +114,14 @@ def run_ab(spark, corpus_path: str, n_queries: int, repeats: int, k: int,
     n_up = upper.count()
     ug = A.knn_graph(upper, plane_sets_for(n_up, dim), m=m_upper).persist()
     n_up_edges = ug.count()
-    lg = A.knn_graph(corpus, plane_sets_for(n, dim), m=m_lower).persist()
+    # the LOWER build is the spill wall at 10M+ (BASELINE round-9 notes:
+    # ~63 GB in-flight shuffle at 20M) — route it through the round-10
+    # waved build when asked; identical edges, bounded in-flight shuffle
+    lw = dict(n_waves=build_waves,
+              work_dir=os.path.join(waves_dir, "lower_waves")) \
+        if build_waves > 1 else {}
+    lg = A.knn_graph(corpus, plane_sets_for(n, dim), m=m_lower,
+                     **lw).persist()
     n_lo_edges = lg.count()
     build_s = time.monotonic() - t0
     print(f"built upper({n_up} nodes/{n_up_edges} edges) + "
@@ -247,6 +255,10 @@ def main() -> int:
     ap.add_argument("--big-dir", default="/tmp/ab_big")
     ap.add_argument("--big-queries", type=int, default=32)
     ap.add_argument("--big-repeats", type=int, default=3)
+    ap.add_argument("--build-waves", type=int, default=0,
+                    help=">1: route the lower-graph build through the "
+                         "round-10 waved builder (bounded in-flight "
+                         "shuffle — the 10M/20M single-box enabler)")
     ap.add_argument("--skip-base", action="store_true")
     ap.add_argument("--driver-mem", default="64g",
                     help="Spark driver heap; raise for >=20M-row corpora "
@@ -293,7 +305,8 @@ def main() -> int:
         out["big"] = run_ab(
             spark, big_path, a.big_queries, a.big_repeats, a.k,
             a.m_lower, a.m_upper, a.beam_up, a.hops_up + 1, a.n_descend,
-            a.beam, a.hops, a.flat_beam, a.flat_hops + 2)
+            a.beam, a.hops, a.flat_beam, a.flat_hops + 2,
+            build_waves=a.build_waves, waves_dir=a.big_dir)
 
     with open(a.out, "w") as f:
         json.dump(out, f, indent=1)
