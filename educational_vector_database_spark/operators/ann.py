@@ -209,18 +209,27 @@ def _waved_edge_build(
         .write.mode("overwrite").partitionBy("wave").parquet(keyed_dir)
     )
     kernel = _make_block_topm_kernel(m_metric, m)
+    # A wave's pairs frame is SMALL in bytes (a few thousand aggregated
+    # block rows) but huge in compute (each pair is up to a row_cap^2 GEMM)
+    # — AQE coalesces it to a handful of partitions and strands the kernel
+    # on 4 of 32 cores (measured: 84% idle at the 5M rung). Pin the kernel
+    # fan-out to the executor parallelism; round-robin over coarse
+    # uniform-cost rows is the right balance and the extra shuffle moves
+    # only the wave's packed payload.
+    par = spark.sparkContext.defaultParallelism
     for w in range(n_waves):
+        out_w = os.path.join(edges_dir, f"wave={w}")
+        if os.path.exists(os.path.join(out_w, "_SUCCESS")):
+            continue  # wave-level resume: deltas are deterministic
         wk = (
             spark.read.parquet(keyed_dir)
             .filter(F.col("wave") == w).drop("wave")
         )
         packed = _salted_pack(wk, group_cols, blocks_per_bucket, row_cap)
-        cand = _block_pairs(packed, group_cols).mapInPandas(
+        cand = _block_pairs(packed, group_cols).repartition(par).mapInPandas(
             kernel, "src long, dst long, score double"
         )
-        _topm_edges(cand, m).write.mode("overwrite").parquet(
-            os.path.join(edges_dir, f"wave={w}")
-        )
+        _topm_edges(cand, m).write.mode("overwrite").parquet(out_w)
         # reclaim the completed wave's shuffle files before the next wave
         # allocates its own — the whole point of the wave boundary
         spark.catalog.clearCache()
