@@ -172,6 +172,7 @@ def _waved_edge_build(
     work_dir: str,
     blocks_per_bucket: int | None,
     row_cap: int,
+    score_tier: str = "exact",
 ) -> DataFrame:
     """Bounded-SPILL graph build (VERDICT r9 #4 — the measured 20M wall):
     the one-shot builders shuffle several corpus-equivalents at once (R
@@ -208,7 +209,7 @@ def _waved_edge_build(
         )
         .write.mode("overwrite").partitionBy("wave").parquet(keyed_dir)
     )
-    kernel = _make_block_topm_kernel(m_metric, m)
+    kernel = _make_block_topm_kernel(m_metric, m, score_tier)
     # A wave's pairs frame is SMALL in bytes (a few thousand aggregated
     # block rows) but huge in compute (each pair is up to a row_cap^2 GEMM)
     # — AQE coalesces it to a handful of partitions and strands the kernel
@@ -1161,7 +1162,8 @@ class IVFIndex:
         return idx
 
 
-def _make_block_topm_kernel(m_metric: str, m_edges: int):
+def _make_block_topm_kernel(m_metric: str, m_edges: int,
+                            score_tier: str = "exact"):
     """mapInPandas kernel over (same, rows_a, rows_b) block pairs emitting
     each source node's top-``m_edges`` DIRECTED neighbors within the pair —
     the map-side combine for a distributed k-NN-graph build. Scoring shares
@@ -1169,6 +1171,17 @@ def _make_block_topm_kernel(m_metric: str, m_edges: int):
     unit-normalize rows first for cosine, accumulate dimension-by-dimension
     in the exact IEEE fold order of the SQL oracle's
     ``list_dot_product(unit(a), unit(b))`` form, no BLAS reorder.
+
+    ``score_tier``: ``'exact'`` (default) is the oracle tier above —
+    bit-identical to DuckDB, but each block pair materializes dim
+    full-size outer-product temporaries (memory-bandwidth bound: ~25 GB
+    of traffic per 4096x4096 pair at dim=64 — measured as the 5M-rung
+    wall). ``'gemm'`` scores with ONE BLAS matmul per pair (same math,
+    hardware reduction order, ~1e-15 relative difference) — the
+    throughput tier for scale rehearsals, same two-tier contract as
+    ``ivf_assign_gemm`` / ``knn_graph_cells(assign_tier=)``; edge SETS
+    match the exact tier except on exact score ties between distinct
+    continuous vectors (pytest-pinned parity on the test fixtures).
 
     Correctness of the partial top-M: any candidate this kernel drops is
     dominated by ``m_edges`` candidates from the SAME block pair under the
@@ -1213,6 +1226,27 @@ def _make_block_topm_kernel(m_metric: str, m_edges: int):
             out[1].append(dd[keep])
             out[2].append(sc[keep])
 
+        gemm = score_tier == "gemm"
+
+        def score_pair(A, B):
+            if gemm:
+                if m_metric == "euclidean":
+                    d2 = (
+                        (A * A).sum(axis=1)[:, None]
+                        - 2.0 * (A @ B.T)
+                        + (B * B).sum(axis=1)[None, :]
+                    )
+                    return 1.0 / (1.0 + np.sqrt(np.maximum(d2, 0.0)))
+                return A @ B.T  # cosine rows already unit; dot as-is
+            acc = np.zeros((len(A), len(B)))
+            for i in range(A.shape[1]):  # exact fold order, no BLAS reorder
+                if m_metric == "euclidean":
+                    d = np.subtract.outer(A[:, i], B[:, i])
+                    acc = acc + d * d
+                else:
+                    acc = acc + np.multiply.outer(A[:, i], B[:, i])
+            return 1.0 / (1.0 + np.sqrt(acc)) if m_metric == "euclidean" else acc
+
         for pdf in batches:
             out = ([], [], [])
             for same, ra, rb in zip(pdf["same"], pdf["rows_a"], pdf["rows_b"]):
@@ -1221,14 +1255,7 @@ def _make_block_topm_kernel(m_metric: str, m_edges: int):
                 if m_metric == "cosine":
                     A = unit(A)
                     B = A if same else unit(B)
-                acc = np.zeros((len(A), len(B)))
-                for i in range(A.shape[1]):  # exact fold order, no BLAS reorder
-                    if m_metric == "euclidean":
-                        d = np.subtract.outer(A[:, i], B[:, i])
-                        acc = acc + d * d
-                    else:
-                        acc = acc + np.multiply.outer(A[:, i], B[:, i])
-                S = 1.0 / (1.0 + np.sqrt(acc)) if m_metric == "euclidean" else acc
+                S = score_pair(A, B)
                 if same:
                     np.fill_diagonal(S, -np.inf)  # no self edges
                     emit(ids_a, ids_b, S, out)
@@ -1257,6 +1284,7 @@ def knn_graph(
     row_cap: int = 4096,
     n_waves: int | None = None,
     work_dir: str | None = None,
+    score_tier: str = "exact",
 ) -> DataFrame:
     """Directed k-NN GRAPH over the corpus — the batch analog of HNSW's
     graph construction (reference src/vectordb/ann.py:21-76 ``HNSWIndex
@@ -1313,11 +1341,12 @@ def knn_graph(
             raise ValueError("knn_graph: n_waves > 1 requires work_dir")
         return _waved_edge_build(
             keyed, ["r", "bkt"], m_l, m, n_waves, work_dir,
-            blocks_per_bucket, row_cap,
+            blocks_per_bucket, row_cap, score_tier,
         )
     packed = _salted_pack(keyed, ["r", "bkt"], blocks_per_bucket, row_cap)
     cand = _block_pairs(packed, ["r", "bkt"]).mapInPandas(
-        _make_block_topm_kernel(m_l, m), "src long, dst long, score double"
+        _make_block_topm_kernel(m_l, m, score_tier),
+        "src long, dst long, score double",
     )
     return _topm_edges(cand, m)
 
@@ -1336,6 +1365,7 @@ def knn_graph_cells(
     batch_rows: int = 4096,
     n_waves: int | None = None,
     work_dir: str | None = None,
+    score_tier: str = "exact",
 ) -> DataFrame:
     """Directed k-NN graph with K-MEANS-CELL candidate generation — the
     data-ADAPTIVE counterpart of :func:`knn_graph`'s sign-LSH bucketing
@@ -1445,11 +1475,12 @@ def knn_graph_cells(
             raise ValueError("knn_graph_cells: n_waves > 1 requires work_dir")
         return _waved_edge_build(
             keyed, ["bkt"], m_l, m, n_waves, work_dir,
-            blocks_per_bucket, row_cap,
+            blocks_per_bucket, row_cap, score_tier,
         )
     packed = _salted_pack(keyed, ["bkt"], blocks_per_bucket, row_cap)
     cand = _block_pairs(packed, ["bkt"]).mapInPandas(
-        _make_block_topm_kernel(m_l, m), "src long, dst long, score double"
+        _make_block_topm_kernel(m_l, m, score_tier),
+        "src long, dst long, score double",
     )
     return _topm_edges(cand, m)
 

@@ -1510,3 +1510,25 @@ def test_graph_index_waved_build_serves_identically(spark, sf_dir, tmp_path):
     rb = [(int(r.vec_id), float(r.score))
           for r in b.query(e, qv, k=5, assume_fresh=True).collect()]
     assert ra == rb
+
+
+def test_score_tier_gemm_matches_exact_edges(spark, sf_dir):
+    """The BLAS score tier (scale rehearsals) must produce the same edge
+    SET as the oracle-exact fold on continuous fixtures (ties between
+    distinct vectors don't occur there), with scores equal to ~1e-12 —
+    the ivf_assign_gemm two-tier contract applied to graph scoring."""
+    e = _emb(spark, sf_dir).limit(200)
+    planes = [A.hyperplanes(64, 3, seed=A.LSH_SEED + r) for r in range(2)]
+    exact = {(int(r.src), int(r.dst)): float(r.score)
+             for r in A.knn_graph(e, planes, m=4).collect()}
+    gemm = {(int(r.src), int(r.dst)): float(r.score)
+            for r in A.knn_graph(e, planes, m=4,
+                                 score_tier="gemm").collect()}
+    assert set(exact) == set(gemm) and len(exact) > 0
+    assert all(abs(exact[k] - gemm[k]) < 1e-9 for k in exact)
+    # euclidean leg of the gemm scorer
+    ex_e = {(int(r.src), int(r.dst)) for r in A.knn_graph(
+        e, planes, m=4, metric="euclidean").collect()}
+    gm_e = {(int(r.src), int(r.dst)) for r in A.knn_graph(
+        e, planes, m=4, metric="euclidean", score_tier="gemm").collect()}
+    assert ex_e == gm_e

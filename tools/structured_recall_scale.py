@@ -128,6 +128,7 @@ def main() -> int:
             corpus, cents, m=a.m, assigns=a.assigns,
             n_waves=a.build_waves,
             work_dir=os.path.join(a.cache, "_lgc_waves"),
+            score_tier="gemm",  # throughput tier — rehearsal, not oracle
         ))
 
     step = max(1, n // a.n_queries)

@@ -118,7 +118,8 @@ def run_ab(spark, corpus_path: str, n_queries: int, repeats: int, k: int,
     # ~63 GB in-flight shuffle at 20M) — route it through the round-10
     # waved build when asked; identical edges, bounded in-flight shuffle
     lw = dict(n_waves=build_waves,
-              work_dir=os.path.join(waves_dir, "lower_waves")) \
+              work_dir=os.path.join(waves_dir, "lower_waves"),
+              score_tier="gemm") \
         if build_waves > 1 else {}
     lg = A.knn_graph(corpus, plane_sets_for(n, dim), m=m_lower,
                      **lw).persist()
