@@ -653,13 +653,20 @@ def recommend_index(n_rows: int, clustered: bool) -> dict:
 
     n = max(1, int(n_rows))
     if clustered:
+        # measured operating points: nprobe=4 reads 0.986 at 2M (2,000
+        # clusters) and exactly 0.950 at 5M (5,000 clusters) — the recall
+        # drifts down as cluster count scales with n, so past ~4M rows the
+        # table buys margin with nprobe=8 (0.964 at 5M for ~25% more serve
+        # time, 90x over brute; STRUCTURED_RECALL_2M.json /
+        # STRUCTURED_RECALL_5M.json)
         return {
             "index_type": "ivf",
             "params": {
-                "n_cells": max(16, int(math.sqrt(n))), "nprobe": 4,
+                "n_cells": max(16, int(math.sqrt(n))),
+                "nprobe": 4 if n < 4_000_000 else 8,
             },
-            "why": "clustered corpus: IVF multi-probe recall 0.986 at "
-                   "82x over brute (STRUCTURED_RECALL_2M.json)",
+            "why": "clustered corpus: IVF multi-probe >=0.95 recall at "
+                   "90-120x over brute (STRUCTURED_RECALL_{2M,5M}.json)",
         }
     if n < AUTO_BRUTE_MAX_ROWS:
         return {

@@ -102,6 +102,11 @@ def test_recommend_clustered_is_ivf_multiprobe():
     assert rec["index_type"] == "ivf"
     assert rec["params"]["nprobe"] == 4  # the 0.986-recall operating point
     assert rec["params"]["n_cells"] == 1414  # K ~ sqrt(n)
+    # past ~4M the table buys recall margin with nprobe=8: the measured
+    # dip 0.986 (2M) -> 0.950 (5M) at nprobe=4, STRUCTURED_RECALL_5M.json
+    rec5 = recommend_index(5_000_000, clustered=True)
+    assert rec5["params"]["nprobe"] == 8
+    assert rec5["params"]["n_cells"] == 2236
 
 
 def test_recommend_small_isotropic_is_brute():
