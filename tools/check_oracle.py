@@ -38,7 +38,11 @@ def canon(v):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # accept space- AND comma-separated query lists; reject unknown names
+    # LOUDLY — a typo'd filter that matches nothing reports a vacuous
+    # "FAILURES: 0" otherwise (round-10 near-miss: a comma-joined list
+    # silently skipped every query)
+    only = {n for a in sys.argv[2:] for n in a.split(",") if n}
     spark = get_spark(shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
@@ -51,6 +55,11 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}",
+              file=sys.stderr)
+        return 2
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
