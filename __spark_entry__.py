@@ -6500,13 +6500,15 @@ def _knn_graph_waved(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own wave) and scores share the one-shot kernel bit-for-bit, so
     this row hash-checks the waved path against the SAME SQL replica as
     the one-shot build (≙ reference HNSWIndex.build, src/vectordb/
-    ann.py:21-76 — construction parity independent of build scheduling)."""
-    import tempfile
+    ann.py:21-76 — construction parity independent of build scheduling).
 
-    work = os.path.join(
-        tempfile.gettempdir(),
-        f"evd_kg_waved_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    The work dir is uuid-suffixed per call (_reap_scratch lifecycle, like
+    the disk-roundtrip rows): concurrent runs can't race on a shared
+    keyed-spill overwrite, every timed run does the FULL build (a fixed
+    dir would let wave resume skip the work bench claims to time), and
+    stale siblings are age-reaped. Stale-delta reuse is additionally
+    fingerprint-guarded inside _waved_edge_build itself."""
+    work = _reap_scratch("evdb_kg_waved_")
     return A.knn_graph(
         _emb(spark, sf_dir), _GRAPH_PLANE_SETS, m=GRAPH_M,
         n_waves=3, work_dir=work,

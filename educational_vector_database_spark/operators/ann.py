@@ -194,7 +194,22 @@ def _waved_edge_build(
     ``work_dir`` holds the keyed spill (deleted after the waves) and the
     per-wave edge deltas (the returned DataFrame READS them — the caller
     owns the directory's lifetime; persist+count the result before
-    removing it)."""
+    removing it).
+
+    Resume is FINGERPRINT-GUARDED: a ``_build_fingerprint.json`` marker in
+    ``work_dir`` records the build params and a content hash of the keyed
+    corpus; completed waves (``_SUCCESS``-stamped deltas) are reused only
+    when the marker matches, otherwise every stale delta is wiped first.
+    Without the guard, a rebuild into the same ``work_dir`` after the data
+    or any pair-shaping knob changed would silently serve the OLD graph.
+
+    Shuffle reclamation between waves is BEST-EFFORT: the wave boundary
+    ends the job (so the ContextCleaner may release its shuffle files),
+    but release timing is the JVM GC's — callers running multi-wave scale
+    builds should set ``spark.cleaner.periodicGC.interval`` low (e.g.
+    ``90s``, as ``tools/two_level_ab.py`` does) so a large idle driver
+    heap doesn't pin completed waves' spill."""
+    import json as _json
     import shutil
 
     spark = keyed.sparkSession
@@ -209,6 +224,35 @@ def _waved_edge_build(
         )
         .write.mode("overwrite").partitionBy("wave").parquet(keyed_dir)
     )
+    # Content fingerprint off the spilled keyed table (one columnar scan —
+    # cheap next to any wave): order-independent sum of bounded row hashes,
+    # plus the exact row count. pmod keeps the sum far from long overflow
+    # (ANSI mode makes a wrapped sum an ERROR, not a quiet hash).
+    kd = spark.read.parquet(keyed_dir)
+    h = kd.agg(
+        F.sum(F.pmod(F.xxhash64(*[F.col(c) for c in kd.columns]),
+                     F.lit(1_000_000_007))).alias("h"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    fp = {
+        "group_cols": list(group_cols), "metric": m_metric, "m": int(m),
+        "n_waves": n_waves, "blocks_per_bucket": blocks_per_bucket,
+        "row_cap": int(row_cap), "score_tier": score_tier,
+        "data_hash": int(h.h or 0), "rows": int(h.n),
+    }
+    marker = os.path.join(work_dir, "_build_fingerprint.json")
+    prev = None
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                prev = _json.load(f)
+        except (OSError, ValueError):
+            prev = None
+    if prev != fp:
+        shutil.rmtree(edges_dir, ignore_errors=True)
+        os.makedirs(work_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            _json.dump(fp, f)
     kernel = _make_block_topm_kernel(m_metric, m, score_tier)
     # A wave's pairs frame is SMALL in bytes (a few thousand aggregated
     # block rows) but huge in compute (each pair is up to a row_cap^2 GEMM)
@@ -231,10 +275,11 @@ def _waved_edge_build(
             kernel, "src long, dst long, score double"
         )
         _topm_edges(cand, m).write.mode("overwrite").parquet(out_w)
-        # reclaim the completed wave's shuffle files before the next wave
-        # allocates its own — the whole point of the wave boundary
+        # the wave boundary ends the job so the ContextCleaner CAN reclaim
+        # its shuffle files before the next wave allocates; actual release
+        # timing belongs to the JVM GC — see the docstring's
+        # spark.cleaner.periodicGC.interval note (no private-API nudges)
         spark.catalog.clearCache()
-        spark._jvm.System.gc()
     shutil.rmtree(keyed_dir, ignore_errors=True)
     merged = spark.read.parquet(edges_dir).select("src", "dst", "score")
     return _topm_edges(merged, m)

@@ -1484,6 +1484,39 @@ def test_waved_build_matches_oneshot_knn_graph_cells(spark, sf_dir, tmp_path):
     assert waved == one and len(one) > 0
 
 
+def test_waved_build_stale_resume_guard(spark, sf_dir, tmp_path):
+    """A rebuild into the SAME work_dir with different data or params must
+    NOT resume off the previous build's wave deltas (ADVICE r10 high): the
+    fingerprint marker invalidates them and the result matches a fresh
+    build of the new inputs exactly."""
+    planes = [A.hyperplanes(64, 3, seed=A.LSH_SEED + r) for r in range(3)]
+    wd = str(tmp_path / "kg_waves")
+    e_old = _emb(spark, sf_dir).limit(120)
+    stale = {(int(r.src), int(r.dst), float(r.score))
+             for r in A.knn_graph(
+                 e_old, planes, m=4, n_waves=3, work_dir=wd).collect()}
+    # corpus drifts (different rows), same work_dir: deltas must be wiped
+    e_new = _emb(spark, sf_dir).filter(F.col("vec_id") >= 50).limit(120)
+    fresh = {(int(r.src), int(r.dst), float(r.score))
+             for r in A.knn_graph(e_new, planes, m=4).collect()}
+    reused = {(int(r.src), int(r.dst), float(r.score))
+              for r in A.knn_graph(
+                  e_new, planes, m=4, n_waves=3, work_dir=wd).collect()}
+    assert reused == fresh and reused != stale
+    # param drift (m changes the per-wave contraction) invalidates too
+    fresh_m6 = {(int(r.src), int(r.dst), float(r.score))
+                for r in A.knn_graph(e_new, planes, m=6).collect()}
+    reused_m6 = {(int(r.src), int(r.dst), float(r.score))
+                 for r in A.knn_graph(
+                     e_new, planes, m=6, n_waves=3, work_dir=wd).collect()}
+    assert reused_m6 == fresh_m6
+    # unchanged data+params DO resume: deltas survive and results repeat
+    again = {(int(r.src), int(r.dst), float(r.score))
+             for r in A.knn_graph(
+                 e_new, planes, m=6, n_waves=3, work_dir=wd).collect()}
+    assert again == fresh_m6
+
+
 def test_waved_build_requires_work_dir(spark, sf_dir):
     e = _emb(spark, sf_dir).limit(20)
     planes = [A.hyperplanes(64, 3)]
