@@ -145,6 +145,168 @@ def _knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+CERT_RATE = 25  # certification sample: md5(vec_id) bucket % 25 == 0 (~n/25)
+
+
+def _cert_sample_pred() -> F.Column:
+    """Deterministic, engine-portable query sample for the serving
+    certificates: md5 of the DECIMAL id string, first 15 hex digits as an
+    integer, bucket modulo CERT_RATE — the same portable-hash discipline
+    as the sampling/bloom oracles (identical arithmetic in DuckDB via
+    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(bucket, F.lit(CERT_RATE)) == 0
+
+
+_CERT_Q_SQL = (
+    "(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+    f" % {CERT_RATE}) = 0"
+)
+
+
+def _knn_auto_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto router's serving certificate (VERDICT r10 #4 — recommend →
+    CERTIFY): ``VectorDB.certify`` measures recall@k of the RESOLVED
+    serving strategy against exact brute force on a bounded md5-bucket
+    query sample drawn from the corpus, and emits the operating point as
+    ONE row ``(index_type, n_queries, k, n_hits)``. On the isotropic
+    sub-1M testdata the router resolves to ``brute`` (same pin rationale
+    as ``knn_auto``), so the certificate states recall 1.0 — n_hits =
+    n_queries × k — which the SQL replica checks by actually recomputing
+    the sampled exact top-k per query (sample machinery + top-k
+    tie-breaks + the intersection count, not just the constant). The
+    clustered/approx legs of certify are pinned by pytest
+    (tests/test_certify.py) where the route is forced. ≙ reference
+    tests/test_v3_features.py:29-46 (ANN results asserted against exact
+    on the same fixtures) — promoted from a test to a served, measured
+    certificate."""
+    from educational_vector_database_spark.api import VectorDB
+
+    db = VectorDB(
+        spark, dim=64,
+        df=_emb(spark, sf_dir)
+        .filter(F.col("vec_id") < 2000)
+        .select("vec_id", "embedding"),
+        use_approx=True, index_type="auto",
+    )
+    res = db.certify(k=TOP_K, sample_rate=CERT_RATE)
+    assert db._auto is not None and db._auto["index_type"] == "brute", (
+        f"auto probe misread the isotropic testdata corpus: {db._auto!r}"
+    )
+    return res
+
+
+def _knn_auto_certified_oracle() -> str:
+    return f"""
+    WITH u AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))) AS uv
+        FROM embeddings WHERE vec_id < 2000
+    ),
+    qs AS (SELECT vec_id AS qid, uv AS qv FROM u WHERE {_CERT_Q_SQL}),
+    scored AS (
+        SELECT q.qid, e.vec_id, list_dot_product(e.uv, q.qv) AS score
+        FROM u e CROSS JOIN qs q
+    ),
+    topk AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT 'brute' AS index_type,
+           CAST(count(DISTINCT qid) AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM topk
+    """
+
+
+def _knn_ivf_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF serving certificate through the certify OPERATOR path
+    (operators/ann.py ivf_search_batch + recall_certificate — the exact
+    building blocks behind ``VectorDB.certify``'s ivf route, here over
+    the fixed-centroid assignment so one SQL replica covers every scale):
+    md5-sampled queries, each probing its nprobe nearest cells via the
+    batch multi-probe plan (probe cells as a pure Column expression, the
+    probed pairs broadcast into the assignment — scan-proportional,
+    never all-pairs), intersected with the exact brute top-k. n_hits /
+    (n_queries × k) is the MEASURED recall the router's decision table
+    promises — served as a certificate instead of trusted."""
+    cents = _ivf_centroids(spark, sf_dir)
+    cells = _emb(spark, sf_dir).withColumn(
+        "centroid_id", _cell_expr(cents, "embedding")
+    )
+    queries = (
+        _emb(spark, sf_dir)
+        .filter(_cert_sample_pred())
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    exact = K.knn_join(_emb(spark, sf_dir), queries, k=TOP_K)
+    approx = A.ivf_search_batch(
+        cells, list(enumerate(cents)), queries, k=TOP_K, nprobe=IVF_NPROBE
+    )
+    return A.recall_certificate(exact, approx, "ivf", TOP_K)
+
+
+def _knn_ivf_certified_oracle() -> str:
+    cos = _COS.format(a="e.embedding::DOUBLE[]", b="q.qv")
+    return f"""
+    WITH {_IVF_ASSIGN_CTE},
+    u AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))) AS uv
+        FROM embeddings
+    ),
+    qs AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE {_CERT_Q_SQL}
+    ),
+    qn AS (SELECT u.vec_id AS qid, u.uv AS qv FROM u
+           JOIN qs ON qs.qid = u.vec_id),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id, row_number() OVER (
+                PARTITION BY q.qid
+                ORDER BY list_dot_product(e.uv, q.qv) DESC, e.vec_id ASC
+            ) AS rn
+            FROM u e CROSS JOIN qn q
+        ) WHERE rn <= {TOP_K}
+    ),
+    qprobe AS (
+        SELECT d.vec_id AS qid, CAST(d.cid AS INT) AS pcell
+        FROM d JOIN qs q ON q.qid = d.vec_id
+        WHERE d.rn <= {IVF_NPROBE}
+    ),
+    ivf AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id, row_number() OVER (
+                PARTITION BY q.qid ORDER BY {cos} DESC, e.vec_id ASC
+            ) AS rn
+            FROM embeddings e
+            JOIN assign a ON a.vec_id = e.vec_id
+            JOIN qprobe qp ON a.centroid_id = qp.pcell
+            JOIN qs q ON q.qid = qp.qid
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT 'ivf' AS index_type,
+           CAST((SELECT count(*) FROM qs) AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM exact JOIN ivf USING (qid, vec_id)
+    """
+
+
 def _reap_scratch(prefix: str, max_age_s: int = 1800) -> str:
     """Allocate a uuid-suffixed scratch path under the system tempdir and
     best-effort delete STALE siblings with the same prefix first.
@@ -10099,6 +10261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_leakage_safe_split": _docs_leakage_safe_split,
         "dedup_semantic": _dedup_semantic,
         "knn_auto": _knn_auto,
+        "knn_auto_certified": _knn_auto_certified,
+        "knn_ivf_certified": _knn_ivf_certified,
         "dedup_spans": _dedup_spans,
         # --- past the 50-entry window: variants and breadth queries,
         # still oracle-declared and covered by tools/check_oracle.py ---
@@ -10276,6 +10440,8 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY score DESC, e.vec_id ASC
         LIMIT {TOP_K}
     """,
+        "knn_auto_certified": _knn_auto_certified_oracle(),
+        "knn_ivf_certified": _knn_ivf_certified_oracle(),
         "knn_dot": _knn_oracle(_DOT),
         "knn_euclidean": _knn_oracle(_EUC_SIM),
         "filter_then_knn": f"""
