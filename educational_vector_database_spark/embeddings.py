@@ -122,6 +122,74 @@ class HFEmbeddings(Embeddings):
         return hf_embed
 
 
+class HashingTFEmbeddings(Embeddings):
+    """Deterministic TEXT-DEPENDENT embeddings via feature hashing (the
+    classic hashing trick: Weinberger et al., ICML 2009) — the engine's
+    stand-in for a real sentence encoder when sentence-transformers is
+    unavailable (the reference's own fallback seam, server.py:25-32, but
+    content-sensitive where ``DummyEmbeddings`` is length-only).
+
+    Each whitespace token hashes to one of ``dim`` buckets with a ±1 sign
+    (crc32 — stable across processes, unlike Python's salted ``hash``);
+    the bucket-signed term-frequency vector is L2-normalized. Documents
+    sharing vocabulary are close in cosine — so topical corpora embed as
+    CLUSTERED vector sets, which is exactly the regime structure the auto
+    router's clusterability probe has to read (STRUCTURED_RECALL_REAL
+    uses this embedder to place text corpora between the isotropic and
+    Zipf-GMM operating points). Fully deterministic: no RNG, no model
+    download, engine-portable."""
+
+    def __init__(self, dim: int = 384):
+        self.dim = int(dim)
+
+    @staticmethod
+    def _accumulate(tokens, dim: int) -> np.ndarray:
+        import zlib
+
+        v = np.zeros(dim, dtype=np.float64)
+        for t in tokens:
+            h = zlib.crc32(t.encode("utf-8"))
+            idx = h % dim
+            v[idx] += 1.0 if (h >> 17) & 1 else -1.0
+        return v
+
+    def embed(self, text: str) -> np.ndarray:
+        v = self._accumulate((text or "").split(), self.dim)
+        n = float(np.linalg.norm(v))
+        return v / n if n > 0 else v
+
+    def udf(self):
+        dim = self.dim
+
+        @F.pandas_udf(ArrayType(DoubleType()))
+        def hashing_tf_embed(texts: pd.Series) -> pd.Series:
+            import zlib
+
+            # token -> (bucket, sign) memoized per batch: a corpus's
+            # vocabulary is tiny next to its token stream, so the hash
+            # runs once per DISTINCT token per executor batch
+            cache: dict[str, tuple[int, float]] = {}
+
+            def slot(t):
+                s = cache.get(t)
+                if s is None:
+                    h = zlib.crc32(t.encode("utf-8"))
+                    s = cache[t] = (h % dim, 1.0 if (h >> 17) & 1 else -1.0)
+                return s
+
+            out = []
+            for text in texts.fillna(""):
+                v = np.zeros(dim, dtype=np.float64)
+                for t in text.split():
+                    idx, sign = slot(t)
+                    v[idx] += sign
+                n = float(np.linalg.norm(v))
+                out.append((v / n if n > 0 else v).tolist())
+            return pd.Series(out)
+
+        return hashing_tf_embed
+
+
 def default_embeddings(dim: int = DEFAULT_DUMMY_DIM) -> Embeddings:
     """HF when installed, else Dummy — the reference server's load path
     (server.py:25-32)."""

@@ -169,3 +169,38 @@ def test_composed_pipeline_dim384_hf(spark, sf_dir):
     want = {r.vec_id for r in K.knn(vecs, qv, k=5).collect()}
     assert len({r.vec_id for r in got} & want) >= 4
     vecs.unpersist()
+
+
+def test_hashing_tf_embeddings_contract(spark):
+    """HashingTFEmbeddings (the content-sensitive deterministic fallback
+    behind STRUCTURED_RECALL_REAL): unit-normalized, text-DEPENDENT (unlike
+    DummyEmbeddings' length-only quirk), deterministic across calls, and
+    the executor-side pandas UDF must agree with driver-side embed()
+    bit-for-bit (same crc32 slots, same accumulation order)."""
+    import numpy as np
+
+    from educational_vector_database_spark.embeddings import (
+        HashingTFEmbeddings,
+    )
+
+    emb = HashingTFEmbeddings(dim=64)
+    a = emb.embed("spark graft vector engine")
+    b = emb.embed("spark graft vector engine")
+    c = emb.embed("sparq graft vector engine")  # same length, one char off
+    assert np.allclose(a, b)
+    assert not np.allclose(a, c)
+    assert abs(float(np.linalg.norm(a)) - 1.0) < 1e-12
+    assert emb.embed("").tolist() == [0.0] * 64  # empty text -> zero vector
+    # shared vocabulary -> high cosine; disjoint vocabulary -> near zero
+    x = emb.embed("alpha beta gamma delta epsilon")
+    y = emb.embed("alpha beta gamma delta zeta")
+    z = emb.embed("one two three four five")
+    assert float(x @ y) > 0.6 > abs(float(x @ z))
+    # executor parity through the pandas UDF
+    texts = ["spark graft vector engine", "", "alpha beta gamma"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    rows = {int(r.id): r.v for r in
+            df.select("id", emb.embed_col("text").alias("v")).collect()}
+    for i, t in enumerate(texts):
+        assert np.allclose(rows[i], emb.embed(t))
