@@ -10212,6 +10212,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parts ivf_cells §2 N2 + pq_codes §2 N2 are both in-window; the
         # PQ serving architecture stays check_oracle-covered at three
         # scales).
+        # Round-11 rotation (new operators this round, policy #2): IN
+        # knn_auto_certified + knn_ivf_certified (VERDICT r10 #4 — the
+        # serving certificates: measured recall@k of the routed strategy
+        # vs exact brute on an md5-bucket sample, the facade path and the
+        # ivf operator path); OUT knn_graph_beam (green r05-r10) and
+        # knn_join_graph (green r06-r10) — the graph family keeps 10
+        # in-window rows, the batched-walk shape stays gated via
+        # knn_join_graph_routed and knn_graph_two_level, and both
+        # rotated-out rows stay check_oracle-covered.
         "scan_embeddings": _scan_embeddings,
         "project_items": _project_items,
         "store_roundtrip": _store_roundtrip,
@@ -10231,11 +10240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _dedup_incremental,
         "ivf_cells": _ivf_cells,
         "knn_graph_edges": _knn_graph_edges,
-        "knn_graph_beam": _knn_graph_beam,
         "knn_two_level_dedup_reps": _knn_two_level_dedup_reps,
         "knn_graph_two_level": _knn_graph_two_level,
         "knn_graph_incremental": _knn_graph_incremental,
-        "knn_join_graph": _knn_join_graph,
         "knn_graph_disk_roundtrip": _knn_graph_disk_roundtrip,
         "pq_codes": _pq_codes,
         "ivf_cells_gemm": _ivf_cells_gemm,
@@ -10275,6 +10282,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hamming": _knn_hamming,
         "knn_graph_cells_gemm": _knn_graph_cells_gemm,
         "knn_ivf_rebalanced": _knn_ivf_rebalanced,
+        # rotated OUT in round 11 (driver-gated green r05/r06-r10; the
+        # serving-certificate rows rotate IN per policy #2, and the graph
+        # family keeps 10 in-window rows incl. the batched walks via
+        # knn_join_graph_routed and knn_graph_two_level):
+        "knn_graph_beam": _knn_graph_beam,
+        "knn_join_graph": _knn_join_graph,
         # rotated OUT in round 8 (driver-gated green in r07; families keep
         # 4+ and 2 in-window rows respectively):
         "knn_join_pq": _knn_join_pq,

@@ -253,6 +253,10 @@ HEADLINE = [
     # round 10: bounded-spill wave-partitioned build (identical edges,
     # different cost shape — benched so the wave overhead stays watched)
     "knn_graph_waved",
+    # round 11: the serving certificates (measured recall@k of the routed
+    # strategy vs exact brute on an md5-bucket query sample)
+    "knn_auto_certified",
+    "knn_ivf_certified",
 ]
 
 
