@@ -173,6 +173,7 @@ def _waved_edge_build(
     blocks_per_bucket: int | None,
     row_cap: int,
     score_tier: str = "exact",
+    merge_buckets: int | None = None,
 ) -> DataFrame:
     """Bounded-SPILL graph build (VERDICT r9 #4 — the measured 20M wall):
     the one-shot builders shuffle several corpus-equivalents at once (R
@@ -202,6 +203,18 @@ def _waved_edge_build(
     when the marker matches, otherwise every stale delta is wiped first.
     Without the guard, a rebuild into the same ``work_dir`` after the data
     or any pair-shaping knob changed would silently serve the OLD graph.
+
+    ``merge_buckets``: the final merge is itself one Exchange over EVERY
+    wave's delta (Σ ≈ corpus × plane-sets × m / dedup rows) — measured at
+    the 10M rung it was the run's disk high-water (93 GB of 94) AFTER the
+    waves stayed bounded. With ``merge_buckets=P`` each wave's delta is
+    written partitioned by ``pmod(hash(src), P)``, and the merge runs as P
+    partition-pruned jobs (each reads 1/P of the deltas, tops-m, and
+    checkpoints before the next allocates) — in-flight merge shuffle
+    O(total/P), same discipline as the waves, same ``_SUCCESS`` resume.
+    Lossless for the same reason blocking is: every row of a given ``src``
+    lands in exactly one bucket, so per-src top-m is computed over exactly
+    the rows the one-shot merge sees.
 
     Shuffle reclamation between waves is BEST-EFFORT: the wave boundary
     ends the job (so the ContextCleaner may release its shuffle files),
@@ -234,10 +247,13 @@ def _waved_edge_build(
                      F.lit(1_000_000_007))).alias("h"),
         F.count("*").alias("n"),
     ).collect()[0]
+    mb = int(merge_buckets) if merge_buckets else 0
+    final_dir = os.path.join(work_dir, "final")
     fp = {
         "group_cols": list(group_cols), "metric": m_metric, "m": int(m),
         "n_waves": n_waves, "blocks_per_bucket": blocks_per_bucket,
         "row_cap": int(row_cap), "score_tier": score_tier,
+        "merge_buckets": mb,
         "data_hash": int(h.h or 0), "rows": int(h.n),
     }
     marker = os.path.join(work_dir, "_build_fingerprint.json")
@@ -250,6 +266,7 @@ def _waved_edge_build(
             prev = None
     if prev != fp:
         shutil.rmtree(edges_dir, ignore_errors=True)
+        shutil.rmtree(final_dir, ignore_errors=True)
         os.makedirs(work_dir, exist_ok=True)
         with open(marker, "w") as f:
             _json.dump(fp, f)
@@ -274,13 +291,40 @@ def _waved_edge_build(
         cand = _block_pairs(packed, group_cols).repartition(par).mapInPandas(
             kernel, "src long, dst long, score double"
         )
-        _topm_edges(cand, m).write.mode("overwrite").parquet(out_w)
+        delta = _topm_edges(cand, m)
+        if mb > 1:
+            (
+                delta.withColumn(
+                    "sbkt", F.pmod(F.hash("src"), F.lit(mb)).cast("int")
+                )
+                .write.mode("overwrite").partitionBy("sbkt").parquet(out_w)
+            )
+        else:
+            delta.write.mode("overwrite").parquet(out_w)
         # the wave boundary ends the job so the ContextCleaner CAN reclaim
         # its shuffle files before the next wave allocates; actual release
         # timing belongs to the JVM GC — see the docstring's
         # spark.cleaner.periodicGC.interval note (no private-API nudges)
         spark.catalog.clearCache()
     shutil.rmtree(keyed_dir, ignore_errors=True)
+    if mb > 1:
+        # bucketed merge: P partition-pruned top-m jobs, each bounded to
+        # 1/P of the deltas and checkpointed — the waves' spill discipline
+        # applied to the merge itself (see docstring)
+        for b in range(mb):
+            out_b = os.path.join(final_dir, f"sbkt={b}")
+            if os.path.exists(os.path.join(out_b, "_SUCCESS")):
+                continue  # bucket-level resume: buckets are deterministic
+            part = (
+                spark.read.parquet(edges_dir)
+                .filter(F.col("sbkt") == b)
+                .select("src", "dst", "score")
+            )
+            _topm_edges(part, m).write.mode("overwrite").parquet(out_b)
+            spark.catalog.clearCache()
+        return (
+            spark.read.parquet(final_dir).select("src", "dst", "score")
+        )
     merged = spark.read.parquet(edges_dir).select("src", "dst", "score")
     return _topm_edges(merged, m)
 
@@ -1471,6 +1515,7 @@ def knn_graph(
     n_waves: int | None = None,
     work_dir: str | None = None,
     score_tier: str = "exact",
+    merge_buckets: int | None = None,
 ) -> DataFrame:
     """Directed k-NN GRAPH over the corpus — the batch analog of HNSW's
     graph construction (reference src/vectordb/ann.py:21-76 ``HNSWIndex
@@ -1527,7 +1572,7 @@ def knn_graph(
             raise ValueError("knn_graph: n_waves > 1 requires work_dir")
         return _waved_edge_build(
             keyed, ["r", "bkt"], m_l, m, n_waves, work_dir,
-            blocks_per_bucket, row_cap, score_tier,
+            blocks_per_bucket, row_cap, score_tier, merge_buckets,
         )
     packed = _salted_pack(keyed, ["r", "bkt"], blocks_per_bucket, row_cap)
     cand = _block_pairs(packed, ["r", "bkt"]).mapInPandas(
@@ -1552,6 +1597,7 @@ def knn_graph_cells(
     n_waves: int | None = None,
     work_dir: str | None = None,
     score_tier: str = "exact",
+    merge_buckets: int | None = None,
 ) -> DataFrame:
     """Directed k-NN graph with K-MEANS-CELL candidate generation — the
     data-ADAPTIVE counterpart of :func:`knn_graph`'s sign-LSH bucketing
@@ -1661,7 +1707,7 @@ def knn_graph_cells(
             raise ValueError("knn_graph_cells: n_waves > 1 requires work_dir")
         return _waved_edge_build(
             keyed, ["bkt"], m_l, m, n_waves, work_dir,
-            blocks_per_bucket, row_cap, score_tier,
+            blocks_per_bucket, row_cap, score_tier, merge_buckets,
         )
     packed = _salted_pack(keyed, ["bkt"], blocks_per_bucket, row_cap)
     cand = _block_pairs(packed, ["bkt"]).mapInPandas(

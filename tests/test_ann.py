@@ -1527,6 +1527,37 @@ def test_waved_build_matches_oneshot_knn_graph_cells(spark, sf_dir, tmp_path):
     assert waved == one and len(one) > 0
 
 
+def test_waved_build_bucketed_merge_matches_oneshot(spark, sf_dir, tmp_path):
+    """merge_buckets partitions the FINAL top-m merge into P pruned jobs
+    (the 10M rung's disk high-water was the monolithic merge, not the
+    waves) — a pure cost-shape change: every src's rows land in exactly
+    one bucket, so the bucketed merge reproduces the one-shot edges
+    bit-exactly, including across a resume."""
+    e = _emb(spark, sf_dir).limit(200)
+    planes = [A.hyperplanes(64, 3, seed=A.LSH_SEED + r) for r in range(3)]
+    one = {(int(r.src), int(r.dst), float(r.score))
+           for r in A.knn_graph(e, planes, m=4).collect()}
+    wd = tmp_path / "kg_mb"
+    bucketed = {(int(r.src), int(r.dst), float(r.score))
+                for r in A.knn_graph(
+                    e, planes, m=4, n_waves=3, work_dir=str(wd),
+                    merge_buckets=4).collect()}
+    assert bucketed == one and len(one) > 0
+    assert (wd / "final" / "sbkt=0" / "_SUCCESS").exists()
+    # resume reuses the checkpointed merge buckets
+    again = {(int(r.src), int(r.dst), float(r.score))
+             for r in A.knn_graph(
+                 e, planes, m=4, n_waves=3, work_dir=str(wd),
+                 merge_buckets=4).collect()}
+    assert again == one
+    # changing merge_buckets is a param change: fingerprint invalidates
+    mb2 = {(int(r.src), int(r.dst), float(r.score))
+           for r in A.knn_graph(
+               e, planes, m=4, n_waves=3, work_dir=str(wd),
+               merge_buckets=2).collect()}
+    assert mb2 == one
+
+
 def test_waved_build_stale_resume_guard(spark, sf_dir, tmp_path):
     """A rebuild into the SAME work_dir with different data or params must
     NOT resume off the previous build's wave deltas (ADVICE r10 high): the

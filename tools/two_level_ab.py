@@ -119,7 +119,10 @@ def run_ab(spark, corpus_path: str, n_queries: int, repeats: int, k: int,
     # waved build when asked; identical edges, bounded in-flight shuffle
     lw = dict(n_waves=build_waves,
               work_dir=os.path.join(waves_dir, "lower_waves"),
-              score_tier="gemm") \
+              score_tier="gemm",
+              # the final merge is its own disk wall at 10M+ (93 of 94 GB
+              # measured): bucket it to the same in-flight bound as the waves
+              merge_buckets=build_waves) \
         if build_waves > 1 else {}
     lg = A.knn_graph(corpus, plane_sets_for(n, dim), m=m_lower,
                      **lw).persist()
