@@ -311,6 +311,15 @@ def _waved_edge_build(
         # bucketed merge: P partition-pruned top-m jobs, each bounded to
         # 1/P of the deltas and checkpointed — the waves' spill discipline
         # applied to the merge itself (see docstring)
+        if "sbkt" not in spark.read.parquet(edges_dir).columns:
+            # deltas written without partitionBy(sbkt) can only exist if
+            # the fingerprint marker was edited by hand (the fp includes
+            # merge_buckets) — refuse loudly rather than scan-per-bucket
+            raise ValueError(
+                f"wave deltas under {edges_dir} lack the sbkt partition "
+                f"column required by merge_buckets={mb}; the work_dir is "
+                f"stale — delete it and rebuild"
+            )
         for b in range(mb):
             out_b = os.path.join(final_dir, f"sbkt={b}")
             if os.path.exists(os.path.join(out_b, "_SUCCESS")):
