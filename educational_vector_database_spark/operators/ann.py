@@ -304,8 +304,12 @@ def _waved_edge_build(
         # the wave boundary ends the job so the ContextCleaner CAN reclaim
         # its shuffle files before the next wave allocates; actual release
         # timing belongs to the JVM GC — see the docstring's
-        # spark.cleaner.periodicGC.interval note (no private-API nudges)
-        spark.catalog.clearCache()
+        # spark.cleaner.periodicGC.interval note. Deliberately NO
+        # spark.catalog.clearCache() here: shuffle files are not cached
+        # relations, so it never helped the bound — but it unpersists
+        # EVERY cached frame in the caller's session (measured at the 10M
+        # A/B: the serve leg re-deriving its wiped upper graph per hop
+        # read 622 s vs 74 s warm — TWO_LEVEL_PROFILE_10M.json).
     shutil.rmtree(keyed_dir, ignore_errors=True)
     if mb > 1:
         # bucketed merge: P partition-pruned top-m jobs, each bounded to
@@ -329,8 +333,9 @@ def _waved_edge_build(
                 .filter(F.col("sbkt") == b)
                 .select("src", "dst", "score")
             )
+            # no clearCache here either — see the wave-loop note: it
+            # frees no shuffle files and wipes the caller's caches
             _topm_edges(part, m).write.mode("overwrite").parquet(out_b)
-            spark.catalog.clearCache()
         return (
             spark.read.parquet(final_dir).select("src", "dst", "score")
         )
