@@ -2105,10 +2105,25 @@ def _beam_visited_batch(
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.localCheckpoint() if checkpoint else df
 
-    visited = _ckpt(score(seed))
-    frontier = visited
+    # ONE materialization per hop (measured round 11: the walk rows ran
+    # 34-108 Spark jobs each, ~0.1 s of scheduler+planning overhead apiece
+    # at bench scale — guide §1.2, fix the distributed shape first). The
+    # old recurrence checkpointed TWICE per hop (scored cand, then
+    # visited ∪ cand again — re-writing every visited row a second time);
+    # here ``visited`` carries a ``hop`` tag so the frontier (top-beam of
+    # the last hop's rows), the anti-join side and the final result are
+    # all cheap reads of the SAME single checkpointed frame. Recurrence
+    # and tie-breaks are unchanged (parity-pinned + oracle-gated).
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
-    for _ in range(hops):
+    visited = _ckpt(score(seed).withColumn("hop", F.lit(0)))
+    for h in range(1, hops + 1):
+        frontier = visited.filter(F.col("hop") == h - 1)
+        if h > 1:
+            frontier = (
+                frontier.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= beam)
+                .drop("rn")
+            )
         cand = (
             edges.join(
                 F.broadcast(frontier.select("qid", F.col("id").alias("src"))),
@@ -2118,14 +2133,10 @@ def _beam_visited_batch(
             .distinct()
             .join(visited.select("qid", "id"), ["qid", "id"], "left_anti")
         )
-        cand = _ckpt(score(cand))
-        visited = _ckpt(visited.unionByName(cand))
-        frontier = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= beam)
-            .drop("rn")
+        visited = _ckpt(
+            visited.unionByName(score(cand).withColumn("hop", F.lit(h)))
         )
-    return visited
+    return visited.drop("hop")
 
 
 def graph_cells_route_search_batch(
@@ -2369,10 +2380,18 @@ def _beam_visited(
     id sets are BROADCAST into the joins against the edge list and the
     scored corpus (same discipline as the batch form): the corpus-sized
     sides never shuffle — each hop is a scan-side hash probe."""
+    # ONE materialization per hop — the batch kernel's hop-tagged frame
+    # discipline (see _beam_visited_batch): the old recurrence checkpointed
+    # twice per hop (cand, then visited ∪ cand), measured round 11 as
+    # 34-108 Spark jobs per walk row with ~0.1 s scheduler+planning
+    # overhead each at bench scale. The frontier, the anti-join side and
+    # the result all read the SAME single checkpointed frame.
     edges = graph.select("src", "dst")
-    visited = seed.localCheckpoint()
-    frontier = visited
-    for _ in range(hops):
+    visited = seed.withColumn("hop", F.lit(0)).localCheckpoint()
+    for h in range(1, hops + 1):
+        frontier = visited.filter(F.col("hop") == h - 1)
+        if h > 1:
+            frontier = frontier.orderBy(F.desc("score"), F.asc("id")).limit(beam)
         cand_ids = (
             edges.join(
                 F.broadcast(frontier.select(F.col("id").alias("src"))), "src"
@@ -2381,12 +2400,11 @@ def _beam_visited(
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
         )
-        cand = scored_nodes.join(
-            F.broadcast(cand_ids), "id"
+        cand = scored_nodes.join(F.broadcast(cand_ids), "id")
+        visited = visited.unionByName(
+            cand.withColumn("hop", F.lit(h))
         ).localCheckpoint()
-        visited = visited.unionByName(cand).localCheckpoint()
-        frontier = cand.orderBy(F.desc("score"), F.asc("id")).limit(beam)
-    return visited
+    return visited.drop("hop")
 
 
 def upper_layer(
@@ -2477,13 +2495,14 @@ def graph_two_level_search(
                 .limit(k)
                 .select(F.col("id").alias(id_col), "score")
             )
-        seeds = scored_nodes.filter(F.col("id").isin(entries)).localCheckpoint()
+        # no pre-checkpoint: _beam_visited checkpoints its hop-0 frame
+        seeds = scored_nodes.filter(F.col("id").isin(entries))
     else:
         seed_up = scored_nodes.filter(F.col("id").isin(entries))
         v_up = _beam_visited(scored_nodes, upper_graph, seed_up, beam_up, hops_up)
-        seeds = (
-            v_up.orderBy(F.desc("score"), F.asc("id")).limit(int(n_descend))
-        ).localCheckpoint()
+        # v_up is ONE checkpointed frame, so the descent cut is a cheap
+        # lazy read — no extra materialization before the lower walk
+        seeds = v_up.orderBy(F.desc("score"), F.asc("id")).limit(int(n_descend))
     visited = _beam_visited(scored_nodes, lower_graph, seeds, beam, hops)
     return visited.orderBy(F.desc("score"), F.asc("id")).limit(k).select(
         F.col("id").alias(id_col), "score"
