@@ -4807,23 +4807,30 @@ BRP_N_TABLES = 12
 
 
 def _neardup_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate euclidean near-dup self-join via MLlib
-    BucketedRandomProjectionLSH (operators/ann.py brp_lsh_join — the library
-    scale path: candidate pairs come from OR-ed hash-bucket equi-joins, a
-    shuffle on hash values, never an all-pairs product). MLlib post-filters
-    candidates by TRUE distance, so the output is a SUBSET of the exact
-    threshold join; with (bucket_length, num_hash_tables) tuned for 100%
-    recall the output EQUALS it — which is what the exact-join DuckDB
-    oracle asserts, value-by-value. ≙ the reference's approx-vs-exact
-    parity test (ref tests/test_v3_features.py:29-46: ANN search must
-    return the exact result on its fixtures). dist is integer micros: the
-    MLlib distance and the oracle's list_distance agree to ~1 ulp and
-    round identically at 1e-6 granularity."""
-    pairs = A.brp_lsh_join(
+    """Euclidean near-dup self-join via bucketed-random-projection LSH:
+    candidate pairs from bucket equi-joins over a 1-D projection, verified
+    by TRUE distance, never an all-pairs product. The row's contract —
+    asserted value-by-value by the exact-join DuckDB oracle since round 3
+    — is that the output EQUALS the exact threshold join (≙ the
+    reference's approx-vs-exact parity test, ref
+    tests/test_v3_features.py:29-46). dist is integer micros: the
+    kernel's exact-fold distance and the oracle's list_distance are
+    bit-identical, so the rounding is engine-stable.
+
+    Round-11 optimization (guide §4.2 + §1.2): that contract is now
+    served by ``projection_threshold_join`` — the SAME BRP bucketing
+    idea, but one deterministic UNIT projection whose ±1-bucket cover is
+    PROVABLE at threshold <= bucket_length (recall 1.0 by construction,
+    not tuning) and whose verify runs in the repo's block-GEMM kernel —
+    instead of MLlib ``approxSimilarityJoin``, whose 12 OR-ed hash
+    tables and per-candidate row-at-a-time JVM distance priced the
+    identical output at 10-21 s (BASELINE.md round-10 forensics: 20.9 s
+    inside the MLlib join alone, pure-JVM BLAS fallback). The MLlib seam
+    stays exercised by ``neardup_brp_similarity``."""
+    pairs = A.projection_threshold_join(
         _emb(spark, sf_dir),
         BRP_THRESH,
         bucket_length=BRP_BUCKET_LEN,
-        num_hash_tables=BRP_N_TABLES,
     )
     return pairs.select(
         "id_a",

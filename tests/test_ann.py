@@ -96,6 +96,40 @@ def test_brp_lsh_join_finds_close_pairs(spark):
     assert all(abs(a - b) < 20 for a, b in pairs if b != 100)
 
 
+def test_projection_threshold_join_equals_exact(spark, sf_dir):
+    """The native BRP replacement's contract: output EQUALS the exact
+    euclidean threshold self-join — recall 1.0 by the ±1-bucket cover
+    proof, precision 1.0 by the in-kernel distance verify. Checked
+    against a brute-force reference on real fixture vectors."""
+    import itertools
+    import math
+
+    emb = _emb(spark, sf_dir).limit(300)
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+    thr = 1.12
+    expect = {}
+    for (ia, va), (ib, vb) in itertools.combinations(rows, 2):
+        d = math.sqrt(sum((x - y) ** 2 for x, y in zip(va, vb)))
+        if d < thr:
+            expect[(min(ia, ib), max(ia, ib))] = d
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in A.projection_threshold_join(emb, thr).collect()
+    }
+    assert set(got) == set(expect)
+    for k, d in got.items():
+        assert abs(d - expect[k]) < 1e-9
+    assert all(a < b for a, b in got)
+
+
+def test_projection_threshold_join_rejects_uncovered_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id: long, embedding: array<double>"
+    )
+    with pytest.raises(ValueError, match="cover"):
+        A.projection_threshold_join(df, threshold=3.0, bucket_length=2.0)
+
+
 def test_ivf_assign_shuffle_free_and_keeps_duplicates(spark):
     """ivf_assign is a pure scan-side expression: no Exchange in the physical
     plan, and exact-duplicate input rows each keep their own assignment (the
