@@ -1178,7 +1178,18 @@ class IVFIndex:
                 .withColumn("centroid_id", remap.cast("int"))
                 .drop("_side")
             )
-            merged = cold.unionByName(split).persist()
+            # localCheckpoint, not persist: each round's remap stacks a
+            # CASE-over-literals + union on top of the previous round's
+            # plan, and EVERY later action (census, lloyd passes, the
+            # final probe) re-analyzes that whole growing tree even though
+            # execution reads the cache (measured round 11: wall 25.9 s vs
+            # 10.7 s of actual job time on this row — the gap is driver
+            # planning). Truncating the lineage per round keeps later
+            # plans rooted at the materialized frame. Same rows, same
+            # cache residency; rebalance is already an eager maintenance
+            # action, so the one materialization job per round was being
+            # paid anyway by the census that follows.
+            merged = cold.unionByName(split).localCheckpoint()
             self._assigned.unpersist()
             self._assigned = merged
             self._mutated = True
