@@ -16,6 +16,8 @@ explicit-formula cosine).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -119,8 +121,81 @@ def similarity(metric: str, a: Column | str, b: Column | str) -> Column:
 
 def vector_literal(values) -> Column:
     """A constant ``array<double>`` Column from a Python sequence (the query
-    vector of a single kNN lookup, reference api.py:105)."""
-    return F.array(*[F.lit(float(x)) for x in values])
+    vector of a single kNN lookup, reference api.py:105).
+
+    Built as ONE server-side SQL parse instead of ``F.array(*[F.lit(x)...])``:
+    the per-element form costs ~2 py4j round trips per component, and the
+    expression-heavy operators (PQ encode tables, IVF assignment, probe
+    rankings) build hundreds of these per query — measured round 11 at
+     12+ s of pure driver-side socket chatter on the worst row (30,403
+    py4j calls for one query construction). ``repr(float)`` is Python's
+    shortest round-trip form and Spark's double-literal parse is
+    correctly rounded, so the parsed array is bit-identical to the
+    ``F.lit`` path (verified bitwise; the oracle gate re-verifies every
+    consumer)."""
+    vals = [float(x) for x in values]
+    if vals and all(math.isfinite(v) for v in vals):
+        return F.expr(sql_array_double(vals))
+    return F.array(*[F.lit(v) for v in vals])
+
+
+# --- SQL-fragment builders (single-parse expression construction) -----------
+#
+# The Column-returning builders above are the general API; these emit the
+# IDENTICAL arithmetic as SQL text so that operators which assemble large
+# expression trees in Python loops (PQ encode: 8 subspaces x 16 codes, IVF
+# assignment: one distance per cell, ADC tables: n_sub x k_codes literals)
+# can hand Catalyst ONE string to parse instead of paying thousands of py4j
+# round trips. `aggregate`/`zip_with` parse to the same Catalyst nodes the
+# F.aggregate/F.zip_with lambdas build, and the fold order — the
+# bit-exactness contract with the DuckDB oracles — is unchanged.
+
+def sql_double(x: float) -> str:
+    """A Spark SQL double literal that parses to EXACTLY this float64."""
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(f"non-finite literal not supported in SQL form: {x}")
+    r = repr(x)
+    return f"{r}D" if ("." in r or "e" in r or "E" in r) else f"{r}.0D"
+
+
+def sql_array_double(values) -> str:
+    """``array(<d>, ...)`` literal — the SQL form of :func:`vector_literal`."""
+    return "array(" + ", ".join(sql_double(x) for x in values) + ")"
+
+
+def as_double_sql(vec_sql: str) -> str:
+    """SQL form of :func:`as_double`."""
+    return f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
+
+
+def dot_product_sql(a_sql: str, b_sql: str) -> str:
+    """SQL form of :func:`dot_product` — same left-to-right fold."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), 0.0D, "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def euclidean_distance_sql(a_sql: str, b_sql: str) -> str:
+    """SQL form of :func:`euclidean_distance` — same fold, same sqrt."""
+    return (
+        f"sqrt(aggregate(zip_with({a_sql}, {b_sql}, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def argmin_struct_sql(pairs, field_vals, d_alias: str = "d",
+                      c_alias: str = "c") -> str:
+    """``array_min(array(named_struct(...)))['c']`` — the lexicographic
+    (distance, id) argmin every assignment/probe expression uses: minimum
+    distance, ties to the lowest id. ``pairs`` is an iterable of distance
+    SQL fragments aligned with the integer ``field_vals``."""
+    items = ", ".join(
+        f"named_struct('{d_alias}', {d_sql}, '{c_alias}', CAST({cid} AS INT))"
+        for d_sql, cid in zip(pairs, field_vals)
+    )
+    return f"array_min(array({items}))['{c_alias}']"
 
 
 # --- random projection (Johnson–Lindenstrauss, Rademacher signs) ------------

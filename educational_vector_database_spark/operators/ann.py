@@ -424,18 +424,22 @@ def ivf_assign(
         ),
         key=lambda t: t[0],
     )
-    v = V.as_double(vector_col)
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    V.euclidean_distance(v, V.vector_literal(cv)).alias("d"),
-                    F.lit(cid).cast("int").alias("cid"),
-                )
-                for cid, cv in cents
-            ]
+    # one server-side parse (V.argmin_struct_sql) instead of a Python loop
+    # of per-centroid Column builders: identical arithmetic and tie-breaks,
+    # ~2 py4j calls instead of ~100 x n_cells (guide §1.2 — driver-side
+    # construction latency measured as the dominant cost of the
+    # expression-heavy rows in round 11)
+    v_sql = V.as_double_sql(f"`{vector_col}`")
+    best = F.expr(
+        V.argmin_struct_sql(
+            (
+                V.euclidean_distance_sql(v_sql, V.sql_array_double(cv))
+                for _, cv in cents
+            ),
+            (cid for cid, _ in cents),
+            c_alias="cid",
         )
-    )["cid"]
+    )
     return df.withColumn(centroid_id_col, best)
 
 

@@ -103,6 +103,27 @@ def code_bits(codebooks: Sequence[Sequence[Sequence[float]]]) -> int:
     return bits
 
 
+def pq_encode_sql(vec_sql: str, codebooks: Sequence[Sequence[Sequence[float]]]) -> str:
+    """SQL form of :func:`pq_encode_expr` over an ARRAY<DOUBLE>-typed SQL
+    fragment — one server-side parse instead of ~n_sub x k_codes Column
+    builder round trips (round-11 driver-latency fix; same arithmetic,
+    same lexicographic tie-breaks)."""
+    sub_dim = len(codebooks[0][0])
+    bits = code_bits(codebooks)
+    total = "CAST(0 AS BIGINT)"
+    for j, cb in enumerate(codebooks):
+        sv = f"slice({vec_sql}, {j * sub_dim + 1}, {sub_dim})"
+        code = V.argmin_struct_sql(
+            (V.euclidean_distance_sql(sv, V.sql_array_double(c)) for c in cb),
+            range(len(cb)),
+        )
+        total = (
+            f"({total} + (CAST({code} AS BIGINT) * "
+            f"CAST({1 << (bits * j)} AS BIGINT)))"
+        )
+    return total
+
+
 def pq_encode_expr(
     vector_col: Column | str, codebooks: Sequence[Sequence[Sequence[float]]]
 ) -> Column:
@@ -111,7 +132,12 @@ def pq_encode_expr(
     the ivf_assign discipline), packed as Σ_j code_j << (bits·j) where
     bits = ceil(log2(k_codes)). A pure scan-side Column expression —
     encoding a 100 TB corpus is one codegen'd projection, no shuffle, no
-    Python."""
+    Python. String column names take the single-parse SQL path
+    (:func:`pq_encode_sql`); Column inputs keep the builder loop."""
+    if isinstance(vector_col, str):
+        return F.expr(
+            pq_encode_sql(V.as_double_sql(f"`{vector_col}`"), codebooks)
+        )
     v = V.as_double(vector_col)
     sub_dim = len(codebooks[0][0])
     bits = code_bits(codebooks)
@@ -157,13 +183,30 @@ def adc_table(
     return dt
 
 
+def pq_adc_dist_sql(code_sql: str, dt: Sequence[Sequence[float]]) -> str:
+    """SQL form of :func:`pq_adc_dist_expr` — same left-associated sum."""
+    bits = max(1, (len(dt[0]) - 1).bit_length())
+    total = None
+    for j, row in enumerate(dt):
+        nib = (
+            f"CAST(pmod(CAST(shiftright({code_sql}, {bits * j}) AS BIGINT), "
+            f"{1 << bits}) AS INT)"
+        )
+        term = f"element_at({V.sql_array_double(row)}, {nib} + 1)"
+        total = term if total is None else f"({total} + {term})"
+    return total
+
+
 def pq_adc_dist_expr(code_col: Column | str, dt: Sequence[Sequence[float]]) -> Column:
     """Approximate squared distance from the PACKED code: Σ_j dt[j][code_j]
     — element_at over an n_sub×k_codes literal table, left-associated sum
     (the SQL oracle parenthesizes identically). Codegen end to end; the
     vector column is never read. Field width follows the table's k_codes
-    (must match the codebooks the codes were packed with)."""
-    code = F.col(code_col) if isinstance(code_col, str) else code_col
+    (must match the codebooks the codes were packed with). String column
+    names take the single-parse SQL path (round-11 driver-latency fix)."""
+    if isinstance(code_col, str):
+        return F.expr(pq_adc_dist_sql(f"`{code_col}`", dt))
+    code = code_col
     bits = max(1, (len(dt[0]) - 1).bit_length())
     total = None
     for j, row in enumerate(dt):
@@ -249,12 +292,33 @@ def knn_pq_rerank(
 # for the exact rerank — both factors are independent knobs.
 
 
+def assign_cells_sql(
+    vec_sql: str, centroids: Sequence[Sequence[float]]
+) -> str:
+    """SQL form of :func:`assign_cells_expr` (``vec_sql`` must be an
+    ARRAY<DOUBLE>-typed fragment)."""
+    return V.argmin_struct_sql(
+        (
+            V.euclidean_distance_sql(vec_sql, V.sql_array_double(c))
+            for c in centroids
+        ),
+        range(len(centroids)),
+        c_alias="cid",
+    )
+
+
 def assign_cells_expr(
     vector_col: Column | str, centroids: Sequence[Sequence[float]]
 ) -> Column:
     """argmin_i euclidean(v, centroids[i]) as a pure Column expression, ties
     -> lowest cell id (array_min's lexicographic struct order — the
-    ann.ivf_assign discipline). Cell ids are the list positions 0..n-1."""
+    ann.ivf_assign discipline). Cell ids are the list positions 0..n-1.
+    String column names take the single-parse SQL path (round-11
+    driver-latency fix)."""
+    if isinstance(vector_col, str):
+        return F.expr(
+            assign_cells_sql(V.as_double_sql(f"`{vector_col}`"), centroids)
+        )
     v = V.as_double(vector_col)
     return F.array_min(
         F.array(
@@ -269,6 +333,19 @@ def assign_cells_expr(
     )["cid"]
 
 
+def residual_sql(
+    vec_sql: str, centroids: Sequence[Sequence[float]], cell_sql: str
+) -> str:
+    """SQL form of :func:`residual_expr` (``vec_sql`` ARRAY<DOUBLE>-typed)."""
+    cents = "array(" + ", ".join(
+        V.sql_array_double(c) for c in centroids
+    ) + ")"
+    return (
+        f"zip_with({vec_sql}, element_at({cents}, ({cell_sql}) + 1), "
+        f"(a, b) -> a - b)"
+    )
+
+
 def residual_expr(
     vector_col: Column | str,
     centroids: Sequence[Sequence[float]],
@@ -277,7 +354,14 @@ def residual_expr(
     """v - centroids[cell], element-wise: the per-row residual against the
     assigned centroid. The centroid table is inlined (O(cells) literals,
     the ivf_assign small-table contract) and indexed by the cell id, so
-    this stays a scan-side projection — no join, no shuffle."""
+    this stays a scan-side projection — no join, no shuffle. String
+    column names take the single-parse SQL path."""
+    if isinstance(vector_col, str) and isinstance(cell_col, str):
+        return F.expr(
+            residual_sql(
+                V.as_double_sql(f"`{vector_col}`"), centroids, f"`{cell_col}`"
+            )
+        )
     cell = F.col(cell_col) if isinstance(cell_col, str) else cell_col
     cents = F.array(*[V.vector_literal(c) for c in centroids])
     return F.zip_with(
@@ -301,13 +385,19 @@ def ivfpq_encode(
     shuffle. Write the result ``partitionBy(cell_col)`` and the probe's
     cell predicate becomes partition pruning over an 8-byte-per-row
     table."""
+    # staged through named columns so every stage takes the single-parse
+    # SQL path (round-11 driver-latency fix): inlining the residual
+    # fragment into all n_sub x k_codes distance terms would both blow up
+    # the parse text and lose the shared-subtree structure. Values are
+    # identical; the optimizer collapses the projections.
     assigned = df.withColumn(cell_col, assign_cells_expr(vector_col, centroids))
-    return assigned.select(
+    staged = assigned.withColumn(
+        "_res", residual_expr(vector_col, centroids, cell_col)
+    )
+    return staged.select(
         F.col(id_col),
         F.col(cell_col),
-        pq_encode_expr(
-            residual_expr(vector_col, centroids, cell_col), codebooks
-        ).alias(code_col),
+        pq_encode_expr("_res", codebooks).alias(code_col),
     )
 
 
@@ -403,6 +493,10 @@ def adc_table_expr(
     left-fold as adc_table (zip_with (x-y)² then aggregate), so values
     are bit-identical to the literal path and to the SQL oracle's
     list_dot_product(diff, diff)."""
+    if isinstance(query_vec_col, str):
+        return F.expr(
+            adc_table_sql(V.as_double_sql(f"`{query_vec_col}`"), codebooks)
+        )
     qv = V.as_double(query_vec_col)
     sub_dim = len(codebooks[0][0])
     entries = []
@@ -421,6 +515,23 @@ def adc_table_expr(
     return F.array(*entries)
 
 
+def adc_table_sql(
+    vec_sql: str, codebooks: Sequence[Sequence[Sequence[float]]]
+) -> str:
+    """SQL form of :func:`adc_table_expr` — same squared-euclid left fold
+    per entry (``aggregate(zip_with(...))``), ``vec_sql`` ARRAY<DOUBLE>."""
+    sub_dim = len(codebooks[0][0])
+    entries = []
+    for j, cb in enumerate(codebooks):
+        qs = f"slice({vec_sql}, {j * sub_dim + 1}, {sub_dim})"
+        for c in cb:
+            entries.append(
+                f"aggregate(zip_with({qs}, {V.sql_array_double(c)}, "
+                f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+            )
+    return "array(" + ", ".join(entries) + ")"
+
+
 def pq_adc_dist_from_table_col(
     code_col: Column | str, dt_col: Column | str, n_sub: int = N_SUB,
     k_codes: int = K_CODES,
@@ -428,9 +539,19 @@ def pq_adc_dist_from_table_col(
     """ADC distance from a packed code and a TABLE COLUMN (adc_table_expr's
     array): Σ_j dt[j*k_codes + code_j], left-associated over j — the same
     sum order as pq_adc_dist_expr and the oracle's 8-join chain."""
+    bits = max(1, (k_codes - 1).bit_length())
+    if isinstance(code_col, str) and isinstance(dt_col, str):
+        total_s = None
+        for j in range(n_sub):
+            nib = (
+                f"CAST(pmod(CAST(shiftright(`{code_col}`, {bits * j}) AS "
+                f"BIGINT), {1 << bits}) AS INT)"
+            )
+            term = f"element_at(`{dt_col}`, {nib} + {j * k_codes + 1})"
+            total_s = term if total_s is None else f"({total_s} + {term})"
+        return F.expr(total_s)
     code = F.col(code_col) if isinstance(code_col, str) else code_col
     dt = F.col(dt_col) if isinstance(dt_col, str) else dt_col
-    bits = max(1, (k_codes - 1).bit_length())
     total = None
     for j in range(n_sub):
         nib = F.pmod(
@@ -573,10 +694,11 @@ class IVFPQIndex:
             ]
         self._centroids = [list(map(float, c)) for c in centroids]
         if codebooks is None:
-            res = df.select(
+            res = df.withColumn(
+                "_cell", assign_cells_expr(self.vector_col, self._centroids)
+            ).select(
                 residual_expr(
-                    self.vector_col, self._centroids,
-                    assign_cells_expr(self.vector_col, self._centroids),
+                    self.vector_col, self._centroids, "_cell"
                 ).alias("_res")
             )
             codebooks = train_pq_codebooks(
@@ -730,7 +852,20 @@ def probe_cells_expr(
     """Array of the ``nprobe`` nearest cell ids for a vector, scan-side:
     sort (distance, cid) structs lexicographically — (dist ASC, cid ASC),
     the same total order as :func:`probe_cells` and the oracle's
-    row_number. O(n_cells) per row, no join."""
+    row_number. O(n_cells) per row, no join. String column names take the
+    single-parse SQL path."""
+    if isinstance(vector_col, str):
+        v_sql = V.as_double_sql(f"`{vector_col}`")
+        items = ", ".join(
+            f"named_struct('d', "
+            f"{V.euclidean_distance_sql(v_sql, V.sql_array_double(c))}, "
+            f"'cid', CAST({i} AS INT))"
+            for i, c in enumerate(centroids)
+        )
+        return F.expr(
+            f"transform(slice(sort_array(array({items})), 1, {int(nprobe)}), "
+            f"x -> x['cid'])"
+        )
     v = V.as_double(vector_col)
     ranked = F.sort_array(
         F.array(
@@ -783,11 +918,8 @@ def knn_join_ivfpq(
         ).alias("_pcell"),
     )
     qd = qd.withColumn(
-        "_dt",
-        adc_table_expr(
-            residual_expr(query_vec_col, centroids, "_pcell"), codebooks
-        ),
-    )
+        "_qres", residual_expr(query_vec_col, centroids, "_pcell")
+    ).withColumn("_dt", adc_table_expr("_qres", codebooks)).drop("_qres")
     if codes is None:
         codes = ivfpq_encode(
             corpus, centroids, codebooks,
