@@ -129,11 +129,15 @@ def minhash_signatures(
         memo: dict[str, int] = {}
 
         def bh(s):
+            # int.from_bytes(digest[:8]) >> 4 == int(hexdigest[:15], 16):
+            # same first 60 md5 bits, minus the hex-string formatting that
+            # dominated this inner loop (round-11 kernel profile)
             v = memo.get(s)
             if v is None:
                 v = memo[s] = (
-                    int(md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_BASE
-                )
+                    int.from_bytes(md5(s.encode("utf-8")).digest()[:8], "big")
+                    >> 4
+                ) % MINHASH_BASE
             return v
 
         for pdf in batches:
@@ -218,9 +222,13 @@ def _minhash_from_text(
         memo: dict[bytes, int] = {}
 
         def bh(s: bytes) -> int:
+            # digest-slice form of int(hexdigest[:15], 16) — see
+            # minhash_signatures' bh: same 60 bits, no hex formatting
             v = memo.get(s)
             if v is None:
-                v = memo[s] = int(md5(s).hexdigest()[:15], 16) % MINHASH_BASE
+                v = memo[s] = (
+                    int.from_bytes(md5(s).digest()[:8], "big") >> 4
+                ) % MINHASH_BASE
             return v
 
         for pdf in batches:
