@@ -2625,14 +2625,16 @@ def _cell_expr(cents: list[list[float]], vec_col) -> F.Column:
     pick identical cells."""
     from educational_vector_database_spark.functions import vector as V
 
-    v = V.as_double(vec_col)
-    ds = [V.euclidean_distance(v, V.vector_literal(c)) for c in cents]
-    expr = F.lit(len(cents) - 1)
+    # single server-side parse (round-11 driver-latency fix): identical
+    # when-chain / least() semantics to the old per-centroid Column loop
+    v_sql = V.as_double_sql(f"`{vec_col}`")
+    ds = [V.euclidean_distance_sql(v_sql, V.sql_array_double(c)) for c in cents]
+    expr = str(len(cents) - 1)
     for i in range(len(cents) - 2, -1, -1):
-        rest = ds[i + 1 :]
-        rhs = rest[0] if len(rest) == 1 else F.least(*rest)
-        expr = F.when(ds[i] <= rhs, F.lit(i)).otherwise(expr)
-    return expr.cast("int")
+        rest = ds[i + 1:]
+        rhs = rest[0] if len(rest) == 1 else "least(" + ", ".join(rest) + ")"
+        expr = f"CASE WHEN {ds[i]} <= {rhs} THEN {i} ELSE {expr} END"
+    return F.expr(f"CAST({expr} AS INT)")
 
 
 def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4631,15 +4633,18 @@ def _probe_cells_expr(cents: list[list[float]], vec_col, nprobe: int) -> F.Colum
     the same (dist ASC, cid ASC) total order as the oracle's row_number —
     and keep the first ``nprobe`` cids. Scan-side like ``_cell_expr``; no
     join, no shuffle, O(n_cells) work per row."""
-    v = V.as_double(vec_col)
-    ranked = F.sort_array(F.array(*[
-        F.struct(
-            V.euclidean_distance(v, V.vector_literal(c)).alias("d"),
-            F.lit(i).cast("int").alias("cid"),
-        )
+    # single server-side parse — same (dist ASC, cid ASC) struct sort
+    v_sql = V.as_double_sql(f"`{vec_col}`")
+    items = ", ".join(
+        f"named_struct('d', "
+        f"{V.euclidean_distance_sql(v_sql, V.sql_array_double(c))}, "
+        f"'cid', CAST({i} AS INT))"
         for i, c in enumerate(cents)
-    ]))
-    return F.transform(F.slice(ranked, 1, nprobe), lambda x: x["cid"])
+    )
+    return F.expr(
+        f"transform(slice(sort_array(array({items})), 1, {int(nprobe)}), "
+        f"x -> x['cid'])"
+    )
 
 
 def _knn_join_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:

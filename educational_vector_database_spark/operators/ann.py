@@ -717,8 +717,16 @@ def corpus_clusterability(
                 S[i, b_ids == q] = -2.0
             yield pd.DataFrame({"id": qid, "nn1": S.max(axis=1)})
 
+    import pandas as pd
+
+    # Arrow-path upload of the bounded sample (one batch) — the row-tuple
+    # form pickled every vector element-by-element (round-11 driver fix);
+    # float64 values are unchanged either way
     sdf = spark.createDataFrame(
-        [(int(i), [float(x) for x in v]) for i, v in zip(ids, X)],
+        pd.DataFrame(
+            {"id": [int(i) for i in ids],
+             "v": [[float(x) for x in v] for v in X]}
+        ),
         "id long, v array<double>",
     )
     agg = sdf.mapInPandas(top1, "id long, nn1 double").agg(
@@ -880,7 +888,16 @@ def recall_certificate(
     discipline applied to the router's operating point).
 
     Both inputs are sample-sized frames (S queries × k rows); everything
-    here is bounded by the sample, never the corpus."""
+    here is bounded by the sample, never the corpus. Each side is
+    materialized ONCE (localCheckpoint): the exact side is referenced by
+    both the n_queries aggregate and the hit join — and on the brute
+    route the index side IS the exact frame — so without this the whole
+    corpus-scan + per-query-window subtree re-executed per reference
+    (round-11 measurement; guide §5 — cache what is reused and bounded:
+    O(S × k) rows here)."""
+    same = index_topk is exact_topk
+    exact_topk = exact_topk.localCheckpoint()
+    index_topk = exact_topk if same else index_topk.localCheckpoint()
     ex = exact_topk.select(query_id_col, id_col)
     ap = index_topk.select(query_id_col, id_col)
     nq = ex.agg(
