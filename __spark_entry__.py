@@ -10,6 +10,7 @@ bit-for-bit — no rounding games.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from collections.abc import Callable
 
@@ -521,6 +522,54 @@ def _stream_table(
     return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
 
 
+#: Target bytes of stream-source input per stateful shuffle partition.
+#: Overridable for cluster runs; the local default keeps state-store count
+#: proportional to data, not to a partition constant.
+STREAM_SHUFFLE_TARGET_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_STREAM_SHUFFLE_TARGET_BYTES", str(32 * 1024 * 1024)))
+
+
+def _stream_source_bytes(sf_dir: str, table: str) -> int:
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(p, n))
+            for n in os.listdir(p) if n.endswith(".parquet")
+        )
+    return os.path.getsize(p) if os.path.exists(p) else 0
+
+
+@contextlib.contextmanager
+def _stream_shuffle_scaled(spark: SparkSession, sf_dir: str, *tables: str,
+                           floor: int = 1):
+    """Scale-ADAPTIVE shuffle partitioning for the streaming drains (guide
+    §2: derive partitioning from input size, never a constant tuned for
+    one deployment). AQE coalesces tiny batch shuffles at runtime, but a
+    STATEFUL streaming query pins spark.sql.shuffle.partitions as its
+    state-store count at first checkpoint and AQE never applies — so the
+    drains were paying 32 state stores x operators x microbatches of
+    open/snapshot/commit I/O to process a few MB (measured round 11:
+    the stream-stream interval join drained 14.9 s at 32 partitions vs
+    3.1 s at a data-derived 4, identical 172-row result; the zero-input
+    watermark-advance batch alone cost 5-6 s of pure per-partition state
+    churn). Partitions = ceil(source bytes / STREAM_SHUFFLE_TARGET_BYTES),
+    clamped to [1, 32 x defaultParallelism] — a 100 TB stream gets
+    thousands of state partitions, a bench-scale file gets few. Restores
+    the session conf afterwards (batch queries keep AQE + the session
+    default). Steady-state twins restart from their per-process
+    checkpoints, which pin whatever count their setup drain established —
+    consistent within a process by construction."""
+    par = spark.sparkContext.defaultParallelism
+    total = sum(_stream_source_bytes(sf_dir, t) for t in tables)
+    n = max(floor, min(-(-total // STREAM_SHUFFLE_TARGET_BYTES), 32 * par))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rag.chunk_documents(_docs(spark, sf_dir), CHUNK_SIZE)
 
@@ -909,13 +958,14 @@ def _stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for df in cached:  # release per micro-batch, no cache accretion
             df.unpersist()
 
-    q = (
-        delta.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", f"{store_dir}_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_scaled(spark, sf_dir, "events", "documents"):
+        q = (
+            delta.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{store_dir}_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if len(n_batches) != 1:  # fail LOUD, not with a silent oracle divergence
         raise AssertionError(
             f"stream_dedup_ingest expects ONE micro-batch (the oracle "
@@ -1824,13 +1874,14 @@ def _stream_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(staging, store_dir)
         shutil.rmtree(backup)
 
-    q = (
-        updates.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", f"{store_dir}_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_scaled(spark, sf_dir, "events", "documents"):
+        q = (
+            updates.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{store_dir}_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     merged = spark.read.parquet(store_dir)
     return merged.agg(
         F.count("*").alias("n_rows"),
@@ -3396,14 +3447,15 @@ def _stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     table = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_scaled(spark, sf_dir, "events", "documents"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -3431,15 +3483,23 @@ def _stream_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _stream_table(spark, sf_dir, "events", schema)
     ev = stream.select("user_id", ts_micros(stream).alias("ts_us"))
     table = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
-    q = (
-        W.sessionize_stateful(ev)
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # floor at defaultParallelism: this drain's state operator is an
+    # applyInPandasWithState PYTHON kernel — its cost is per-row compute,
+    # not per-partition state-store I/O, so partitions must track cores
+    # (measured: the data-derived N=1 serialized the kernel onto one task,
+    # 2.6x the anchor; N=cores restores it). The state-store-bound drains
+    # (joins, dropDuplicates, window aggs) keep the data-derived N.
+    with _stream_shuffle_scaled(spark, sf_dir, "events", "documents",
+                                floor=spark.sparkContext.defaultParallelism):
+        q = (
+            W.sessionize_stateful(ev)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -3495,16 +3555,17 @@ def _stream_ingest_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _reap_scratch("evdb_stream_out_")
     ck_dir = _reap_scratch("evdb_stream_ck_")
     os.makedirs(out_dir); os.makedirs(ck_dir)
-    q = (
-        I.index_stream(stream, emb, chunk_size=CHUNK_SIZE)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ck_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_scaled(spark, sf_dir, "events", "documents"):
+        q = (
+            I.index_stream(stream, emb, chunk_size=CHUNK_SIZE)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     chunks = spark.read.parquet(out_dir)
     return chunks.select(
         "chunk_id",
@@ -4944,14 +5005,15 @@ def _stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events")
     )
     table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_scaled(spark, sf_dir, "events", "documents"):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -5022,7 +5084,8 @@ def _stream_steady_env(spark: SparkSession, sf_dir: str, kind: str,
     else:
         shutil.copy(p, os.path.join(src, "base_0.parquet"))
     # drain #1: the full corpus advances the pristine checkpoint (untimed)
-    start_query(src, ckpt0).awaitTermination()
+    with _stream_shuffle_scaled(spark, sf_dir, "events", "documents"):
+        start_query(src, ckpt0).awaitTermination()
     # the delta lands AFTER the checkpoint recorded the base files, so a
     # cloned-checkpoint restart sees exactly one new microbatch
     stage = os.path.join(base, "_delta_stage")
@@ -5091,8 +5154,13 @@ def _stream_steady_run(spark: SparkSession, sf_dir: str, kind: str,
                         ("file://" + out0).encode(),
                         ("file://" + ck + "_out").encode(),
                     ))
-    q, table = start(env["src"], ck)
-    q.awaitTermination()
+    # same data-derived partitioning as the pristine drain: a restart
+    # inherits the checkpointed state-partition count, so both ends of the
+    # steady protocol must agree (they do — N is a pure function of the
+    # source file sizes)
+    with _stream_shuffle_scaled(spark, sf_dir, "events", "documents"):
+        q, table = start(env["src"], ck)
+        q.awaitTermination()
     if os.path.isdir(ck + "_out"):
         return spark.read.parquet(ck + "_out")
     return spark.table(table)
@@ -6316,14 +6384,15 @@ def _stream_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, conversion_type="purchase", touch_type="view", max_delay="30 minutes"
     )
     table = f"stream_attr_{uuid.uuid4().hex[:8]}"
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_scaled(spark, sf_dir, "events", "documents"):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(table)
         .groupBy("purchase_id", "user_id")
@@ -8797,13 +8866,14 @@ def _stream_encode_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply_batch(bdf, batch_id: int) -> None:
         encode(bdf).write.mode("append").parquet(code_dir)
 
-    q = (
-        delta.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", f"{code_dir}_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_scaled(spark, sf_dir, "events", "documents"):
+        q = (
+            delta.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{code_dir}_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(code_dir).select(
         "vec_id", F.col("centroid_id").cast("int"), "bq_code"
     )
@@ -9569,15 +9639,16 @@ def _stream_events_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events",
             )
         )
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ck)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_shuffle_scaled(spark, sf_dir, "events", "documents"):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     run_once()
     # late delivery: duplicates of the oldest half, every window long closed

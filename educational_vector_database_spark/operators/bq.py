@@ -61,9 +61,24 @@ def bq_encode_word_expr(
     engines). A pure scan-side Column expression: the distinct-bit terms
     sum without carries, so the fold is exactly a bitwise OR and encoding
     a 100 TB corpus is one codegen'd projection — no shuffle, no Python."""
-    v = V.as_double(vector_col)
     lo = 64 * word
     hi = min(dim, lo + 64)
+    if isinstance(vector_col, str):
+        # single server-side parse (round-11 driver-latency fix): same
+        # CASE-per-bit chain, same left association, same strict >
+        v_sql = V.as_double_sql(f"`{vector_col}`")
+        total_s = "CAST(0 AS BIGINT)"
+        for pos in range(lo, hi):
+            thr = 0.0 if thresholds is None else float(thresholds[pos])
+            bit = pos - lo
+            term = (
+                f"CASE WHEN element_at({v_sql}, {pos + 1}) > "
+                f"{V.sql_double(thr)} THEN CAST({_bit_value(bit)} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END"
+            )
+            total_s = f"({total_s} + {term})"
+        return F.expr(total_s)
+    v = V.as_double(vector_col)
     total = F.lit(0).cast("bigint")
     for pos in range(lo, hi):
         thr = 0.0 if thresholds is None else float(thresholds[pos])
@@ -287,9 +302,13 @@ def asym_score_expr(
     LEFT-ASSOCIATED chain of per-bit conditionals so the SQL oracle can
     parenthesize identically (the ADC-sum discipline); works with a query
     VECTOR COLUMN, so batch joins need no per-query literals."""
+    words = n_words(dim)
+    if isinstance(code_col, str) and isinstance(query_vec_col, str):
+        return F.expr(asym_score_sql(
+            f"`{code_col}`", V.as_double_sql(f"`{query_vec_col}`"), dim
+        ))
     code = F.col(code_col) if isinstance(code_col, str) else code_col
     qv = V.as_double(query_vec_col)
-    words = n_words(dim)
     total = None
     for pos in range(dim):
         w, bit = pos // 64, pos % 64
@@ -299,6 +318,24 @@ def asym_score_expr(
             F.shiftright(word, bit).bitwiseAND(F.lit(1)) == 1, q_i
         ).otherwise(-q_i)
         total = term if total is None else total + term
+    return total
+
+
+def asym_score_sql(code_sql: str, qv_sql: str, dim: int) -> str:
+    """SQL form of :func:`asym_score_expr` — same left-associated per-bit
+    conditional chain (``code_sql`` BIGINT or ARRAY<BIGINT>, ``qv_sql``
+    ARRAY<DOUBLE>)."""
+    words = n_words(dim)
+    total = None
+    for pos in range(dim):
+        w, bit = pos // 64, pos % 64
+        word = code_sql if words == 1 else f"element_at({code_sql}, {w + 1})"
+        q_i = f"element_at({qv_sql}, {pos + 1})"
+        term = (
+            f"CASE WHEN (shiftright({word}, {bit}) & 1) = 1 "
+            f"THEN {q_i} ELSE -{q_i} END"
+        )
+        total = term if total is None else f"({total} + {term})"
     return total
 
 
@@ -322,14 +359,18 @@ def knn_bq_asym(
     shortlist pass still never reads the corpus vector column."""
     dim = len(query_vector)
     if codes is not None:
-        src, code = codes, F.col(code_col)
+        src = codes
     else:
-        src = df
-        code = bq_encode_expr(vector_col, dim, thresholds)
-    qlit = V.vector_literal([float(x) for x in query_vector])
+        # stage the packed code as a named column so the asym chain takes
+        # the single-parse SQL path (round-11 driver-latency fix)
+        src = df.withColumn(
+            code_col, bq_encode_expr(vector_col, dim, thresholds)
+        )
+    q_sql = V.sql_array_double([float(x) for x in query_vector])
     short = (
         src.select(
-            F.col(id_col), asym_score_expr(code, qlit, dim).alias("asym")
+            F.col(id_col),
+            F.expr(asym_score_sql(f"`{code_col}`", q_sql, dim)).alias("asym"),
         )
         .orderBy(F.desc("asym"), F.asc(id_col))
         .limit(shortlist)
@@ -373,9 +414,7 @@ def knn_join_bq_asym(
     qd = queries.select(query_id_col, query_vec_col)
     pairs = codes.join(F.broadcast(qd)).select(
         query_id_col, query_vec_col, id_col,
-        asym_score_expr(F.col(code_col), F.col(query_vec_col), dim).alias(
-            "asym"
-        ),
+        asym_score_expr(code_col, query_vec_col, dim).alias("asym"),
     )
     ws = Window.partitionBy(query_id_col).orderBy(F.desc("asym"), F.asc(id_col))
     short = (
