@@ -889,15 +889,20 @@ def recall_certificate(
 
     Both inputs are sample-sized frames (S queries × k rows); everything
     here is bounded by the sample, never the corpus. Each side is
-    materialized ONCE (localCheckpoint): the exact side is referenced by
-    both the n_queries aggregate and the hit join — and on the brute
-    route the index side IS the exact frame — so without this the whole
+    materialized ONCE per action (LAZY localCheckpoint: lineage is
+    truncated at construction, the one shared RDD computes on the
+    caller's first action — construction itself stays job-free, the
+    round-11 ADVICE note): the exact side is referenced by both the
+    n_queries aggregate and the hit join — and on the brute route the
+    index side IS the exact frame — so without this the whole
     corpus-scan + per-query-window subtree re-executed per reference
     (round-11 measurement; guide §5 — cache what is reused and bounded:
     O(S × k) rows here)."""
     same = index_topk is exact_topk
-    exact_topk = exact_topk.localCheckpoint()
-    index_topk = exact_topk if same else index_topk.localCheckpoint()
+    exact_topk = exact_topk.localCheckpoint(eager=False)
+    index_topk = (
+        exact_topk if same else index_topk.localCheckpoint(eager=False)
+    )
     ex = exact_topk.select(query_id_col, id_col)
     ap = index_topk.select(query_id_col, id_col)
     nq = ex.agg(
@@ -1207,10 +1212,10 @@ class IVFIndex:
             # 10.7 s of actual job time on this row — the gap is driver
             # planning). Truncating the lineage per round keeps later
             # plans rooted at the materialized frame. Same rows, same
-            # cache residency; rebalance is already an eager maintenance
-            # action, so the one materialization job per round was being
-            # paid anyway by the census that follows.
-            merged = cold.unionByName(split).localCheckpoint()
+            # cache residency; LAZY (eager=False) so the cell_sizes()
+            # census that follows is the round's ONE materializing action
+            # rather than a second job after an eager checkpoint.
+            merged = cold.unionByName(split).localCheckpoint(eager=False)
             self._assigned.unpersist()
             self._assigned = merged
             self._mutated = True
@@ -2135,17 +2140,24 @@ def _beam_visited_batch(
         )
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint() if checkpoint else df
+        return df.localCheckpoint(eager=False) if checkpoint else df
 
-    # ONE materialization per hop (measured round 11: the walk rows ran
-    # 34-108 Spark jobs each, ~0.1 s of scheduler+planning overhead apiece
-    # at bench scale — guide §1.2, fix the distributed shape first). The
-    # old recurrence checkpointed TWICE per hop (scored cand, then
-    # visited ∪ cand again — re-writing every visited row a second time);
-    # here ``visited`` carries a ``hop`` tag so the frontier (top-beam of
-    # the last hop's rows), the anti-join side and the final result are
-    # all cheap reads of the SAME single checkpointed frame. Recurrence
-    # and tie-breaks are unchanged (parity-pinned + oracle-gated).
+    # ZERO driver actions inside the walk (round 12; round 11 had cut the
+    # per-hop materializations from two to one, 34-108 Spark jobs down to
+    # O(hops), ~0.1-0.3 s scheduler+planning overhead apiece at bench
+    # scale — guide §1.2, fix the distributed shape first). The hop budget
+    # is a FIXED small integer — no driver decision ever depends on a
+    # hop's data — so the per-hop checkpoint is LAZY
+    # (``localCheckpoint(eager=False)``, the connected-components
+    # discipline): each hop's plan is truncated to a LogicalRDD at
+    # construction, every consumer (frontier cut, anti-join, union, the
+    # final top-k) shares that one RDD, and the whole walk executes as a
+    # single job chain under the caller's ONE action instead of one
+    # blocking job per hop. ``visited`` carries a ``hop`` tag so the
+    # frontier (top-beam of the last hop's rows), the anti-join side and
+    # the final result are all cheap reads of the SAME checkpointed
+    # frame. Recurrence and tie-breaks are unchanged (parity-pinned +
+    # oracle-gated).
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     visited = _ckpt(score(seed).withColumn("hop", F.lit(0)))
     for h in range(1, hops + 1):
@@ -2412,14 +2424,18 @@ def _beam_visited(
     id sets are BROADCAST into the joins against the edge list and the
     scored corpus (same discipline as the batch form): the corpus-sized
     sides never shuffle — each hop is a scan-side hash probe."""
-    # ONE materialization per hop — the batch kernel's hop-tagged frame
-    # discipline (see _beam_visited_batch): the old recurrence checkpointed
-    # twice per hop (cand, then visited ∪ cand), measured round 11 as
-    # 34-108 Spark jobs per walk row with ~0.1 s scheduler+planning
-    # overhead each at bench scale. The frontier, the anti-join side and
-    # the result all read the SAME single checkpointed frame.
+    # ZERO driver actions inside the walk — the batch kernel's hop-tagged
+    # LAZY-checkpoint discipline (see _beam_visited_batch): the hop budget
+    # is fixed, no driver decision reads a hop's data, so every per-hop
+    # checkpoint is ``localCheckpoint(eager=False)`` — lineage truncated
+    # at construction, one shared RDD per hop, the whole walk runs under
+    # the caller's single action instead of one blocking job per hop
+    # (round 11 had already cut 34-108 jobs per walk row to O(hops); this
+    # removes the remaining O(hops) scheduler round-trips). The frontier,
+    # the anti-join side and the result all read the SAME checkpointed
+    # frame; recurrence and tie-breaks unchanged.
     edges = graph.select("src", "dst")
-    visited = seed.withColumn("hop", F.lit(0)).localCheckpoint()
+    visited = seed.withColumn("hop", F.lit(0)).localCheckpoint(eager=False)
     for h in range(1, hops + 1):
         frontier = visited.filter(F.col("hop") == h - 1)
         if h > 1:
@@ -2435,7 +2451,7 @@ def _beam_visited(
         cand = scored_nodes.join(F.broadcast(cand_ids), "id")
         visited = visited.unionByName(
             cand.withColumn("hop", F.lit(h))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return visited.drop("hop")
 
 

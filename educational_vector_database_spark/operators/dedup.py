@@ -1022,11 +1022,15 @@ def connected_components(
     compressed depth per round) follows the main loop; with contraction
     off it converges in zero rounds. This is the large-star/small-star
     family's trade: 2 extra joins per hot round, bounded total work."""
+    # LAZY checkpoint: the census count (or, with contraction off, round
+    # 1's convergence action) materializes the one shared RDD — no
+    # separate blocking checkpoint job (guide §1.2: the sf0.1 suite is
+    # driver-bound, each action ~0.1-0.3 s of scheduler+planning floor).
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_edges = edges.count() if contract_above is not None else None
     did_contract = False
@@ -1076,7 +1080,7 @@ def connected_components(
             edges = (
                 und.union(und.select(F.col("b").alias("a"),
                                      F.col("a").alias("b")))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)  # census count materializes
             )
             n_edges = edges.count()
             did_contract = True
@@ -1568,7 +1572,7 @@ def semantic_dedup(
         # consumers (packing, label join) would re-execute it three times.
         assigned = assigned.select(
             F.col(id_col).alias("id"), F.col("v"), "centroid_id", "sim_c"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # count-guard below materializes
         # ivf_assign_join aggregates on the id, so duplicate ids in ``df``
         # would be silently collapsed upstream — enforce the documented
         # unique-id contract with a count-preservation check (cheap against

@@ -41,11 +41,16 @@ def integer_pagerank(
     to each neighbor, then ``rank' = (100 - damping_pct)% of RANK_ONE +
     Σ incoming``. Nodes outside the pair list are not ranked (isolated
     docs have no neighborhood to be the hub of)."""
+    # LAZY checkpoint (eager=False): lineage truncated at construction, the
+    # one shared edge RDD computes under the consumer's action — the whole
+    # fixed-iteration power loop is a single job chain, no blocking
+    # checkpoint job up front (guide §1.2; the rounds below were already
+    # lazy).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     base = (100 - damping_pct) * RANK_ONE // 100
